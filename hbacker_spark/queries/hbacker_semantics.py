@@ -1,0 +1,155 @@
+"""hbacker-core semantics (SURVEY.md §2.A S1 + §2.B), oracle-checked.
+
+The reference's payload model is versioned wide-column cells
+(row_key, cf, qualifier, ts, value). The driver testdata's ``events``
+table is the cell-stream analog: user_id≈row_key, event_type≈qualifier,
+ts≈cell version timestamp, value≈payload. These queries re-express the
+reference's core data semantics on it:
+
+- S1 time-range + version-limited scan-export (export.rb:145-169:
+  `hadoop jar … export <table> <dest> <versions> <start> <end>`),
+- point-in-time restore via latest-version-wins
+  (docs/Proposed_HBase_Backup_using_HBASE-1684.txt:94-97),
+- incremental chain watermarks: next start_time = previous end_time
+  (docs/…HBASE-1684.txt:40-58).
+
+At scale the window shuffles once on the cell key; Spark ≥3.5 rewrites
+rank-limit windows to WindowGroupLimit (partial top-k map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbacker_spark.registry import register
+from hbacker_spark.sources.tables import load_table
+
+RANGE_START = "2024-01-05 00:00:00"
+RANGE_END = "2024-01-20 00:00:00"
+PITR_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "s1_version_limited_scan",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, ts, value, CAST(version_rank AS INT) AS version_rank
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS version_rank
+      FROM events
+      WHERE ts >= TIMESTAMP '{RANGE_START}' AND ts < TIMESTAMP '{RANGE_END}'
+    ) WHERE version_rank <= 5
+    """,
+    tags=("hbacker", "window", "topk"),
+    doc="S1: time-range scan keeping <=5 newest versions per cell "
+    "(export.rb:145-169 versions/start/end semantics).",
+)
+def s1_version_limited_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit(RANGE_START).cast("timestamp")) & (F.col("ts") < F.lit(RANGE_END).cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("version_rank", F.row_number().over(w))
+        .filter(F.col("version_rank") <= 5)
+        .select("event_id", "user_id", "event_type", "ts", "value", "version_rank")
+    )
+
+
+@register(
+    "pitr_latest_state",
+    oracle=f"""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '{PITR_CUTOFF}'
+    ) WHERE rn = 1
+    """,
+    tags=("hbacker", "window"),
+    doc="Point-in-time restore: drop cells newer than the cutoff, then "
+    "latest-version-wins per cell (docs/…HBASE-1684.txt:94-97).",
+)
+def pitr_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts") <= F.lit(PITR_CUTOFF).cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "incremental_watermarks",
+    oracle="""
+    SELECT event_type AS table_name,
+           max(ts) AS next_start_time,
+           COUNT(*) AS rows_backed_up,
+           CAST(min(ts) AS TIMESTAMP) AS first_seen
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("hbacker", "aggregation"),
+    doc="Incremental chain: next export's start_time = previous end_time "
+    "per table (docs/…HBASE-1684.txt:40-58; catalog max(end_time)).",
+)
+def incremental_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("table_name")).agg(
+        F.max("ts").alias("next_start_time"),
+        F.count(F.lit(1)).alias("rows_backed_up"),
+        F.min("ts").alias("first_seen"),
+    )
+
+
+@register(
+    "session_report",
+    oracle="""
+    SELECT strftime(ts, '%Y%m%d') AS session_name,
+           min(ts) AS started_at,
+           max(ts) AS ended_at,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           (SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0) AS error
+    FROM events
+    GROUP BY strftime(ts, '%Y%m%d')
+    """,
+    tags=("hbacker", "catalog", "aggregation"),
+    doc="Session-bracket report analog (C9/C10: session_name yyyyMMdd mint "
+    "cli.rb:30-32, started_at/ended_at/error columns mysql.rb:28-49).",
+)
+def session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return e.groupBy(F.date_format("ts", "yyyyMMdd").alias("session_name")).agg(
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("ended_at"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_err).alias("n_errors"),
+        (F.sum(is_err) > 0).alias("error"),
+    )
+
+
+@register(
+    "catalog_like_wildcard",
+    oracle="""
+    SELECT event_type AS table_name, COUNT(*) AS n
+    FROM events
+    WHERE event_type LIKE '%u%'
+    GROUP BY event_type
+    """,
+    tags=("hbacker", "like"),
+    doc="C5 parity: table_name LIKE wildcard lookup (mysql.rb:274-288).",
+)
+def catalog_like_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").like("%u%"))
+        .groupBy(F.col("event_type").alias("table_name"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,250 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.C + driver north star):
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search, text analysis. Hash-sketch ops (MinHash, SimHash) use engine
+hash functions and are rows-only checked; everything else is oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbacker_spark.functions import dedup as D
+from hbacker_spark.functions import similarity as S
+from hbacker_spark.functions import text as TX
+from hbacker_spark.registry import register
+from hbacker_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.5
+NEAR_DUP_COS = 0.4
+KNN_K = 10
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "llm"),
+    doc="Exact dedup: hash-groupBy on content; keeper = min doc_id. "
+    "Scales as a single shuffle on the content hash.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_exact_keepers",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "llm", "window"),
+    doc="First-wins exact dedup via deterministic window (dropDuplicates "
+    "keeps an arbitrary row; this keeps min doc_id, reproducibly).",
+)
+def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({D.sql_word_shingles('text')}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "llm", "join"),
+    doc="Near-dup by word-3-shingle Jaccard >= 0.5 via inverted-index "
+    "self-join (explode shingles → equi-join on shingle → count). The "
+    "shingle join is the scalable candidate generator: no doc×doc "
+    "cartesian, shuffle keyed on shingle.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(D.word_shingles("text")).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=None,  # murmur3/xxhash64 signatures are Spark-specific → rows-only
+    tags=("dedup", "llm", "lsh"),
+    doc="MinHash(16)+LSH(4x4) candidate pairs — the sub-quadratic scale "
+    "path for near-dup at 100 TB (signature scan + bucket join).",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(d)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=None,  # xxhash64-based bits are Spark-specific → rows-only
+    tags=("dedup", "llm"),
+    doc="64-bit SimHash per doc (sign-sum of shingle-hash bits).",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        D.word_shingles("text").alias("shingles"),
+    ).select("doc_id", D.simhash64("shingles").alias("simhash"))
+
+
+@register(
+    "knn_cosine_top10",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round({S.sql_cosine('e.embedding', 'q.q_emb')}, 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, label, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+    WHERE rnk <= {KNN_K}
+    """,
+    tags=("similarity", "llm", "topk"),
+    doc="Brute-force cosine top-k vs query vector (vec_id=0): the exact "
+    "per-bucket kernel; broadcast the query side, fold-exact arithmetic. "
+    "Rounded to 6dp before ranking so the rank cut is engine-stable.",
+)
+def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(S.cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
+    """,
+    tags=("similarity", "dedup", "llm"),
+    doc="Embedding-cosine near-dup pairs (threshold 0.4). Brute-force "
+    "pair scan here; at scale the LSH/IVF bucketing in "
+    "operators.similarity prunes candidates first.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(S.cosine("a.embedding", "b.embedding"), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+    )
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+           round(CAST({TX.sql_stopword_count('text')} AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           {TX.sql_rolling_fingerprint('text')} AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "llm"),
+    doc="Per-doc quality stats: word/token counts, stopword ratio, "
+    "rolling-hash fingerprint — all codegen'd expressions, no UDF.",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.n_words().alias("n_words"),
+        TX.n_tokens().alias("n_tokens"),
+        F.round(TX.stopword_count().cast("double") / TX.n_words(), 6).alias("stopword_ratio"),
+        TX.rolling_fingerprint().alias("fingerprint"),
+    )
+
+
+@register(
+    "corpus_lang_profile",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(CASE WHEN {TX.sql_lang_guess('text')} = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_guess_match
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "llm", "aggregation"),
+    doc="Corpus profile per (lang, source) + heuristic lang-ID agreement.",
+)
+def corpus_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    guess_match = F.when(TX.lang_guess() == F.col("lang"), 1).otherwise(0)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(TX.n_words()).alias("total_words"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(guess_match).alias("n_guess_match"),
+    )

@@ -1,0 +1,613 @@
+"""Relational operator closure (SURVEY.md §2.C rows 1-8).
+
+Each query is declared twice — once as a Spark DataFrame plan (Catalyst
+optimizes: predicate pushdown, column pruning, broadcast-join selection)
+and once as DuckDB oracle SQL. Names/aliases match exactly; numeric
+aggregates follow the decimal-exact discipline in ``_util``.
+
+Scale notes (100 TB discipline):
+- fact-fact joins (lineitem⋈orders) are shuffle/sort-merge on the join
+  key; dimension joins (nation, region, supplier, part at TPC-H scale
+  ratios) are broadcast — small side is bounded.
+- per-group top-k uses window + rank-limit, which Spark ≥3.5 rewrites to
+  WindowGroupLimit (partial top-k before the shuffle).
+- no collect()/driver loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbacker_spark.queries._util import (
+    MONEY,
+    RATE,
+    SQL_DISC_PRICE,
+    charge,
+    disc_price,
+    money,
+    rate,
+)
+from hbacker_spark.registry import register
+from hbacker_spark.sources.tables import load_table
+
+CUTOFF = "1998-09-02"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST({SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregation", "tpch"),
+    doc="TPC-H Q1-style pricing summary: 2-key groupBy, 8 exact aggregates.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(MONEY)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+           CAST(SUM({SQL_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY SUM({SQL_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk", "tpch"),
+    doc="3-way join + agg + deterministic top-10 (exact-decimal sort key).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    agg = joined.groupBy(l.l_orderkey.alias("o_orderkey"), o.o_orderdate).agg(
+        F.sum(disc_price()).alias("_rev_dec")
+    )
+    return (
+        agg.orderBy(F.col("_rev_dec").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", F.col("_rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({SQL_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "tpch"),
+    doc="6-way star join (broadcast dims) + per-nation revenue.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(F.sum(disc_price()).cast("double").alias("revenue"))
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "aggregation", "tpch"),
+    doc="Selective scan-filter-agg; predicates push to the parquet reader.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    filtered = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum((money("l_extendedprice") * rate("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    doc="Per-group top-k via rank-limit window (WindowGroupLimit at scale); "
+    "generalizes the reference's per-cell version limit (export.rb:150).",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(money("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "rollup_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregation", "rollup"),
+)
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_order_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("aggregation", "cube"),
+)
+def cube_order_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "semi_customers_with_events",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
+    tags=("join", "semi"),
+    doc="Left-semi join (EXISTS): customers who produced >=1 event.",
+)
+def semi_customers_with_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_customers_without_events",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+    doc="Left-anti join (NOT EXISTS) — idempotent-resume parity "
+    "(reference lib/worker.rb:85-87 skip-if-recorded).",
+)
+def anti_customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "intersect_nation_coverage",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+    doc="INTERSECT: nations that have both customers and suppliers "
+    "(S10 parity: exported & requested, import.rb:56-63).",
+)
+def intersect_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "except_nations_without_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def except_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (set semantics, distinct)
+
+
+@register(
+    "union_parties_per_nation",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n_parties,
+           CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT s_nationkey, s_acctbal FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+    tags=("setop", "aggregation"),
+    doc="unionByName of heterogeneous sources, then aggregate.",
+)
+def union_parties_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parties"),
+            F.sum(money("acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+    doc="Cumulative frame (rowsBetween) — exact decimal running sum.",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INT) AS days_since_prev,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    """,
+    tags=("window", "analytic"),
+    doc="lag/lead analytics: per-customer inter-order gap in days.",
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("int").alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS month_revenue
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    tags=("scalar", "date", "aggregation"),
+    doc="Date bucketing (U3 parity: date_format session mint, cli.rb:30-32).",
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("month_revenue"),
+        )
+    )
+
+
+@register(
+    "canonicalize_part_labels",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(lower(p_brand || '.' || p_name), '[-#. ]', '_', 'g') AS canonical,
+           substr(p_type, 1, 3) AS type_prefix,
+           CAST(length(p_name) AS INT) AS name_len
+    FROM part
+    """,
+    tags=("scalar", "string"),
+    doc="String canonicalization (U2 parity: host.gsub(/[-.]/,'_'), cli.rb:354).",
+)
+def canonicalize_part_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.lower(F.concat_ws(".", "p_brand", "p_name")), "[-#. ]", "_").alias("canonical"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+@register(
+    "filter_like_in_between",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_name LIKE '%bolt%'
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#12')
+      AND p_size BETWEEN 5 AND 40
+    """,
+    tags=("filter", "like"),
+    doc="LIKE wildcard + IN + BETWEEN predicate parity "
+    "(C5/C9: table_name LIKE, mysql.rb:274-288,346-363).",
+)
+def filter_like_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%bolt%")
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#12")
+        & F.col("p_size").between(5, 40)
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "aggregation"),
+    doc="JSON extraction from events.props + integer-exact aggregation.",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+@register(
+    "case_acctbal_buckets",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    tags=("scalar", "conditional"),
+    doc="CASE/WHEN bucketing + COALESCE/NULLIF null plumbing.",
+)
+def case_acctbal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket")
+    )
+    segment = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias("segment")
+    return c.groupBy(bucket, segment).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "count_distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "distinct"),
+)
+def count_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ across engines — driver records rows-only
+    tags=("aggregation", "approx"),
+    doc="approx_count_distinct (HLL++): the 100TB-scale path for distincts.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "range_join_event_pairs",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+    tags=("join", "range"),
+    doc="Range/theta join: same-user event pairs within 5 minutes. "
+    "Equi-key on user_id keeps it a hash join with a range residual "
+    "(no cartesian) — the scalable shape for interval joins.",
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "asof_purchase_to_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+    doc="As-of join: latest click at-or-before each purchase, per user. "
+    "Spark lacks a native ASOF join; implemented scalably as a "
+    "union + single shuffle on user_id + last_value(ignorenulls) window "
+    "(no per-row subquery, no cartesian).",
+)
+def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_is_target"),
+        F.col("event_id").alias("_click_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_is_target"),
+        F.lit(None).cast("long").alias("_click_id"),
+        "event_id",
+    )
+    unioned = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts (_is_target asc) so ties are
+    # inclusive (p.ts >= c.ts), matching ASOF semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_is_target")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_last_click",
+        F.last(
+            F.when(F.col("_is_target") == 0, F.struct(F.col("_click_id"), F.col("ts").alias("_cts"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("_is_target") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("_last_click._click_id").alias("click_id"),
+        F.col("_last_click._cts").alias("click_ts"),
+    )

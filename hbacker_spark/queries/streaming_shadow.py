@@ -1,0 +1,123 @@
+"""Batch shadows of the Structured Streaming layer (SURVEY.md §2.C row 9).
+
+``window()`` / ``session_window()`` run identically in batch and
+streaming, so the oracle checks these *semantics* in batch while the
+live streaming path (readStream + watermark + the same aggregations)
+is exercised in tests/test_streaming.py against the same expressions —
+one definition, two execution modes.
+
+events.value carries exactly 2 decimals → DECIMAL(12,2) sums are exact
+and order-independent (see queries._util).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbacker_spark.registry import register
+from hbacker_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "aggregation"),
+    doc="Tumbling 5-minute window counts per event_type (epoch-aligned, "
+    "same as the streaming groupBy(window(ts,'5 minutes'))).",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+                     time_bucket(INTERVAL '5 minutes', ts)]) AS win_start,
+             event_type
+      FROM events
+    )
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "aggregation"),
+    doc="Sliding window (10-minute length, 5-minute slide): each event "
+    "lands in 2 windows; Spark window(ts,'10 minutes','5 minutes').",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH laggy AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '{SESSION_GAP_MIN} minutes'
+                     THEN 1 ELSE 0 END AS is_new
+      FROM laggy
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+    doc="Session windows with 30-minute gap per user — Spark "
+    "session_window(ts, gap): merged-session end = last event + gap. "
+    "Oracle rebuilds identical sessions via lag/cumsum islands.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from hbacker_spark.session import get_spark
+
+    # Fewer threads/partitions for test latency; semantics identical.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_spark("hbacker_spark_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def oracle_sf_dir() -> str:
+    return SF_ORACLE

@@ -1,0 +1,81 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered query in Spark and its oracle SQL in DuckDB over the
+same parquet, then compares row count, column-name set, and an
+order-insensitive canonicalized value multiset. Strict by default
+(exact string canonicalization of every value) — if this passes, any
+reasonable hash-based driver check passes too.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+from hbacker_spark.sources.tables import TABLES, table_path
+
+
+def _canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        # repr round-trips doubles exactly; bit-identical doubles → equal strings
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"f:{float(v)!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, dt.datetime):
+        return f"t:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, dt.date):
+        return f"t:{dt.datetime(v.year, v.month, v.day).isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def duckdb_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return cols, rows
+    finally:
+        con.close()
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Returns a list of mismatch descriptions (empty == pass)."""
+    o_cols, o_rows = duckdb_oracle(oracle_sql, sf_dir)
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    problems: list[str] = []
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
+
+    s_order = [s_cols.index(c) for c in sorted(s_cols)]
+    o_order = [o_cols.index(c) for c in sorted(o_cols)]
+    s_set = sorted("|".join(_canon(r[i]) for i in s_order) for r in s_rows)
+    o_set = sorted("|".join(_canon(r[i]) for i in o_order) for r in o_rows)
+    if s_set != o_set:
+        diffs = [(a, b) for a, b in zip(s_set, o_set) if a != b]
+        only_s = [x for x in s_set if x not in set(o_set)][:3]
+        only_o = [x for x in o_set if x not in set(s_set)][:3]
+        problems.append(
+            f"values differ ({len(diffs)} positional diffs); spark-only sample={only_s}; oracle-only sample={only_o}"
+        )
+    return problems
