@@ -39,57 +39,81 @@ def sql_word_shingles(col: str = "text", k: int = SHINGLE_K) -> str:
     )
 
 
-def minhash_signature(shingles_col: str = "shingles", num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature: per seed i, min over shingles of murmur3(s, i).
+def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) rows — the codegen-friendly shape: downstream hash +
+    aggregate expressions stay inside whole-stage codegen instead of
+    interpreted higher-order-function lambdas (~100x faster per element)."""
+    return docs.select(F.col(id_col), F.explode(word_shingles(text_col)).alias("shingle"))
 
-    Empty shingle sets get NULL mins — callers should filter those out
-    before banding.
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Per-doc MinHash signature columns mh_0..mh_{n-1}.
+
+    One shuffle on id; hash(shingle, seed) and min() are codegen'd
+    expressions evaluated per exploded row.
     """
-    mins = [F.expr(f"array_min(transform({shingles_col}, s -> hash(s, {i})))") for i in range(num_hashes)]
-    return F.array(*mins)
+    sh = exploded_shingles(docs, id_col, text_col)
+    aggs = [F.min(F.hash("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_bands(sig_col: str = "minhash", num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> Column:
-    """Array of (band_idx, band_hash) structs: hash of each signature band."""
-    n_bands = num_hashes // band_size
-    bands = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.xxhash64(F.expr(f"slice({sig_col}, {b * band_size + 1}, {band_size})")).alias("band_hash"),
-        )
-        for b in range(n_bands)
+def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc (sign-sum of shingle-hash bits).
+
+    Shape: explode shingles → xxhash64 once per shingle (codegen) →
+    64 conditional-SUM aggregates per doc (codegen, partial map-side) →
+    one projection recombining the bit votes into a BIGINT. Linear in
+    corpus size with a single shuffle on doc id.
+    """
+    sh = exploded_shingles(docs, id_col, text_col).withColumn("h", F.xxhash64("shingle"))
+    vote = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1 = 1"), 1).otherwise(-1)
+        ).alias(f"bit_{b}")
+        for b in range(64)
     ]
-    return F.array(*bands)
+    per_doc = sh.groupBy(id_col).agg(*vote)
+    acc = F.lit(0).cast("bigint")
+    for b in range(64):
+        bit_value = 2**b if b < 63 else -(2**63)  # bit 63 is the int64 sign bit
+        acc = acc + F.when(F.col(f"bit_{b}") > 0, F.lit(bit_value).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return per_doc.select(F.col(id_col), acc.alias("simhash"))
 
 
-def simhash64(shingles_col: str = "shingles") -> Column:
-    """64-bit SimHash over shingle xxhash64 bits (sign-sum per bit).
-
-    Expressed as a fold over the shingle array accumulating 64 bit-counts,
-    then re-thresholded — all in one Catalyst expression.
-    """
-    return F.expr(
-        f"aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, bit) -> "
-        f"acc + CASE WHEN aggregate({shingles_col}, CAST(0 AS BIGINT), "
-        f"(c, s) -> c + CASE WHEN (xxhash64(s) >> bit) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END)"
-    )
-
-
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
     """End-to-end MinHash-LSH candidate pair generation.
 
-    Returns distinct (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
+    signatures (linear, codegen) → band hashes (xxhash64 over each band's
+    signature slice) → equi-join on (band_idx, band_hash) so candidate
+    generation stays sub-quadratic. Returns (doc_a, doc_b,
+    n_shared_bands) with doc_a < doc_b.
     """
-    sigs = (
-        docs.select(F.col(id_col), word_shingles(text_col).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select(F.col(id_col), minhash_signature().alias("minhash"))
-        .select(F.col(id_col), F.explode(lsh_bands()).alias("band"))
-        .select(F.col(id_col), F.col("band.band_idx"), F.col("band.band_hash"))
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+    n_bands = num_hashes // band_size
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(*[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(F.col(id_col), F.col("band.band_idx"), F.col("band.band_hash"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
     return (
         a.join(
             b,

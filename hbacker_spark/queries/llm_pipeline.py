@@ -91,12 +91,17 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(D.word_shingles("text")).alias("shingle"))
+    # Join on a 64-bit hash of the shingle instead of the string: the
+    # shuffle keys drop from ~20-byte strings to int64 (collision odds
+    # ~n^2/2^64, immaterial vs the oracle's exact string join).
+    sh = d.select("doc_id", F.explode(D.word_shingles("text")).alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle_h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -131,10 +136,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        D.word_shingles("text").alias("shingles"),
-    ).select("doc_id", D.simhash64("shingles").alias("simhash"))
+    return D.simhash_table(d)
 
 
 @register(
@@ -183,18 +185,7 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.round(S.cosine("a.embedding", "b.embedding"), 6)
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
-    )
+    return S.brute_force_pair_cosines(spark, e, threshold=NEAR_DUP_COS)
 
 
 @register(
