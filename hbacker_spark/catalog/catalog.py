@@ -1,0 +1,381 @@
+"""Relational metadata catalog — the reference's 3-table MySQL catalog
+(sessions → tables → column descriptors) as Spark-managed Parquet tables.
+
+Reference model (SURVEY.md §1.2; lib/hbacker/mysql.rb:12-102):
+
+- ``hbacker_sessions``  — one row per export/import run (C1/C2/C9)
+- ``hbase_tables``      — one row per table per session (C3/C4/C5/C6/C7)
+- ``column_descriptors``— one row per column family (C8)
+
+Design choices vs the reference:
+- mode is a column (like the MySQL variant, mysql.rb:31), not a domain
+  name prefix (the SimpleDB variant, db.rb.old:309-447).
+- ``ended_at`` is nullable instead of the epoch-0 sentinel
+  (db.rb.old:325) — NULL means "still running".
+- C2's in-place UPDATE becomes a read-modify-overwrite with an atomic
+  directory swap (single-writer, like the reference's single master;
+  export.rb:96). The reference's 10x3s read-after-write retry loop
+  (mysql.rb:250-256) is dropped: Parquet reads from one driver are
+  consistent.
+- All queries (C5-C10) are DataFrame plans: filters push down, the C5
+  session join broadcasts the (tiny) sessions side.
+
+At scale the catalog is millions of rows at most (one per table per
+session) — broadcastable by construction; payload data never flows
+through it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SESSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("mode", T.StringType(), False),  # export | import
+        T.StructField("cluster_name", T.StringType(), False),
+        T.StructField("session_name", T.StringType(), False),
+        T.StructField("dest_root", T.StringType(), False),
+        T.StructField("specified_start", T.LongType(), True),  # epoch-ms; 0 = full
+        T.StructField("specified_end", T.LongType(), True),
+        T.StructField("started_at", T.TimestampType(), True),
+        T.StructField("ended_at", T.TimestampType(), True),  # NULL = running
+        T.StructField("error", T.BooleanType(), True),
+        T.StructField("error_info", T.StringType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+TABLES_SCHEMA = T.StructType(
+    [
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("session_name", T.StringType(), False),
+        T.StructField("start_time", T.LongType(), True),
+        T.StructField("end_time", T.LongType(), True),
+        T.StructField("specified_versions", T.LongType(), True),
+        T.StructField("empty", T.BooleanType(), True),
+        T.StructField("error", T.BooleanType(), True),
+        T.StructField("error_info", T.StringType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+# Column-family descriptor attrs — the whitelist in the reference
+# (ColumnDescriptor::AVAILABLE_OPTS, lib/hbacker/stargate.rb:36-44;
+# mysql.rb:75-102).
+DESCRIPTOR_ATTRS = (
+    "blockcache",
+    "blocksize",
+    "bloomfilter",
+    "compression",
+    "block_cache",
+    "max_versions",
+    "in_memory",
+    "versions",
+    "length",
+    "ttl",
+)
+
+DESCRIPTORS_SCHEMA = T.StructType(
+    [
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("session_name", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),  # column family name
+        T.StructField("blockcache", T.StringType(), True),
+        T.StructField("blocksize", T.LongType(), True),
+        T.StructField("bloomfilter", T.StringType(), True),
+        T.StructField("compression", T.StringType(), True),
+        T.StructField("block_cache", T.BooleanType(), True),
+        T.StructField("max_versions", T.LongType(), True),
+        T.StructField("in_memory", T.BooleanType(), True),
+        T.StructField("versions", T.LongType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("ttl", T.LongType(), True),
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+_TABLES = {
+    "sessions": SESSIONS_SCHEMA,
+    "tables": TABLES_SCHEMA,
+    "column_descriptors": DESCRIPTORS_SCHEMA,
+}
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def mint_session_name(ts: datetime | None = None) -> str:
+    """U3: session timestamp mint, yyyyMMdd_HHmmss (cli.rb:30-32)."""
+    return (ts or _now()).strftime("%Y%m%d_%H%M%S")
+
+
+def canonical_cluster_name(host: str) -> str:
+    """U2: hostname canonicalization, [-.] → _ (cli.rb:354,360)."""
+    import re
+
+    return re.sub(r"[-.]", "_", host)
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def read(self, table: str) -> DataFrame:
+        schema = _TABLES[table]
+        path = self._path(table)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _append(self, table: str, rows: list[dict]) -> None:
+        schema = _TABLES[table]
+        df = self.spark.createDataFrame([tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
+        df.coalesce(1).write.mode("append").parquet(self._path(table))
+
+    def _overwrite(self, table: str, df: DataFrame) -> None:
+        """Atomic-ish rewrite: write a fresh dir, then swap (C2's UPDATE
+        without Delta; temp-write + rename, never in-place)."""
+        path = self._path(table)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, bak)
+        os.rename(tmp, path)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+
+    # ---- C1: session start -------------------------------------------------
+    def start_info(
+        self,
+        mode: str,
+        cluster_name: str,
+        session_name: str,
+        dest_root: str,
+        specified_start: int,
+        specified_end: int,
+        started_at: datetime | None = None,
+    ) -> None:
+        """C1 (mysql.rb:226-239): append the session-start row."""
+        self._append(
+            "sessions",
+            [
+                {
+                    "mode": mode,
+                    "cluster_name": cluster_name,
+                    "session_name": session_name,
+                    "dest_root": dest_root,
+                    "specified_start": specified_start,
+                    "specified_end": specified_end,
+                    "started_at": started_at or _now(),
+                    "ended_at": None,
+                    "error": False,
+                    "error_info": None,
+                    "updated_at": _now(),
+                }
+            ],
+        )
+
+    # ---- C2: session end (point update) ------------------------------------
+    def end_info(
+        self,
+        mode: str,
+        cluster_name: str,
+        session_name: str,
+        dest_root: str,
+        ended_at: datetime | None = None,
+        error: bool = False,
+        error_info: str | None = None,
+    ) -> None:
+        """C2 (mysql.rb:246-267): update ended_at/error on the session row,
+        keyed on (mode, cluster_name, session_name, dest_root)."""
+        df = self.read("sessions")
+        key = (
+            (F.col("mode") == mode)
+            & (F.col("cluster_name") == cluster_name)
+            & (F.col("session_name") == session_name)
+            & (F.col("dest_root") == dest_root)
+        )
+        ended = ended_at or _now()
+        updated = df.withColumns(
+            {
+                "ended_at": F.when(key, F.lit(ended)).otherwise(F.col("ended_at")),
+                "error": F.when(key, F.lit(error)).otherwise(F.col("error")),
+                "error_info": F.when(key, F.lit(error_info)).otherwise(F.col("error_info")),
+                "updated_at": F.when(key, F.lit(_now())).otherwise(F.col("updated_at")),
+            }
+        )
+        self._overwrite("sessions", updated)
+
+    # ---- C3/C4: per-table results ------------------------------------------
+    def exported_table_info(
+        self,
+        table_name: str,
+        session_name: str,
+        start_time: int,
+        end_time: int,
+        versions: int,
+        column_descriptors: list[dict] | None = None,
+        empty: bool = False,
+        error: bool = False,
+        error_info: str | None = None,
+    ) -> None:
+        """C3 (mysql.rb:154-190): table row + child descriptor rows."""
+        self._append(
+            "tables",
+            [
+                {
+                    "mode": "export",
+                    "table_name": table_name,
+                    "session_name": session_name,
+                    "start_time": start_time,
+                    "end_time": end_time,
+                    "specified_versions": versions,
+                    "empty": empty,
+                    "error": error,
+                    "error_info": error_info,
+                    "updated_at": _now(),
+                }
+            ],
+        )
+        if column_descriptors:
+            rows = []
+            for cd in column_descriptors:
+                row = {k: cd.get(k) for k in DESCRIPTOR_ATTRS}
+                row.update(
+                    {
+                        "mode": "export",
+                        "session_name": session_name,
+                        "table_name": table_name,
+                        "name": cd["name"],
+                        "updated_at": _now(),
+                    }
+                )
+                rows.append(row)
+            self._append("column_descriptors", rows)
+
+    def imported_table_info(
+        self, table_name: str, session_name: str, empty: bool = False, error: bool = False, error_info: str | None = None
+    ) -> None:
+        """C4 (mysql.rb:200-215): import result row (no descriptor children)."""
+        self._append(
+            "tables",
+            [
+                {
+                    "mode": "import",
+                    "table_name": table_name,
+                    "session_name": session_name,
+                    "start_time": None,
+                    "end_time": None,
+                    "specified_versions": None,
+                    "empty": empty,
+                    "error": error,
+                    "error_info": error_info,
+                    "updated_at": _now(),
+                }
+            ],
+        )
+
+    # ---- C5-C9: queries ----------------------------------------------------
+    def table_names(self, session_name: str, dest_root: str, pattern: str | None = None, mode: str = "export") -> DataFrame:
+        """C5 (mysql.rb:274-288): tables of a session, optional LIKE
+        wildcard, validated against the parent session's dest_root (the
+        reference reaches through the FK association — here an explicit
+        broadcast join)."""
+        tables = self.read("tables").filter((F.col("mode") == mode) & (F.col("session_name") == session_name))
+        if pattern is not None:
+            tables = tables.filter(F.col("table_name").like(pattern))
+        sessions = self.read("sessions").filter((F.col("dest_root") == dest_root) & (F.col("mode") == mode))
+        return (
+            tables.join(F.broadcast(sessions.select("session_name").distinct()), "session_name")
+            .select("table_name")
+            .distinct()
+        )
+
+    def exists(self, table_name: str, session_name: str | None = None, mode: str = "export") -> bool:
+        """C6 (mysql.rb:290-297): membership probe (idempotent resume)."""
+        df = self.read("tables").filter((F.col("mode") == mode) & (F.col("table_name") == table_name))
+        if session_name is not None:
+            df = df.filter(F.col("session_name") == session_name)
+        return not df.limit(1).isEmpty()
+
+    def list_table_info(self, session_name: str, pattern: str | None = None, mode: str = "export") -> DataFrame:
+        """C7 (mysql.rb:306-316): full table rows for a session."""
+        df = self.read("tables").filter((F.col("mode") == mode) & (F.col("session_name") == session_name))
+        if pattern is not None:
+            df = df.filter(F.col("table_name").like(pattern))
+        return df
+
+    def column_descriptors(self, table_name: str, session_name: str, mode: str = "export") -> list[dict]:
+        """C8 (mysql.rb:324-337): descriptor rows, whitelist projection,
+        nil values dropped (stargate.rb:36-44 AVAILABLE_OPTS)."""
+        df = (
+            self.read("column_descriptors")
+            .filter(
+                (F.col("mode") == mode)
+                & (F.col("table_name") == table_name)
+                & (F.col("session_name") == session_name)
+            )
+            .select("name", *DESCRIPTOR_ATTRS)
+        )
+        out = []
+        for row in df.collect():  # descriptor lists are tiny (per-table CF count)
+            d = row.asDict()
+            out.append({k: v for k, v in d.items() if v is not None})
+        return out
+
+    def session_info(self, mode: str, session_name_pattern: str | None = None) -> DataFrame:
+        """C9 (mysql.rb:346-363): sessions by mode, optional LIKE."""
+        df = self.read("sessions").filter(F.col("mode") == mode)
+        if session_name_pattern is not None:
+            df = df.filter(F.col("session_name").like(session_name_pattern))
+        return df
+
+    def session_report(self, mode: str, session_name_pattern: str | None = None) -> DataFrame:
+        """C10 (cli.rb:287-322): nested session → table report as one
+        left join (the reference loops two queries; one plan here)."""
+        sessions = self.session_info(mode, session_name_pattern).alias("s")
+        tables = self.read("tables").filter(F.col("mode") == mode).alias("t")
+        return sessions.join(
+            tables,
+            (F.col("s.session_name") == F.col("t.session_name")),
+            "left",
+        ).select(
+            F.col("s.session_name").alias("session_name"),
+            F.col("s.cluster_name").alias("cluster_name"),
+            F.col("s.dest_root").alias("dest_root"),
+            F.col("s.started_at").alias("started_at"),
+            F.col("s.ended_at").alias("ended_at"),
+            F.col("s.error").alias("session_error"),
+            F.col("t.table_name").alias("table_name"),
+            F.col("t.start_time").alias("start_time"),
+            F.col("t.end_time").alias("end_time"),
+            F.col("t.empty").alias("empty"),
+            F.col("t.error").alias("table_error"),
+        )
+
+    # ---- §2.B: incremental chain watermark ---------------------------------
+    def next_start_times(self, mode: str = "export") -> DataFrame:
+        """Per-table watermark: next export's start_time = max recorded
+        end_time (docs/…HBASE-1684.txt:40-58)."""
+        return (
+            self.read("tables")
+            .filter((F.col("mode") == mode) & (F.col("error") == F.lit(False)))
+            .groupBy("table_name")
+            .agg(F.max("end_time").alias("next_start_time"))
+        )

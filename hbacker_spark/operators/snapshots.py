@@ -1,0 +1,284 @@
+"""Snapshot export/import core — the reference's S1-S10 + §2.B semantics
+re-expressed as DataFrame plans over partitioned Parquet snapshots.
+
+Payload model (SURVEY.md §1.1): versioned wide-column cells
+
+    row_key STRING, cf STRING, qualifier STRING, ts LONG (epoch-ms),
+    value STRING
+
+Layout parity: one directory per session per table —
+``dest_root/session_name/table_name/`` (export.rb:76, import.rb:65).
+Snapshot parquet is written partitioned by nothing *inside* the table dir
+(the session/table dirs are the partition scheme, so incremental chains
+and PITR prune whole directories — the Spark analog of the reference's
+time-range pruning).
+
+Scale notes:
+- the version-limit window shuffles once on the cell key (row_key, cf,
+  qualifier); Spark ≥3.5 turns rank<=k into WindowGroupLimit with
+  map-side partial top-k.
+- restore unions N session dirs lazily — Catalyst prunes columns and
+  pushes the ts cutoff into every parquet scan.
+- empty-table probe is ``limit(1).isEmpty()`` — constant work (S6).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hbacker_spark.catalog.catalog import Catalog
+
+CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("row_key", T.StringType(), False),
+        T.StructField("cf", T.StringType(), False),
+        T.StructField("qualifier", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),  # epoch-ms, HBase-style
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+CELL_KEY = ("row_key", "cf", "qualifier")
+DEFAULT_VERSIONS = 100_000  # reference default (cli.rb:71-74)
+
+
+def _now_ms() -> int:
+    return int(datetime.now(timezone.utc).timestamp() * 1000)
+
+
+def snapshot_path(dest_root: str, session_name: str, table_name: str) -> str:
+    """dest = dest_root + session + "/" + table (export.rb:76)."""
+    return os.path.join(dest_root, session_name, table_name)
+
+
+def version_limited(cells: DataFrame, versions: int) -> DataFrame:
+    """Keep the newest ``versions`` cells per (row_key, cf, qualifier) —
+    the MR Export job's <versions> argument (export.rb:150-151)."""
+    w = Window.partitionBy(*CELL_KEY).orderBy(F.col("ts").desc())
+    return (
+        cells.withColumn("_vr", F.row_number().over(w)).filter(F.col("_vr") <= versions).drop("_vr")
+    )
+
+
+def scan_export(cells: DataFrame, start_time: int, end_time: int, versions: int = DEFAULT_VERSIONS) -> DataFrame:
+    """S1's logical plan: ts ∈ [start_time, end_time) + version limit."""
+    ranged = cells.filter((F.col("ts") >= start_time) & (F.col("ts") < end_time))
+    return version_limited(ranged, versions)
+
+
+class SnapshotStore:
+    """Export/import driver — the reference's Export/Import classes with
+    the queue/worker/subprocess layers collapsed into Spark jobs.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, cluster_name: str = "local_cluster"):
+        self.spark = spark
+        self.catalog = catalog
+        self.cluster_name = cluster_name
+
+    # ---- S1 + C3: single-table export --------------------------------------
+    def export_table(
+        self,
+        cells: DataFrame,
+        table_name: str,
+        dest_root: str,
+        session_name: str,
+        start_time: int = 0,
+        end_time: int | None = None,
+        versions: int = DEFAULT_VERSIONS,
+        column_descriptors: list[dict] | None = None,
+        resume: bool = False,
+    ) -> bool:
+        """Export one table's cells; returns True if data was written.
+
+        Mirrors the worker path (lib/worker.rb:68-100):
+        exists?-skip (C6, idempotent resume) → emptiness probe (S6) →
+        empty ⇒ record-only (schema still captured) → else S1 scan-export
+        + catalog row (C3). Errors are recorded (C3 error=true) and
+        re-raised (export.rb:156-163).
+        """
+        if resume and self.catalog.exists(table_name, session_name):
+            return False  # worker.rb:85-87: already recorded in this chain
+        end_time = _now_ms() if end_time is None else end_time
+
+        snap = scan_export(cells, start_time, end_time, versions)
+        if snap.limit(1).isEmpty():  # S6 emptiness probe (hbase.rb:64-68)
+            self.catalog.exported_table_info(
+                table_name, session_name, start_time, end_time, versions,
+                column_descriptors=column_descriptors, empty=True,
+            )
+            return False
+        try:
+            snap.write.mode("errorifexists").parquet(snapshot_path(dest_root, session_name, table_name))
+        except Exception as ex:  # noqa: BLE001 — record then re-raise (export.rb:156-163)
+            self.catalog.exported_table_info(
+                table_name, session_name, start_time, end_time, versions,
+                column_descriptors=column_descriptors, error=True, error_info=str(ex)[:500],
+            )
+            raise
+        self.catalog.exported_table_info(
+            table_name, session_name, start_time, end_time, versions,
+            column_descriptors=column_descriptors,
+        )
+        return True
+
+    # ---- S3 + C1/C2: multi-table export with session bracketing ------------
+    def export_tables(
+        self,
+        tables: dict[str, DataFrame],
+        dest_root: str,
+        session_name: str,
+        start_time: int = 0,
+        end_time: int | None = None,
+        versions: int = DEFAULT_VERSIONS,
+        descriptors: dict[str, list[dict]] | None = None,
+        resume: bool = False,
+    ) -> None:
+        """Export#specified_tables (export.rb:68-97): C1 start_info →
+        per-table export → C2 end_info, with error capture on the way out
+        (import.rb:83-88 pattern). No queue/watermark layers — Spark's
+        scheduler provides the backpressure the reference polled
+        beanstalkd/`hadoop job -list` for (Q6/Q7).
+        """
+        end_time = _now_ms() if end_time is None else end_time
+        self.catalog.start_info("export", self.cluster_name, session_name, dest_root, start_time, end_time)
+        try:
+            for table_name, cells in tables.items():
+                self.export_table(
+                    cells, table_name, dest_root, session_name, start_time, end_time, versions,
+                    column_descriptors=(descriptors or {}).get(table_name), resume=resume,
+                )
+        except Exception as ex:  # noqa: BLE001
+            self.catalog.end_info(
+                "export", self.cluster_name, session_name, dest_root, error=True, error_info=str(ex)[:500]
+            )
+            raise
+        self.catalog.end_info("export", self.cluster_name, session_name, dest_root)
+
+    # ---- §2.B: incremental chain -------------------------------------------
+    def export_incremental(
+        self,
+        tables: dict[str, DataFrame],
+        dest_root: str,
+        session_name: str,
+        end_time: int | None = None,
+        versions: int = DEFAULT_VERSIONS,
+        descriptors: dict[str, list[dict]] | None = None,
+    ) -> None:
+        """Next start = previous recorded end per table
+        (docs/…HBASE-1684.txt:40-58); tables never exported start at 0
+        (full export, mysql.rb:221-223)."""
+        end_time = _now_ms() if end_time is None else end_time
+        watermarks = {r["table_name"]: r["next_start_time"] for r in self.catalog.next_start_times().collect()}
+        self.catalog.start_info(
+            "export", self.cluster_name, session_name, dest_root,
+            min(watermarks.values(), default=0) or 0, end_time,
+        )
+        try:
+            for table_name, cells in tables.items():
+                self.export_table(
+                    cells, table_name, dest_root, session_name,
+                    start_time=int(watermarks.get(table_name, 0)), end_time=end_time, versions=versions,
+                    column_descriptors=(descriptors or {}).get(table_name),
+                )
+        except Exception as ex:  # noqa: BLE001
+            self.catalog.end_info(
+                "export", self.cluster_name, session_name, dest_root, error=True, error_info=str(ex)[:500]
+            )
+            raise
+        self.catalog.end_info("export", self.cluster_name, session_name, dest_root)
+
+    # ---- S8/S9 + C4: import -------------------------------------------------
+    def import_table(
+        self,
+        table_name: str,
+        source_root: str,
+        export_session_name: str,
+        import_session_name: str,
+        restore_empty_tables: bool = False,
+    ) -> DataFrame | None:
+        """Import#table (import.rb:128-154): read the snapshot dir,
+        recreate schema from stored descriptors (S7), record C4.
+        Returns the restored cells DataFrame (caller writes it wherever
+        the target lives), or None for an empty-table record."""
+        descriptors = self.catalog.column_descriptors(table_name, export_session_name)
+        info = self.catalog.read("tables").filter(
+            (F.col("mode") == "export")
+            & (F.col("session_name") == export_session_name)
+            & (F.col("table_name") == table_name)
+        )
+        rows = info.collect()
+        if not rows:
+            raise ValueError(f"table {table_name!r} not recorded in export session {export_session_name!r}")
+        if rows[0]["empty"]:
+            if restore_empty_tables:
+                self.catalog.imported_table_info(table_name, import_session_name, empty=True)
+                return self.spark.createDataFrame([], CELLS_SCHEMA)  # S7: schema-only recreate
+            return None
+        df = self.spark.read.schema(CELLS_SCHEMA).parquet(
+            snapshot_path(source_root, export_session_name, table_name)
+        )
+        self.catalog.imported_table_info(table_name, import_session_name)
+        return df
+
+    def import_tables(
+        self,
+        source_root: str,
+        export_session_name: str,
+        import_session_name: str,
+        requested: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Import#specified_tables (import.rb:46-90): resolve the exported
+        list from the catalog (C5), validate requested ⊆ exported (S10 —
+        reported via anti-join, not a loop), session-bracket the run."""
+        exported = [r["table_name"] for r in self.catalog.table_names(export_session_name, source_root).collect()]
+        if requested is not None:
+            missing = sorted(set(requested) - set(exported))  # S10 subset validation (import.rb:56-63)
+            if missing:
+                raise ValueError(f"tables not in backup session {export_session_name!r}: {missing}")
+            selected = [t for t in exported if t in set(requested)]
+        else:
+            selected = exported
+        self.catalog.start_info("import", self.cluster_name, import_session_name, source_root, 0, 0)
+        out: dict[str, DataFrame] = {}
+        try:
+            for t in selected:
+                df = self.import_table(t, source_root, export_session_name, import_session_name)
+                if df is not None:
+                    out[t] = df
+        except Exception as ex:  # noqa: BLE001
+            self.catalog.end_info(
+                "import", self.cluster_name, import_session_name, source_root, error=True, error_info=str(ex)[:500]
+            )
+            raise
+        self.catalog.end_info("import", self.cluster_name, import_session_name, source_root)
+        return out
+
+    # ---- §2.B: point-in-time restore ----------------------------------------
+    def restore_point_in_time(
+        self,
+        table_name: str,
+        dest_root: str,
+        session_names: list[str],
+        cutoff_ts: int,
+        max_versions: int = 1,
+    ) -> DataFrame:
+        """Replay full export + increments, drop cells newer than the
+        cutoff, latest-version-wins per cell (docs/…HBASE-1684.txt:63-72,
+        94-97). Deletes cannot be resurrected — append-only snapshots
+        (README.textile:9).
+        """
+        parts = [
+            self.spark.read.schema(CELLS_SCHEMA).parquet(snapshot_path(dest_root, s, table_name))
+            for s in session_names
+        ]
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        cut = unioned.filter(F.col("ts") <= cutoff_ts)
+        return version_limited(cut, max_versions)

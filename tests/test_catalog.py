@@ -1,0 +1,135 @@
+"""Catalog subsystem (C1-C10) behavior tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from hbacker_spark.catalog.catalog import Catalog, canonical_cluster_name, mint_session_name
+
+SESSION = "20110101_111111"  # reference fixture value (export_spec.rb:27)
+DEST = "s3n://somebucket/"  # export_spec.rb:28
+CLUSTER = "hbase_master0_example_com"
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "catalog"))
+
+
+def _start(catalog, session=SESSION, mode="export"):
+    catalog.start_info(mode, CLUSTER, session, DEST, 0, 1_291_233_436_567)
+
+
+def test_c1_c2_session_lifecycle(catalog):
+    _start(catalog)
+    row = catalog.session_info("export").collect()[0]
+    assert row["session_name"] == SESSION
+    assert row["ended_at"] is None and row["error"] is False
+
+    catalog.end_info("export", CLUSTER, SESSION, DEST)
+    row = catalog.session_info("export").collect()[0]
+    assert row["ended_at"] is not None and row["error"] is False
+
+
+def test_c2_error_capture(catalog):
+    _start(catalog)
+    catalog.end_info("export", CLUSTER, SESSION, DEST, error=True, error_info="boom")
+    row = catalog.session_info("export").collect()[0]
+    assert row["error"] is True and row["error_info"] == "boom"
+
+
+def test_c2_only_touches_keyed_row(catalog):
+    _start(catalog, "20110101_111111")
+    _start(catalog, "20110102_222222")
+    catalog.end_info("export", CLUSTER, "20110101_111111", DEST)
+    rows = {r["session_name"]: r for r in catalog.session_info("export").collect()}
+    assert rows["20110101_111111"]["ended_at"] is not None
+    assert rows["20110102_222222"]["ended_at"] is None
+
+
+DESCRIPTORS = [
+    # reference fixture families (table_operation_spec.rb:22-46)
+    {"name": "hobbit", "compression": "NONE", "max_versions": 3, "ttl": 2147483647, "blocksize": 65536},
+    {"name": "sauron", "compression": "NONE", "max_versions": 100000, "in_memory": False},
+]
+
+
+def test_c3_c8_descriptor_roundtrip(catalog):
+    catalog.exported_table_info("furtive_t1", SESSION, 0, 100, 100000, column_descriptors=DESCRIPTORS)
+    cds = catalog.column_descriptors("furtive_t1", SESSION)
+    by_name = {d["name"]: d for d in cds}
+    assert by_name["hobbit"]["max_versions"] == 3
+    assert by_name["sauron"]["max_versions"] == 100000
+    # C8 whitelist projection drops nil values (mysql.rb:324-337)
+    assert "ttl" not in by_name["sauron"]
+    assert "in_memory" not in by_name["hobbit"]
+
+
+def test_c5_table_names_join_and_like(catalog):
+    _start(catalog)
+    catalog.exported_table_info("events_a", SESSION, 0, 100, 1)
+    catalog.exported_table_info("events_b", SESSION, 0, 100, 1)
+    catalog.exported_table_info("users", SESSION, 0, 100, 1)
+    # other session under a different dest_root must not leak in
+    catalog.start_info("export", CLUSTER, "20110103_000000", "file:///elsewhere/", 0, 1)
+    catalog.exported_table_info("events_c", "20110103_000000", 0, 100, 1)
+
+    names = {r["table_name"] for r in catalog.table_names(SESSION, DEST).collect()}
+    assert names == {"events_a", "events_b", "users"}
+    like = {r["table_name"] for r in catalog.table_names(SESSION, DEST, pattern="events%").collect()}
+    assert like == {"events_a", "events_b"}
+    # dest_root mismatch → empty (the FK-association check, mysql.rb:285)
+    assert catalog.table_names(SESSION, "file:///nope/").count() == 0
+
+
+def test_c6_exists_probe(catalog):
+    catalog.exported_table_info("t1", SESSION, 0, 100, 1)
+    assert catalog.exists("t1")
+    assert not catalog.exists("t2")
+    assert catalog.exists("t1", session_name=SESSION)
+    assert not catalog.exists("t1", session_name="other")
+
+
+def test_c7_c9_like_filters(catalog):
+    _start(catalog, "20110101_111111")
+    _start(catalog, "20110102_222222")
+    assert catalog.session_info("export", "201101%").count() == 2
+    assert catalog.session_info("export", "20110102%").count() == 1
+    assert catalog.session_info("import").count() == 0
+
+    catalog.exported_table_info("alpha", SESSION, 0, 100, 1)
+    catalog.exported_table_info("beta", SESSION, 0, 100, 1)
+    assert catalog.list_table_info(SESSION, pattern="a%").count() == 1
+    assert catalog.list_table_info(SESSION).count() == 2
+
+
+def test_c10_nested_report(catalog):
+    _start(catalog)
+    catalog.exported_table_info("t1", SESSION, 0, 100, 1)
+    catalog.exported_table_info("t2", SESSION, 0, 100, 1, empty=True)
+    report = catalog.session_report("export").collect()
+    assert {r["table_name"] for r in report} == {"t1", "t2"}
+    assert all(r["cluster_name"] == CLUSTER for r in report)
+
+
+def test_c4_import_info(catalog):
+    catalog.imported_table_info("t1", SESSION)
+    rows = catalog.read("tables").collect()
+    assert rows[0]["mode"] == "import" and rows[0]["table_name"] == "t1"
+
+
+def test_next_start_times_watermark(catalog):
+    catalog.exported_table_info("t1", "s1", 0, 100, 1)
+    catalog.exported_table_info("t1", "s2", 100, 250, 1)
+    catalog.exported_table_info("t2", "s1", 0, 120, 1)
+    catalog.exported_table_info("t3", "s1", 0, 999, 1, error=True, error_info="x")  # errors excluded
+    wm = {r["table_name"]: r["next_start_time"] for r in catalog.next_start_times().collect()}
+    assert wm == {"t1": 250, "t2": 120}
+
+
+def test_u2_u3_helpers():
+    assert canonical_cluster_name("hbase-master0.example.com") == "hbase_master0_example_com"
+    name = mint_session_name(datetime(2011, 1, 1, 11, 11, 11))
+    assert name == "20110101_111111"

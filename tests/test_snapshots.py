@@ -1,0 +1,167 @@
+"""Snapshot export/import/restore (S1-S10, §2.B) — including the
+metamorphic properties SURVEY.md §5 calls for:
+
+- incremental chain ≡ one full export
+- point-in-time restore == latest-version-wins at the cutoff
+- idempotent resume skips recorded tables
+- empty tables are recorded schema-only
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbacker_spark.catalog.catalog import Catalog
+from hbacker_spark.operators.snapshots import (
+    CELLS_SCHEMA,
+    SnapshotStore,
+    scan_export,
+    snapshot_path,
+    version_limited,
+)
+
+T1, T2, T3 = 1_288_537_130_080, 1_290_000_000_000, 1_291_233_436_567  # fixture range (export_spec.rb:24-25)
+
+
+def make_cells(spark):
+    """Versioned cells: multiple versions per key, 2 CFs, ts spanning
+    two disjoint ranges (FIXTURES.md §1.1 generator requirements)."""
+    rows = []
+    for rk in range(6):
+        for cf in ("hobbit", "sauron"):
+            for q in ("qa", "qb"):
+                for v in range(4):  # 4 versions per cell
+                    ts = T1 + rk * 1000 + v * ((T3 - T1) // 4)  # spread over both ranges
+                    rows.append((f"row{rk:03d}", cf, q, ts, f"v{v}-{rk}-{cf}-{q}"))
+    return spark.createDataFrame(rows, CELLS_SCHEMA)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, Catalog(spark, str(tmp_path / "catalog")))
+
+
+@pytest.fixture()
+def dest(tmp_path):
+    return str(tmp_path / "backups")
+
+
+def test_version_limit_keeps_newest(spark):
+    cells = make_cells(spark)
+    limited = version_limited(cells, 2)
+    per_key = limited.groupBy("row_key", "cf", "qualifier").agg(
+        F.count("*").alias("n"), F.max("ts").alias("max_ts"), F.min("ts").alias("min_ts")
+    )
+    assert per_key.filter(F.col("n") > 2).count() == 0
+    # the newest version always survives
+    orig_max = cells.groupBy("row_key", "cf", "qualifier").agg(F.max("ts").alias("omax"))
+    joined = per_key.join(orig_max, ["row_key", "cf", "qualifier"])
+    assert joined.filter(F.col("max_ts") != F.col("omax")).count() == 0
+
+
+def test_scan_export_time_range(spark):
+    cells = make_cells(spark)
+    snap = scan_export(cells, T1, T2, versions=100)
+    assert snap.filter((F.col("ts") < T1) | (F.col("ts") >= T2)).count() == 0
+
+
+def test_export_import_roundtrip(spark, store, dest):
+    cells = make_cells(spark)
+    store.export_tables({"t_cells": cells}, dest, "20110101_111111", 0, T3 + 1)
+    restored = store.import_tables(dest, "20110101_111111", "20110102_000000")
+    assert set(restored) == {"t_cells"}
+    assert sorted(map(tuple, restored["t_cells"].collect())) == sorted(map(tuple, cells.collect()))
+    # session bracketing recorded for both modes
+    assert store.catalog.session_info("export").count() == 1
+    assert store.catalog.session_info("import").count() == 1
+    assert store.catalog.session_info("import").collect()[0]["ended_at"] is not None
+
+
+def test_incremental_chain_equals_full_export(spark, store, dest):
+    """Full [0,T2) then incremental [T2,T3] unioned == one full [0,T3]."""
+    cells = make_cells(spark)
+    store.export_tables({"t": cells}, dest, "s_full", 0, T2)
+    store.export_incremental({"t": cells}, dest, "s_inc", end_time=T3 + 1)
+
+    full_again = scan_export(cells, 0, T3 + 1)
+    s1 = spark.read.schema(CELLS_SCHEMA).parquet(snapshot_path(dest, "s_full", "t"))
+    s2 = spark.read.schema(CELLS_SCHEMA).parquet(snapshot_path(dest, "s_inc", "t"))
+    chained = s1.unionByName(s2)
+    assert sorted(map(tuple, chained.collect())) == sorted(map(tuple, full_again.collect()))
+    # and the increment really started at the full export's end watermark
+    inc_row = (
+        store.catalog.read("tables")
+        .filter(F.col("session_name") == "s_inc")
+        .collect()[0]
+    )
+    assert inc_row["start_time"] == T2
+
+
+def test_point_in_time_restore(spark, store, dest):
+    cells = make_cells(spark)
+    store.export_tables({"t": cells}, dest, "s_full", 0, T2)
+    store.export_incremental({"t": cells}, dest, "s_inc", end_time=T3 + 1)
+
+    cutoff = T2 + (T3 - T2) // 2
+    restored = store.restore_point_in_time("t", dest, ["s_full", "s_inc"], cutoff, max_versions=1)
+    expected = version_limited(cells.filter(F.col("ts") <= cutoff), 1)
+    assert sorted(map(tuple, restored.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_idempotent_resume_skips_recorded(spark, store, dest):
+    cells = make_cells(spark)
+    store.export_tables({"t": cells}, dest, "s1", 0, T3 + 1)
+    # resume of the same chain: t is recorded → skipped, no double-write error
+    wrote = store.export_table(cells, "t", dest, "s1", 0, T3 + 1, resume=True)
+    assert wrote is False
+
+
+def test_empty_table_schema_only(spark, store, dest):
+    empty = spark.createDataFrame([], CELLS_SCHEMA)
+    descriptors = [{"name": "hobbit", "max_versions": 3}]
+    store.export_tables(
+        {"t_empty": empty}, dest, "s1", 0, T3, descriptors={"t_empty": descriptors}
+    )
+    row = store.catalog.read("tables").collect()[0]
+    assert row["empty"] is True
+    # schema captured even though no data job ran (worker.rb:89-99)
+    assert store.catalog.column_descriptors("t_empty", "s1") == [{"name": "hobbit", "max_versions": 3}]
+    # no data dir written
+    import os
+
+    assert not os.path.exists(snapshot_path(dest, "s1", "t_empty"))
+    # empty-table restore recreates schema-only when asked (S7)
+    out = store.import_table("t_empty", dest, "s1", "s2", restore_empty_tables=True)
+    assert out is not None and out.count() == 0
+
+
+def test_s10_subset_validation(spark, store, dest):
+    cells = make_cells(spark)
+    store.export_tables({"t1": cells, "t2": cells}, dest, "s1", 0, T3 + 1)
+    with pytest.raises(ValueError, match="not in backup"):
+        store.import_tables(dest, "s1", "s2", requested=["t1", "missing_table"])
+
+
+def test_export_error_records_session_error(spark, store, dest):
+    cells = make_cells(spark)
+    store.export_tables({"t": cells}, dest, "s1", 0, T3 + 1)
+    # exporting the same session/table again collides on the snapshot dir
+    with pytest.raises(Exception):
+        store.export_tables({"t": cells}, dest, "s1", 0, T3 + 1)
+    sessions = store.catalog.session_info("export").filter(F.col("error")).collect()
+    assert len(sessions) >= 1 and sessions[0]["error_info"] is not None
+
+
+def test_storage_scheme_dispatch(spark, tmp_path):
+    from hbacker_spark.sources import storage
+
+    base = f"file://{tmp_path}/artifacts"
+    storage.save_info(spark, f"{base}/s1/t1/export_log.txt", "ok\n")
+    storage.save_info(spark, f"{base}/s1/t2/export_log.txt", "ok2\n")
+    assert storage.read_info(spark, f"{base}/s1/t1/export_log.txt") == "ok\n"
+    listing = storage.list_path(spark, f"{base}/s1")
+    assert [d["name"] for d in listing] == ["t1", "t2"]
+    assert all(d["is_dir"] for d in listing)
+    assert storage.exists(spark, f"{base}/s1/t1/export_log.txt")
+    assert not storage.exists(spark, f"{base}/s1/t3")
