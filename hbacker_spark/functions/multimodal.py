@@ -1,0 +1,187 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning) is real and tested; the actual media decode is
+a clearly-marked deterministic fake because no image/audio libraries
+exist in this container — ``_decode_bytes`` routes to PIL/soundfile if
+importable, else derives stable pseudo-content from a SHA-256 of the
+bytes. Swapping in a real decoder changes one function, not the
+pipeline.
+
+Scale notes: content stays in executor-side Arrow batches end-to-end
+(mapInPandas iterator of pandas DataFrames) — the driver never sees
+bytes; feature extraction is embarrassingly parallel per partition, and
+frame sampling fans out via per-row explode with bounded multiplicity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _try_real_decoder():
+    try:  # real decoders are not in this container; gate behind import-try
+        import PIL.Image  # noqa: F401
+
+        return "pil"
+    except ImportError:
+        return None
+
+
+def _decode_bytes(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """DETERMINISTIC FAKE decode→features: SHA-256 of the bytes expanded
+    to `dim` floats in [0,1). Stands in for decode+embed; replace with a
+    real decoder (PIL/librosa/ffmpeg) where available."""
+    if _try_real_decoder() == "pil":  # pragma: no cover - not in container
+        raise NotImplementedError("real decoder wiring lands with the PIL-enabled image")
+    out: list[float] = []
+    h = hashlib.sha256(content or b"")
+    buf = b""
+    while len(out) < dim:
+        buf = hashlib.sha256(buf + h.digest()).digest()
+        out.extend(b / 256.0 for b in buf[: dim - len(out)])
+    return out
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat documents.text bytes as opaque media content so the
+    multimodal pipeline is exercisable against the driver testdata
+    (modality assigned deterministically by doc_id)."""
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        (F.col("n_chars") % 1920).cast("int").alias("width"),
+        (F.col("n_chars") % 1080).cast("int").alias("height"),
+        F.lit(16_000).alias("sample_rate"),
+        (F.col("n_chars") * 40).cast("int").alias("duration_ms"),
+        F.lit("fake/v1").alias("codec"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Decode + embed every media row → (media_id, modality, features).
+
+    mapInPandas: Arrow batches in, Arrow batches out; one Python pass per
+    partition, no per-row serialization.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "features": [_decode_bytes(c, dim) for c in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=f"media_id long, modality string, features array<float>")
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-only resize: filter pushes down to the scan (non-image rows
+    never reach Python); fake resize re-derives content deterministically
+    from (bytes, w, h) and rewrites meta."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            content = [
+                hashlib.sha256((c or b"") + f"|resize|{width}x{height}".encode()).digest()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": content,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .mapInPandas(batches, schema="media_id long, modality string, content binary, width int, height int")
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling: explode each video into frame rows at a fixed
+    stride (bounded fan-out), then 'decode' each frame deterministically.
+    The explode happens JVM-side; only frame hashing crosses to Python.
+    """
+    import pandas as pd
+
+    frames = (
+        media.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            "content",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.least(
+                        F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms,
+                        F.lit(max_frames - 1),
+                    ).cast("int"),
+                )
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            frame = [
+                hashlib.sha256((c or b"") + f"|frame|{i}".encode()).digest()
+                for c, i in zip(pdf["content"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "frame": frame,
+                }
+            )
+
+    return frames.mapInPandas(batches, schema="media_id long, frame_idx int, frame_ts_ms long, frame binary")

@@ -1,0 +1,130 @@
+"""Multimodal-column queries + the UDF surface (SURVEY.md §2.C rows 3,
+"UDF/UDAF surface"): one row-at-a-time Python UDF (U2 parity), one
+vectorized pandas_udf, one applyInPandas grouped-map UDAF, and the
+multimodal pipeline over the documents-as-media adapter.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hbacker_spark.functions import multimodal as MM
+from hbacker_spark.registry import register
+from hbacker_spark.sources.tables import load_table
+
+
+@register(
+    "udf_canonicalize_labels",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(lower(p_brand || '.' || p_name), '[-#. ]', '_', 'g') AS canonical
+    FROM part
+    """,
+    tags=("udf",),
+    doc="U2 as a row-at-a-time Python UDF (cli.rb:354 host.gsub) — the "
+    "deliberately-slow-path twin of canonicalize_part_labels; kept tiny "
+    "and off the hot path, exists to pin down UDF semantics parity.",
+)
+def udf_canonicalize_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(T.StringType())
+    def canon(brand: str, name: str) -> str:
+        return re.sub(r"[-#. ]", "_", f"{brand}.{name}".lower())
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", canon("p_brand", "p_name").alias("canonical"))
+
+
+@register(
+    "pandas_udf_net_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+    tags=("udf", "pandas"),
+    doc="Vectorized pandas_udf (Arrow batches): per-row net price. Raw "
+    "IEEE double ops are order-free per row → exact oracle parity "
+    "(no rounding: pandas rounds half-even, SQL half-away).",
+)
+def pandas_udf_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def net(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select("l_orderkey", "l_linenumber", net("l_extendedprice", "l_discount").alias("net_price"))
+
+
+@register(
+    "applyinpandas_value_zscore",
+    oracle=None,  # pandas pairwise-sum mean/std vs SQL sequential aggregation
+    # differ in final ulps → rows-only check; the SQL-exact z-score shadow
+    # is expressible via decimal sums if ever needed.
+    tags=("udf", "pandas", "udaf"),
+    doc="Grouped-map UDAF via applyInPandas: per-event_type z-score of "
+    "value. One shuffle on the group key; pandas sees each group whole.",
+)
+def applyinpandas_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "event_type"]].copy()
+        out["z"] = ((pdf["value"] - mu) / sd if sd else 0.0).round(6)
+        return out
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").applyInPandas(zscore, schema="event_id long, event_type string, z double")
+
+
+@register(
+    "multimodal_meta_stats",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_chars * 40) AS BIGINT) AS total_duration_ms
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("multimodal", "aggregation"),
+    doc="Typed-metadata aggregation over opaque binary media columns "
+    "(documents-as-media adapter): per-modality byte/duration totals.",
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+        F.sum(F.col("meta.duration_ms").cast("bigint")).alias("total_duration_ms"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # deterministic-fake decode is engine-internal → rows-only
+    tags=("multimodal", "udf"),
+    doc="Decode+embed every media row via Arrow-batched mapInPandas "
+    "(deterministic fake decoder standing in for PIL/ffmpeg).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # frame bytes are decoder-internal → rows-only
+    tags=("multimodal", "udf"),
+    doc="Video frame sampling: bounded JVM-side explode per video, frame "
+    "decode in Arrow batches; returns (media_id, frame_idx, ts, frame).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.sample_frames(media, every_ms=1000, max_frames=4)

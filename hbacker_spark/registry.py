@@ -52,6 +52,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     import hbacker_spark.queries.hbacker_semantics  # noqa: F401
     import hbacker_spark.queries.llm_pipeline  # noqa: F401
+    import hbacker_spark.queries.multimodal_udf  # noqa: F401
     import hbacker_spark.queries.relational  # noqa: F401
     import hbacker_spark.queries.streaming_shadow  # noqa: F401
 

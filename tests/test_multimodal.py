@@ -1,0 +1,55 @@
+"""Multimodal plumbing: schemas, batch shapes, determinism, partition
+independence (the fake decoder is a stand-in; the pipeline is the test
+subject)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbacker_spark.functions import multimodal as MM
+from hbacker_spark.sources.tables import load_table
+
+
+def media(spark, sf_dir):
+    return MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+
+
+def test_adapter_schema_and_modalities(spark, sf_dir):
+    m = media(spark, sf_dir)
+    assert [f.name for f in m.schema.fields] == ["media_id", "modality", "content", "meta"]
+    assert dict(m.groupBy("modality").count().collect()[0].asDict())  # runs
+    kinds = {r["modality"] for r in m.select("modality").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_feature_extraction_deterministic_and_partition_independent(spark, sf_dir):
+    m = media(spark, sf_dir)
+    f1 = {r["media_id"]: r["features"] for r in MM.extract_features(m).collect()}
+    f2 = {r["media_id"]: r["features"] for r in MM.extract_features(m.repartition(7)).collect()}
+    assert f1 == f2  # same features regardless of partitioning
+    assert all(len(v) == MM.FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= x < 1.0 for v in f1.values() for x in v)
+
+
+def test_resize_only_touches_images(spark, sf_dir):
+    m = media(spark, sf_dir)
+    resized = MM.resize_images(m, 64, 64)
+    rows = resized.collect()
+    n_images = m.filter(F.col("modality") == "image").count()
+    assert len(rows) == n_images
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+    assert all(r["frame"] is not None for r in MM.sample_frames(m).limit(5).collect())
+
+
+def test_frame_sampling_bounded_fanout(spark, sf_dir):
+    m = media(spark, sf_dir)
+    frames = MM.sample_frames(m, every_ms=1000, max_frames=4)
+    per_video = frames.groupBy("media_id").count()
+    assert per_video.filter(F.col("count") > 4).count() == 0
+    # frame timestamps follow the stride
+    bad = frames.filter(F.col("frame_ts_ms") != F.col("frame_idx") * 1000).count()
+    assert bad == 0
+    # deterministic frame bytes
+    a = sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect())
+    b = sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect())
+    assert a == b

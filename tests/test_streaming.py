@@ -1,0 +1,104 @@
+"""Structured Streaming: the streaming window aggregations must converge
+to the batch-shadow results (same expressions, two execution modes), and
+late data beyond the watermark must be dropped.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbacker_spark.sources.tables import load_table
+from hbacker_spark.streaming import windows as W
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """Split sf0.001 events into several parquet files so the file source
+    produces multiple micro-batches."""
+    src = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_tumbling_stream_matches_batch(spark, stream_src):
+    stream = W.read_events_stream(spark, stream_src)
+    got = W.run_to_completion(W.tumbling_counts(stream), "t_tumbling", output_mode="complete")
+    events = spark.read.parquet(stream_src)
+    want = W.tumbling_counts(events)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_stream_matches_batch(spark, stream_src):
+    # The split files arrive in arbitrary time order; with a watermark
+    # wider than the data span nothing is ever late, so cross-batch
+    # session-state merging must reproduce the batch result exactly.
+    stream = W.read_events_stream(spark, stream_src)
+    got = W.run_to_completion(
+        W.session_windows(stream, watermark="60 days"), "t_sessions", output_mode="complete"
+    )
+    events = spark.read.parquet(stream_src)
+    want = W.session_windows(events)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two runs sharing a checkpoint (watermark persists across restart):
+    run 2 delivers an event far older than the watermark established by
+    run 1 → it must never appear in the appended results."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(name)
+
+    write_batch(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:01:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 11:00:00", 1, "click", 1.0, "{}"),  # watermark → 10:50
+        ],
+        src,
+    )
+    def run_with_checkpoint(sink: list):
+        stream = W.read_events_stream(spark, src)
+        agg = W.tumbling_counts(stream, width="5 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: sink.extend(tuple(r) for r in df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got1: list = []
+    run_with_checkpoint(got1)
+    # run 1 finalizes the 10:00 window (end 10:05 < watermark 10:50)
+    assert any(r[2] == 2 and r[3] == 2.0 for r in got1)
+
+    # late event behind the persisted watermark arrives in run 2
+    write_batch([(4, "2024-01-01 09:00:00", 1, "click", 99.0, "{}")], src)
+    got2: list = []
+    run_with_checkpoint(got2)
+    assert not any(r[3] == 99.0 for r in got2), got2
+
+
+def test_stream_to_snapshots_foreachbatch(spark, stream_src, tmp_path):
+    dest = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    stream = W.read_events_stream(spark, stream_src, max_files_per_trigger=2)
+    q = W.stream_to_snapshots(stream, dest, ckpt)
+    q.awaitTermination()
+    sessions = sorted(os.listdir(dest))
+    assert len(sessions) >= 2  # multiple micro-batches → multiple session dirs
+    total = spark.read.parquet(f"{dest}/*/events").count()
+    assert total == spark.read.parquet(stream_src).count()
