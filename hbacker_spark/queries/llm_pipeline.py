@@ -215,6 +215,50 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    tags=("text", "llm", "tfidf"),
+    doc="TF-IDF top-5 terms per doc, pure DataFrame ops: explode tokens → "
+    "tf per (doc,term) → document frequency → smoothed idf → rank-limit "
+    "window. At scale: one shuffle on token, one on doc_id; the doc-count "
+    "side is a broadcast scalar. Rounded to 6dp before ranking so the "
+    "rank cut is engine-stable (ln() ulps).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; folded into the idf literal
+    scored = (
+        tf.join(dfreq, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+@register(
     "corpus_lang_profile",
     oracle=f"""
     SELECT lang, source,

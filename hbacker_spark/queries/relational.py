@@ -529,6 +529,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_totalprice",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregation", "percentile"),
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB `quantile_cont`: same linear-interpolation definition). The "
+    "approx path at 100 TB is approx_percentile; exact needs a per-group "
+    "sort — fine for bounded group counts.",
+)
+def percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "range_join_event_pairs",
     oracle="""
     SELECT a.user_id, COUNT(*) AS n_pairs

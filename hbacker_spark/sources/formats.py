@@ -1,0 +1,34 @@
+"""Source/sink closure beyond parquet: CSV, JSON, partitioned writes.
+
+Always schema-explicit (inference is a full extra scan at 100 TB and
+types drift); partitioned writes lay out ``col=value`` directories so
+later reads partition-prune (the Spark analog of the reference's
+per-session snapshot dirs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet: readers filtering on
+    ``partition_cols`` scan only matching directories."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,41 @@
+"""CSV/JSON round-trips and partition-pruned reads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbacker_spark.plans import explain as X
+from hbacker_spark.sources import formats
+from hbacker_spark.sources.tables import load_table
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    formats.write_csv(orders, path)
+    back = formats.read_csv(spark, path, orders.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_json")
+    formats.write_json(cust, path)
+    back = formats.read_json(spark, path, cust.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    formats.write_partitioned(orders, path, ["o_orderpriority"])
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = X.explain_str(back)
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == want
+    # only the matching directory is listed
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("o_orderpriority=")]
+    assert len(dirs) == 5

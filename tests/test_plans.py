@@ -1,0 +1,113 @@
+"""Plan-quality gates: the properties that decide 100 TB viability,
+asserted on the actual physical plans (not vibes).
+
+If one of these breaks, a code change silently de-optimized a scan or
+join — treat as a perf regression even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbacker_spark.plans import explain as X
+from hbacker_spark.registry import load_all_queries
+from hbacker_spark.sources.tables import load_table
+
+SPECS = load_all_queries()
+
+
+def test_q6_filters_push_to_parquet(spark, sf_dir):
+    df = SPECS["q6_forecast_revenue"].fn(spark, sf_dir)
+    plan = X.explain_str(df)
+    assert "PushedFilters" in plan
+    # at least the range predicates reach the scan
+    assert any(
+        "l_shipdate" in line and "PushedFilters" in line for line in plan.splitlines()
+    ), plan
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    df = SPECS["q6_forecast_revenue"].fn(spark, sf_dir)
+    cols = X.read_schema_columns(df)
+    assert "l_comment" not in cols  # nonexistent anyway, but the real check:
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_like_filter_pushdown(spark, sf_dir):
+    df = SPECS["filter_like_in_between"].fn(spark, sf_dir)
+    plan = X.explain_str(df)
+    assert "PushedFilters" in plan and "StringContains" in plan, plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = SPECS["q5_local_supplier_volume"].fn(spark, sf_dir)
+    strategies = X.join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_topk_window_gets_group_limit(spark, sf_dir):
+    df = SPECS["topk_orders_per_customer"].fn(spark, sf_dir)
+    assert X.has_window_group_limit(df), X.explain_str(df)
+    # the hbacker version-limit scan is the same shape
+    df2 = SPECS["s1_version_limited_scan"].fn(spark, sf_dir)
+    assert X.has_window_group_limit(df2)
+
+
+def test_aggregates_are_codegen(spark, sf_dir):
+    # AQE's plan wrapper reports 0 codegen subtrees pre-execution; build
+    # the static plan to compile-check codegen coverage.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+        assert X.codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    plan = X.explain_str(df)
+    assert "HashAggregate" in plan  # partial+final hash agg, not sort-based
+
+
+def test_semi_anti_stay_joins_not_subqueries(spark, sf_dir):
+    for name in ("semi_customers_with_events", "anti_customers_without_events"):
+        plan = X.explain_str(SPECS[name].fn(spark, sf_dir))
+        assert "LeftSemi" in plan or "LeftAnti" in plan, plan
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from hbacker_spark.operators.skew import salted_agg
+
+    l = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        tuple(r)[:1]: tuple(r)[1:]
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("l_shipdate").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r)[:1]: tuple(r)[1:]
+        for r in salted_agg(
+            l,
+            ["l_returnflag"],
+            {
+                "q": F.sum(F.col("l_quantity").cast("decimal(12,2)")),
+                "n": F.count(F.lit(1)),
+                "mx": F.max("l_shipdate"),
+            },
+            salt_buckets=8,
+            salt_source="l_orderkey",
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_replicated_broadcast_join_equals_plain(spark, sf_dir):
+    from hbacker_spark.operators.skew import replicated_broadcast_join
+
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    plain = o.join(c, "c_custkey").groupBy("c_mktsegment").count()
+    salted = replicated_broadcast_join(o, c, "c_custkey", salt_buckets=4).groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
