@@ -1,0 +1,131 @@
+"""Approximate nearest-neighbor search: the 100 TB scale path.
+
+Brute-force cosine (functions/similarity.py) is exact but O(n·d) per
+query / O(n²·d) for pairs. This module adds random-hyperplane LSH
+(SimHash-for-cosine) bucketing so only a bucket's worth of candidates is
+ever scored exactly:
+
+  signatures (one numpy pass, Arrow-batched) → bucket join / bucket
+  filter → exact rerank of candidates only.
+
+Determinism: hyperplanes derive from a fixed seed; signatures are pure
+functions of (vector, seed) so repeated runs and the oracle-free driver
+check see identical buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_PLANES = 6  # bits per table
+DEFAULT_TABLES = 8
+SEED = 42
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def lsh_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+) -> DataFrame:
+    """(id, table_idx, bucket) rows: per hash table, the sign-pattern of
+    the vector against that table's hyperplanes packed into an int.
+    One Arrow-batched numpy pass; fan-out = n_tables rows per vector.
+    """
+    import pandas as pd
+
+    def batches(it):
+        planes = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            if planes is None:
+                planes = _hyperplanes(m.shape[1], n_planes, n_tables, seed)
+            ids = pdf[id_col].to_numpy()
+            weights = 1 << np.arange(n_planes)
+            for t in range(n_tables):
+                signs = (m @ planes[t].T) > 0  # (n, n_planes)
+                buckets = (signs * weights).sum(axis=1)
+                yield pd.DataFrame({"vec_id": ids, "table_idx": t, "bucket": buckets})
+
+    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+        batches, schema="vec_id long, table_idx int, bucket long"
+    )
+
+
+def ann_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+) -> DataFrame:
+    """Top-k by cosine to ``query_vec``, LSH-pruned.
+
+    Candidate set = vectors sharing any table's bucket with the query;
+    only candidates get the exact cosine (fold expression, JVM-side).
+    Returns (vec_id, cos_sim, rnk) — rnk over the candidate set.
+    """
+    from pyspark.sql import Window
+
+    from hbacker_spark.functions.similarity import cosine
+
+    q = np.asarray(query_vec, dtype="float64")
+    planes = _hyperplanes(len(q), n_planes, n_tables, seed)
+    weights = 1 << np.arange(n_planes)
+    q_buckets = [(t, int((((planes[t] @ q) > 0) * weights).sum())) for t in range(n_tables)]
+
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed)
+    bucket_match = F.lit(False)
+    for t, b in q_buckets:
+        bucket_match = bucket_match | ((F.col("table_idx") == t) & (F.col("bucket") == b))
+    candidate_ids = sigs.filter(bucket_match).select("vec_id").distinct()
+
+    candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
+    q_df = spark.createDataFrame([(query_vec,)], f"q_emb array<float>")
+    scored = candidates.crossJoin(F.broadcast(q_df)).select(
+        F.col(id_col),
+        F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def ann_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+) -> DataFrame:
+    """All-pairs candidate generation via bucket self-join (the pairwise
+    analog of ann_topk; same shape as MinHash-LSH banding). Returns
+    (vec_a, vec_b, n_shared_buckets), vec_a < vec_b.
+    """
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_buckets"))
+    )

@@ -160,6 +160,45 @@ class SnapshotStore:
             raise
         self.catalog.end_info("export", self.cluster_name, session_name, dest_root)
 
+    # ---- S2/S4/S5: full-catalog export --------------------------------------
+    def list_cells_tables(self, pattern: str | None = None) -> list[str]:
+        """S4 (hbase.rb:53-56): names of all registered cells tables
+        (temp views / catalog tables), optional LIKE-ish filter."""
+        names = [t.name for t in self.spark.catalog.listTables()]
+        if pattern is not None:
+            import fnmatch
+
+            names = [n for n in names if fnmatch.fnmatch(n, pattern)]
+        return sorted(names)
+
+    def table_schema_descriptors(self, table_name: str) -> list[dict]:
+        """S5 (hbase.rb:46-48): captured schema as descriptor dicts."""
+        from hbacker_spark.functions.util import schema_to_descriptors
+
+        return schema_to_descriptors(self.spark.table(table_name).schema)
+
+    def export_all_tables(
+        self,
+        dest_root: str,
+        session_name: str,
+        start_time: int = 0,
+        end_time: int | None = None,
+        versions: int = DEFAULT_VERSIONS,
+        pattern: str | None = None,
+    ) -> None:
+        """S2 (export.rb:42-51): enumerate every registered table and fan
+        out the per-table export, capturing each table's schema."""
+        names = self.list_cells_tables(pattern)
+        tables = {n: self.spark.table(n) for n in names}
+        descriptors = {n: self.table_schema_descriptors(n) for n in names}
+        # descriptor dicts carry name/type/nullable; map onto catalog rows
+        cat_descriptors = {
+            n: [{"name": d["name"], "compression": d["type"]} for d in ds] for n, ds in descriptors.items()
+        }
+        self.export_tables(
+            tables, dest_root, session_name, start_time, end_time, versions, descriptors=cat_descriptors
+        )
+
     # ---- §2.B: incremental chain -------------------------------------------
     def export_incremental(
         self,

@@ -189,6 +189,46 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_cosine_topk",
+    oracle=None,  # LSH buckets are engine-internal → rows-only; exactness
+    # of the rerank kernel is covered by knn_cosine_top10's oracle
+    tags=("similarity", "llm", "ann", "lsh"),
+    doc="ANN top-10 via random-hyperplane LSH bucketing + exact rerank of "
+    "candidates only — the scale path where brute force is the per-bucket "
+    "kernel (operators/similarity.py).",
+)
+def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.similarity import ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_topk(spark, e, list(qvec), k=KNN_K)
+
+
+@register(
+    "props_map_keys",
+    oracle="""
+    SELECT event_type, key, COUNT(*) AS n
+    FROM (
+      SELECT event_type, unnest(json_keys(props)) AS key FROM events
+    )
+    GROUP BY event_type, key
+    """,
+    tags=("json", "map", "array"),
+    doc="JSON → MapType → explode(map_keys): per-event_type property-key "
+    "histogram (the array/map function surface over semi-structured "
+    "props).",
+)
+def props_map_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    keys = e.select(
+        "event_type",
+        F.explode(F.map_keys(F.from_json("props", "map<string,string>"))).alias("key"),
+    )
+    return keys.groupBy("event_type", "key").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "text_quality_stats",
     oracle=f"""
     SELECT doc_id,
