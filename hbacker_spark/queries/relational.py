@@ -529,6 +529,80 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregation", "pivot"),
+    doc="Pivot with explicit values (no value-discovery scan — the "
+    "scale-correct form: .pivot(col, [values])).",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@register(
+    "grouping_sets_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    tags=("aggregation", "grouping-sets"),
+    doc="Explicit GROUPING SETS (the general form under rollup/cube), via "
+    "the SQL API over registered views.",
+)
+def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "null_safe_order_gaps",
+    oracle="""
+    SELECT has_prev, COUNT(*) AS n
+    FROM (
+      SELECT NOT (lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                  IS NOT DISTINCT FROM NULL) AS has_prev
+      FROM orders
+    )
+    GROUP BY has_prev
+    """,
+    tags=("scalar", "null-safe"),
+    doc="Null-safe equality (<=> / IS NOT DISTINCT FROM) over a "
+    "null-producing window: first-order-per-customer detection.",
+)
+def null_safe_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        o.select((~prev.eqNullSafe(F.lit(None).cast("timestamp"))).alias("has_prev"))
+        .groupBy("has_prev")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "percentile_totalprice",
     oracle="""
     SELECT o_orderpriority,

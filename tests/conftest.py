@@ -15,11 +15,17 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from hbacker_spark.session import get_spark
 
     # Fewer threads/partitions for test latency; semantics identical.
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
-    s = get_spark("hbacker_spark_tests", shuffle_partitions=8)
+    s = get_spark(
+        "hbacker_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_")},
+    )
     yield s
 
 

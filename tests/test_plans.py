@@ -103,6 +103,35 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     assert plain == salted
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketing both sides on the join key co-locates matching rows:
+    the join plans with zero Exchange operators — at 100 TB this is the
+    difference between a terabyte shuffle and none."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    (
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").format("parquet").saveAsTable("b_orders")
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").format("parquet").saveAsTable("b_customer")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = X.explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_replicated_broadcast_join_equals_plain(spark, sf_dir):
     from hbacker_spark.operators.skew import replicated_broadcast_join
 
