@@ -523,7 +523,7 @@ def count_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
 

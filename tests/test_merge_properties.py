@@ -1,0 +1,104 @@
+"""Merge/SCD2 operators + property-based tests (hypothesis) for the core
+pure semantics — the testing rigor SURVEY.md §5 notes the reference never
+had. Spark-backed properties use small generated frames; pure-Python
+properties run at full hypothesis default counts.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hbacker_spark.functions.util import normalize_keys
+from hbacker_spark.operators.merge import merge_delete, merge_upsert, scd2_apply
+
+# ---- pure-function properties ------------------------------------------------
+
+keys_st = st.dictionaries(
+    st.text(min_size=1, max_size=12),
+    st.one_of(st.integers(), st.text(max_size=5), st.booleans(), st.none()),
+    max_size=6,
+)
+
+
+@given(keys_st)
+def test_normalize_keys_idempotent(d):
+    once = normalize_keys(d)
+    assert normalize_keys(once) == once
+
+
+@given(keys_st)
+def test_normalize_keys_shape_preserved(d):
+    out = normalize_keys(d)
+    assert len(out) <= len(d)  # collisions may merge, never invent
+    assert all(k == k.lower() for k in out)
+
+
+# ---- Spark-backed properties (small bounded frames) --------------------------
+
+rows_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 5), st.text(max_size=4)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows_st, rows_st)
+def test_upsert_properties(spark_global, t_rows, s_rows):
+    spark = spark_global
+    schema = "k int, v int, payload string"
+    target = spark.createDataFrame(t_rows, schema) if t_rows else spark.createDataFrame([], schema)
+    source = spark.createDataFrame(s_rows, schema) if s_rows else spark.createDataFrame([], schema)
+    merged = merge_upsert(target, source, ["k"]).collect()
+
+    src_keys = {r[0] for r in s_rows}
+    # every source row present verbatim
+    assert sorted(t for t in map(tuple, merged) if t[0] in src_keys) == sorted(tuple(r) for r in s_rows)
+    # target rows with non-colliding keys survive untouched
+    surviving = sorted(tuple(r) for r in t_rows if r[0] not in src_keys)
+    assert sorted(t for t in map(tuple, merged) if t[0] not in src_keys) == surviving
+
+
+# conftest provides `spark` as a fixture; hypothesis needs it as a plain
+# value — bridge via a module-level fixture wrapper.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
+
+
+def test_merge_delete(spark):
+    t = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    out = merge_delete(t, F.col("k") == 2)
+    assert sorted(map(tuple, out.collect())) == [(1, "a"), (3, "c")]
+
+
+def test_scd2_single_current_per_key(spark):
+    hist = spark.createDataFrame(
+        [(1, "v1", 100), (1, "v2", 200), (2, "x1", 150)],
+        "k int, val string, valid_from long",
+    )
+    upd = spark.createDataFrame([(1, "v3", 300), (3, "new", 50)], "k int, val string, valid_from long")
+    out = scd2_apply(hist, upd, ["k"], ts_col="valid_from")
+    rows = {(r["k"], r["val"]): (r["valid_to"], r["is_current"]) for r in out.collect()}
+    assert rows[(1, "v1")] == (200, False)
+    assert rows[(1, "v2")] == (300, False)
+    assert rows[(1, "v3")] == (None, True)
+    assert rows[(2, "x1")] == (None, True)
+    assert rows[(3, "new")] == (None, True)
+    # exactly one current row per key
+    cur = out.filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_upsert_then_delete_roundtrip(spark):
+    """Upserting rows then deleting them restores the original key set."""
+    t = spark.createDataFrame([(i, i * 10) for i in range(5)], "k int, v int")
+    s = spark.createDataFrame([(7, 70), (8, 80)], "k int, v int")
+    merged = merge_upsert(t, s, ["k"])
+    back = merge_delete(merged, F.col("k").isin(7, 8))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, t.collect()))
