@@ -1,0 +1,92 @@
+"""Connected components over candidate-pair edges — dedup clustering.
+
+Near-dup detection (Jaccard / MinHash-LSH / embedding cosine) emits
+*pairs*; deduplication needs *clusters* (every doc mapped to a canonical
+keeper). This is the iterative-algorithm class the oracle can't express:
+large-star/small-star style label propagation on DataFrames.
+
+Scale notes: each iteration is one join + one aggregation, both keyed on
+node id (shuffle-partitioned consistently); convergence is checked with
+a single count of changed labels. For power-law dedup graphs the
+iteration count is O(log n); `max_iter` bounds runaway graphs.
+`localCheckpoint` truncates the growing lineage each round (otherwise
+plan depth explodes by iteration 10+).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+
+    ``edges`` is undirected input (a<b by convention, either works).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # propagate: each node adopts the min component among itself and
+        # its neighbors' current components
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "component")
+        )
+        # materialize the hop before the self-join: truncates lineage per
+        # iteration AND computes the hop once (the shortcut reads it twice)
+        hop = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        # shortcut (pointer doubling): follow component -> its component,
+        # turning per-hop propagation into O(log diameter) convergence
+        ptr = hop.select(F.col("node").alias("_mid"), F.col("component").alias("_c2"))
+        new_labels = hop.join(ptr, hop.component == ptr._mid, "left").select(
+            F.col("node"),
+            F.least(F.col("component"), F.coalesce(F.col("_c2"), F.col("component"))).alias("component"),
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Full dedup resolution: every doc → (doc_id, keeper_id, is_keeper).
+
+    Docs without any near-dup edge are their own keeper. Keeper = min
+    doc_id in the component (deterministic).
+    """
+    comps = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("keeper_id"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("keeper_id"))
+    )

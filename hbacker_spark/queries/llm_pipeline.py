@@ -189,6 +189,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_resolution",
+    oracle=None,  # iterative label propagation — the genuinely
+    # non-SQL-expressible class; keeper-min determinism tested in pytest
+    tags=("dedup", "llm", "iterative"),
+    doc="End-to-end dedup resolution: MinHash-LSH candidate pairs → "
+    "connected components (pointer-doubling label propagation, O(log n) "
+    "rounds) → every doc mapped to its cluster's min-id keeper.",
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.clustering import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(d, D.lsh_candidate_pairs(d))
+
+
+@register(
     "ann_lsh_cosine_topk",
     oracle=None,  # LSH buckets are engine-internal → rows-only; exactness
     # of the rerank kernel is covered by knn_cosine_top10's oracle
