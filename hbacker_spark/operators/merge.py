@@ -38,14 +38,18 @@ def scd2_apply(
     ts_col: str = "valid_from",
     end_col: str = "valid_to",
     current_col: str = "is_current",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: append new versions, close the
     previous current row per key (valid_to = new valid_from), exactly one
     is_current per key. ``updates`` must carry ``keys`` + ``ts_col``.
+    Pass ``tiebreak_cols`` when ts values can collide within a key — the
+    version order (and hence close-out chain) stays deterministic.
     """
     base = history.select(*[c for c in history.columns if c not in (end_col, current_col)])
     merged = base.unionByName(updates.select(*base.columns))
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         merged.withColumn(end_col, F.lead(ts_col).over(w))
         .withColumn(current_col, F.col(end_col).isNull())

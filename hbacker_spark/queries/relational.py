@@ -529,6 +529,53 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_order_versions",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+    FROM orders
+    """,
+    tags=("merge", "scd2", "window"),
+    doc="SCD2 history build via operators.merge.scd2_apply: each "
+    "customer's orders become versioned rows with close-out timestamps "
+    "and exactly one current row per key.",
+)
+def scd2_order_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.merge import scd2_apply
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").alias("valid_from")
+    )
+    empty = spark.createDataFrame([], o.schema)
+    hist = scd2_apply(o, empty, ["o_custkey"], ts_col="valid_from", tiebreak_cols=["o_orderkey"])
+    return hist.select("o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "merge_upsert_segment_boost",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+    tags=("merge", "upsert"),
+    doc="MERGE upsert through operators.merge.merge_upsert: source = "
+    "boosted BUILDING-segment rows, target = customer; source wins on "
+    "key collision, other rows survive (anti-join + union plan).",
+)
+def merge_upsert_segment_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    boosted = c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    return merge_upsert(c, boosted, ["c_custkey"])
+
+
+@register(
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -32,14 +33,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong (session.py). Truncate to
-        # microseconds — exactly what DuckDB does reading the same file —
-        # so oracle comparisons see identical timestamps.
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # Driver testdata events.ts is parquet TIMESTAMP(NANOS), surfaced
+        # as long nanos via spark.sql.legacy.parquet.nanosAsLong
+        # (session.py). Truncate to microseconds — exactly what DuckDB
+        # does reading the same file — so oracle comparisons see identical
+        # timestamps. Engine-written events parquet already carries a real
+        # timestamp column and skips this. Integer division: double
+        # division loses ulps at ~1.7e18 ns.
         from pyspark.sql import functions as F
 
-        # integer division — double division loses ulps at ~1.7e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
