@@ -105,6 +105,86 @@ def ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF (inverted-file) partitioning: assign every vector to its
+    nearest of ``n_centroids`` random unit centroids (deterministic seed).
+    Returns ((id, centroid_id) rows, centroid matrix). One Arrow-batched
+    numpy pass; at scale this is the list-building step done once at
+    ingest, and queries probe a few lists instead of the corpus.
+
+    Real IVF trains centroids with k-means; random unit centroids keep
+    determinism here and swap out cleanly (the assignment/probe plumbing
+    is identical).
+    """
+    import pandas as pd
+
+    def unit_centroids(dim: int) -> np.ndarray:
+        rng = np.random.RandomState(seed + 1)
+        c = rng.standard_normal((n_centroids, dim))
+        return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    def batches(it):
+        cents = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            if cents is None:
+                cents = unit_centroids(m.shape[1])
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            sims = (m / np.where(norms == 0, 1, norms)) @ cents.T
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "centroid_id": sims.argmax(axis=1)})
+
+    assigned = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+        batches, schema="vec_id long, centroid_id int"
+    )
+    # centroid matrix re-derived driver-side for query probing
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed + 1)
+    c = rng.standard_normal((n_centroids, dim))
+    return assigned, c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """IVF search: score the query against the centroids, probe the
+    ``nprobe`` nearest lists, exact-rerank only those lists' vectors.
+    Expected candidate fraction ≈ nprobe/n_centroids of the corpus.
+    """
+    from pyspark.sql import Window
+
+    from hbacker_spark.functions.similarity import cosine
+
+    assigned, cents = ivf_assign(df, n_centroids, id_col, vec_col, seed)
+    q = np.asarray(query_vec, dtype="float64")
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
+
+    candidate_ids = assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")
+    candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
+    q_df = spark.createDataFrame([(query_vec,)], "q_emb array<float>")
+    scored = candidates.crossJoin(F.broadcast(q_df)).select(
+        F.col(id_col), F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim")
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def ann_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

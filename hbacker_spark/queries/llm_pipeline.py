@@ -222,6 +222,22 @@ def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_cosine_topk",
+    oracle=None,  # IVF lists are engine-internal → rows-only
+    tags=("similarity", "llm", "ann", "ivf"),
+    doc="ANN top-10 via IVF (inverted-file) lists: nearest-centroid "
+    "assignment at ingest, nprobe-list probe + exact rerank at query "
+    "(expected candidate fraction ≈ nprobe/n_centroids).",
+)
+def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(spark, e, list(qvec), k=KNN_K)
+
+
+@register(
     "props_map_keys",
     oracle="""
     SELECT event_type, key, COUNT(*) AS n

@@ -25,6 +25,16 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, cust.collect()))
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    part = load_table(spark, sf_dir, "part")
+    path = str(tmp_path / "part_orc")
+    formats.write_orc(part, path)
+    back = formats.read_orc(spark, path, part.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, part.collect()))
+    filtered = back.filter(F.col("p_size") > 25)
+    assert "PushedFilters" in X.explain_str(filtered)
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders")
     path = str(tmp_path / "orders_part")

@@ -52,6 +52,26 @@ def test_ann_deterministic(spark, embeddings):
     assert a == b
 
 
+def test_ivf_probe_prunes_and_recalls(spark, embeddings):
+    from hbacker_spark.operators.similarity import ivf_assign, ivf_topk
+
+    qvec = list(embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    n = embeddings.count()
+    assigned, cents = ivf_assign(embeddings)
+    assert assigned.count() == n  # every vector in exactly one list
+    assert cents.shape[0] == 16
+
+    got = ivf_topk(spark, embeddings, qvec, k=10)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert 0 in ids  # query's own vector lives in a probed list
+    brute = _brute_topk(spark, embeddings, qvec, k=10)
+    recall = len(ids & {r["vec_id"] for r in brute.collect()}) / 10
+    assert recall >= 0.2, recall  # random data is ANN's worst case
+    # determinism
+    again = {r["vec_id"] for r in ivf_topk(spark, embeddings, qvec, k=10).collect()}
+    assert ids == again
+
+
 def test_ann_pairs_subquadratic(spark, embeddings):
     n = embeddings.count()
     pairs = ann_candidate_pairs(embeddings).count()
