@@ -1,0 +1,117 @@
+"""CLI parity with the reference's Thor commands (lib/hbacker/cli.rb):
+
+    python -m hbacker_spark export --tables t1 t2 --dest-root DIR [--session-name S]
+                                   [--start-time MS --end-time MS --versions N] [--incremental]
+    python -m hbacker_spark import --source-root DIR --export-session S [--tables t1 t2]
+    python -m hbacker_spark db [--mode export] [--session-name-pattern P] [--table-name-pattern P]
+
+Differences from the reference, on purpose: no beanstalkd/worker/Stargate
+wiring (cli.rb:329-389's setup of queue + REST + MySQL collapses into one
+SparkSession + a catalog dir); `db` prints the nested session→table
+report as one join instead of looped queries (cli.rb:287-322). Cells
+tables are read from parquet files named <table>.parquet under
+--cells-root (the CLI analog of reading from a live cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hbacker_spark", description=__doc__)
+    p.add_argument("--catalog-root", required=True, help="catalog tables directory")
+    p.add_argument("--cluster-name", default="local-cluster")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    exp = sub.add_parser("export", help="export cells tables to session snapshots (S1-S3)")
+    exp.add_argument("--cells-root", required=True, help="dir of <table>.parquet cell files")
+    exp.add_argument("--tables", nargs="*", default=None, help="table names; omit for --all")
+    exp.add_argument("--all", action="store_true", help="export every table under --cells-root (S2)")
+    exp.add_argument("--dest-root", required=True)
+    exp.add_argument("--session-name", default=None, help="default: minted yyyyMMdd_HHmmss (U3)")
+    exp.add_argument("--start-time", type=int, default=0, help="epoch-ms; 0 = full export")
+    exp.add_argument("--end-time", type=int, default=None, help="epoch-ms; default now (cli.rb:30-31)")
+    exp.add_argument("--versions", type=int, default=100_000, help="max versions/cell (cli.rb:71-74)")
+    exp.add_argument("--incremental", action="store_true", help="start from recorded watermarks (§2.B)")
+
+    imp = sub.add_parser("import", help="restore tables from session snapshots (S8-S10)")
+    imp.add_argument("--source-root", required=True)
+    imp.add_argument("--export-session", required=True)
+    imp.add_argument("--import-session", default=None)
+    imp.add_argument("--tables", nargs="*", default=None)
+    imp.add_argument("--out-root", required=True, help="dir to write restored <table>.parquet")
+
+    db = sub.add_parser("db", help="catalog report (C9/C10; cli.rb:287-322)")
+    db.add_argument("--mode", default="export", choices=["export", "import"])
+    db.add_argument("--session-name-pattern", default=None, help="SQL LIKE pattern")
+    db.add_argument("--table-name-pattern", default=None, help="SQL LIKE pattern")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import os
+
+    from hbacker_spark.catalog.catalog import Catalog, canonical_cluster_name, mint_session_name
+    from hbacker_spark.operators.snapshots import CELLS_SCHEMA, SnapshotStore
+    from hbacker_spark.session import get_spark
+
+    spark = get_spark("hbacker_spark_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = Catalog(spark, args.catalog_root)
+    store = SnapshotStore(spark, catalog, canonical_cluster_name(args.cluster_name))
+
+    if args.command == "export":
+        names = args.tables
+        if args.all or not names:
+            names = sorted(
+                f[: -len(".parquet")] for f in os.listdir(args.cells_root) if f.endswith(".parquet")
+            )
+        tables = {
+            n: spark.read.schema(CELLS_SCHEMA).parquet(os.path.join(args.cells_root, f"{n}.parquet"))
+            for n in names
+        }
+        session = args.session_name or mint_session_name()
+        if args.incremental:
+            store.export_incremental(tables, args.dest_root, session, end_time=args.end_time, versions=args.versions)
+        else:
+            store.export_tables(
+                tables, args.dest_root, session, args.start_time, args.end_time, args.versions
+            )
+        print(json.dumps({"session_name": session, "tables": names, "dest_root": args.dest_root}))
+        return 0
+
+    if args.command == "import":
+        import_session = args.import_session or mint_session_name()
+        restored = store.import_tables(
+            args.source_root, args.export_session, import_session, requested=args.tables
+        )
+        os.makedirs(args.out_root, exist_ok=True)
+        for name, df in restored.items():
+            df.write.mode("overwrite").parquet(os.path.join(args.out_root, f"{name}.parquet"))
+        print(json.dumps({"import_session": import_session, "tables": sorted(restored)}))
+        return 0
+
+    if args.command == "db":
+        report = catalog.session_report(args.mode, args.session_name_pattern)
+        if args.table_name_pattern is not None:
+            from pyspark.sql import functions as F
+
+            report = report.filter(F.col("table_name").like(args.table_name_pattern))
+        for row in report.orderBy("session_name", "table_name").collect():
+            d = row.asDict()
+            for k, v in d.items():
+                if hasattr(v, "isoformat"):
+                    d[k] = v.isoformat()
+            print(json.dumps(d))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

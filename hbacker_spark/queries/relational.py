@@ -529,6 +529,62 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_exact_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s
+    """,
+    tags=("aggregation", "statistics"),
+    doc="Sample stddev + Pearson correlation from exact decimal moment "
+    "sums (n, Σx, Σx², Σxy): order-independent partial aggregation — the "
+    "distributed-safe form of second-moment statistics. Built-in "
+    "stddev/corr accumulate doubles in partition order and can't "
+    "cross-engine-match; this can, to the last bit before rounding.",
+)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(MONEY)
+    y = money("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(25,4)")).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - 1))), 6).alias("stddev_qty"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
     "scd2_order_versions",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,

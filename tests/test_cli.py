@@ -1,0 +1,77 @@
+"""CLI surface: drive `python -m hbacker_spark` as a subprocess — the
+same terminal surface the reference's `hbacker export/import/db` offered.
+One subprocess per command variant is slow (fresh JVM each); the suite
+keeps it to one export+import+db round trip plus an error probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*argv: str, check: bool = True) -> subprocess.CompletedProcess:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "hbacker_spark", *argv],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        check=check,
+        timeout=240,
+    )
+
+
+@pytest.mark.slow
+def test_cli_export_import_db_roundtrip(spark, tmp_path):
+    # stage cells input with the engine (schema-correct parquet)
+    from hbacker_spark.operators.snapshots import CELLS_SCHEMA
+
+    cells_root = str(tmp_path / "cells")
+    df = spark.createDataFrame(
+        [(f"r{i % 7}", "cf", f"q{i % 2}", 1000 + i, f"v{i}") for i in range(200)], CELLS_SCHEMA
+    )
+    df.coalesce(1).write.parquet(f"{cells_root}/users.parquet")
+
+    cat = str(tmp_path / "cat")
+    dest = str(tmp_path / "dest")
+    out = run_cli(
+        "--catalog-root", cat, "export",
+        "--cells-root", cells_root, "--all",
+        "--dest-root", dest, "--session-name", "20260813_010101",
+        "--end-time", "99999",
+    )
+    exported = json.loads(out.stdout.strip().splitlines()[-1])
+    assert exported["tables"] == ["users"]
+
+    restored_root = str(tmp_path / "restored")
+    out = run_cli(
+        "--catalog-root", cat, "import",
+        "--source-root", dest, "--export-session", "20260813_010101",
+        "--out-root", restored_root,
+    )
+    imported = json.loads(out.stdout.strip().splitlines()[-1])
+    assert imported["tables"] == ["users"]
+    back = spark.read.parquet(f"{restored_root}/users.parquet")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    out = run_cli("--catalog-root", cat, "db", "--session-name-pattern", "2026%")
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert any(r["table_name"] == "users" and r["session_name"] == "20260813_010101" for r in rows)
+
+    # probe: importing a table missing from the backup fails loudly
+    bad = run_cli(
+        "--catalog-root", cat, "import",
+        "--source-root", dest, "--export-session", "20260813_010101",
+        "--out-root", restored_root, "--tables", "users", "ghost",
+        check=False,
+    )
+    assert bad.returncode != 0
+    assert "ghost" in bad.stderr
