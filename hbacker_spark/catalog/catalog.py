@@ -170,8 +170,27 @@ class Catalog:
         specified_start: int,
         specified_end: int,
         started_at: datetime | None = None,
+        allow_duplicate: bool = False,
     ) -> None:
-        """C1 (mysql.rb:226-239): append the session-start row."""
+        """C1 (mysql.rb:226-239): append the session-start row.
+
+        Rejects a duplicate natural key by default — the reference
+        appends blindly and its C2 UPDATE then clobbers every row with
+        that key (observed in round-1 verification); opt in with
+        ``allow_duplicate`` to reproduce that behavior.
+        """
+        if not allow_duplicate:
+            dup = self.read("sessions").filter(
+                (F.col("mode") == mode)
+                & (F.col("cluster_name") == cluster_name)
+                & (F.col("session_name") == session_name)
+                & (F.col("dest_root") == dest_root)
+            )
+            if not dup.limit(1).isEmpty():
+                raise ValueError(
+                    f"session already recorded: mode={mode!r} cluster={cluster_name!r} "
+                    f"session={session_name!r} dest_root={dest_root!r}"
+                )
         self._append(
             "sessions",
             [

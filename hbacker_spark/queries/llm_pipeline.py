@@ -331,6 +331,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+             CAST({TX.sql_stopword_count('text')} AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS dup_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           round(stopword_ratio, 6) AS stopword_ratio
+    FROM stats
+    WHERE lang IN ('en', 'es', 'de')
+      AND dup_rank = 1
+      AND n_words BETWEEN 10 AND 500
+      AND n_chars >= 50
+      AND stopword_ratio >= 0.05
+    """,
+    tags=("llm", "pipeline", "text", "dedup"),
+    doc="End-to-end training-corpus cleaning as ONE declarative plan: "
+    "language allowlist -> exact-dedup keeper (deterministic first-wins "
+    "window) -> length/char/stopword quality gates -> token counts. "
+    "Catalyst fuses the filters; the only shuffle is the dedup window on "
+    "the content key.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    stats = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        TX.n_words().alias("n_words"),
+        TX.n_tokens().alias("n_tokens"),
+        (TX.stopword_count().cast("double") / TX.n_words()).alias("stopword_ratio"),
+        F.row_number().over(w).alias("dup_rank"),
+    )
+    return (
+        stats.filter(
+            F.col("lang").isin("en", "es", "de")
+            & (F.col("dup_rank") == 1)
+            & F.col("n_words").between(10, 500)
+            & (F.col("n_chars") >= 50)
+            & (F.col("stopword_ratio") >= 0.05)
+        )
+        .select("doc_id", "lang", "source", "n_tokens", F.round("stopword_ratio", 6).alias("stopword_ratio"))
+    )
+
+
+@register(
     "corpus_lang_profile",
     oracle=f"""
     SELECT lang, source,

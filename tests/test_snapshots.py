@@ -143,14 +143,31 @@ def test_s10_subset_validation(spark, store, dest):
         store.import_tables(dest, "s1", "s2", requested=["t1", "missing_table"])
 
 
+def test_duplicate_session_rejected(spark, store, dest):
+    cells = make_cells(spark)
+    store.export_tables({"t": cells}, dest, "s1", 0, T3 + 1)
+    # re-running a completed session name is refused up front (C1 guard)
+    with pytest.raises(ValueError, match="already recorded"):
+        store.export_tables({"t": cells}, dest, "s1", 0, T3 + 1)
+    # the original success row is untouched
+    rows = store.catalog.session_info("export").collect()
+    assert len(rows) == 1 and rows[0]["error"] is False
+
+
 def test_export_error_records_session_error(spark, store, dest):
     cells = make_cells(spark)
     store.export_tables({"t": cells}, dest, "s1", 0, T3 + 1)
-    # exporting the same session/table again collides on the snapshot dir
+    # new session writing into s1's snapshot dir collides mid-flight →
+    # the error is captured on the new session row (C2 error path)
+    import os
+
+    os.makedirs(snapshot_path(dest, "s2", "t"), exist_ok=True)
+    open(os.path.join(snapshot_path(dest, "s2", "t"), "_blocker"), "w").close()
     with pytest.raises(Exception):
-        store.export_tables({"t": cells}, dest, "s1", 0, T3 + 1)
-    sessions = store.catalog.session_info("export").filter(F.col("error")).collect()
-    assert len(sessions) >= 1 and sessions[0]["error_info"] is not None
+        store.export_tables({"t": cells}, dest, "s2", 0, T3 + 1)
+    sessions = {r["session_name"]: r for r in store.catalog.session_info("export").collect()}
+    assert sessions["s2"]["error"] is True and sessions["s2"]["error_info"] is not None
+    assert sessions["s1"]["error"] is False
 
 
 def test_storage_scheme_dispatch(spark, tmp_path):
