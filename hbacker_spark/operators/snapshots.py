@@ -120,12 +120,29 @@ class SnapshotStore:
                 table_name, session_name, start_time, end_time, versions,
                 column_descriptors=column_descriptors, error=True, error_info=str(ex)[:500],
             )
+            self._write_log(dest_root, session_name, table_name, "export_failed", str(ex)[:500])
             raise
         self.catalog.exported_table_info(
             table_name, session_name, start_time, end_time, versions,
             column_descriptors=column_descriptors,
         )
+        self._write_log(
+            dest_root, session_name, table_name, "export_ok",
+            f"start={start_time} end={end_time} versions={versions}",
+        )
         return True
+
+    def _write_log(self, dest_root: str, session_name: str, table_name: str, status: str, detail: str) -> None:
+        """S11 parity: job-log artifact beside the data
+        (export.rb:162,168 writes <dest>/../<table>_export_log via S3);
+        scheme-agnostic through the Hadoop FS layer."""
+        from hbacker_spark.sources import storage
+
+        path = os.path.join(dest_root, session_name, f"{table_name}_export_log.txt")
+        try:
+            storage.save_info(self.spark, path, f"{status}: {detail}\n")
+        except Exception:  # noqa: BLE001 — log artifacts are best-effort
+            pass
 
     # ---- S3 + C1/C2: multi-table export with session bracketing ------------
     def export_tables(
