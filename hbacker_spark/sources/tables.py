@@ -32,6 +32,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # The testdata events file stores TIMESTAMP(NANOS), which Spark
+        # cannot represent — any session that hasn't opted into
+        # nanosAsLong fails the read outright. Set it here so queries
+        # work under ANY caller-provided session (e.g. the driver's),
+        # not just ones from our factory. Runtime-settable; verified.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # Driver testdata events.ts is parquet TIMESTAMP(NANOS), surfaced
