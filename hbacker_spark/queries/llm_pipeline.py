@@ -331,6 +331,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hash_sample_per_source",
+    oracle=None,  # ordering key is Spark xxhash64 → rows-only; size and
+    # determinism are pinned in tests
+    tags=("llm", "sampling", "window"),
+    doc="Reproducible per-stratum sampling: order docs inside each source "
+    "by xxhash64(doc_id, seed) and keep the first 20 — a deterministic "
+    "'random' sample that is stable across runs, partitionings, and "
+    "cluster sizes (unlike rand()-based sampling). The scale-safe way to "
+    "draw fixed-size training subsets per bucket.",
+)
+def hash_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.xxhash64("doc_id", F.lit(42)), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", "lang", "rn")
+    )
+
+
+@register(
+    "stratified_sample_fractions",
+    oracle=None,  # Bernoulli draw uses Spark's internal hash → rows-only
+    tags=("llm", "sampling"),
+    doc="Native stratified sampling (sampleBy): per-language fractions "
+    "with a fixed seed — the built-in fraction-based path; the "
+    "hash-sample query above is the fixed-size deterministic variant.",
+)
+def stratified_sample_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.3, "de": 0.3, "fr": 0.2, "zh": 0.2}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
+@register(
     "pipeline_clean_corpus",
     oracle=f"""
     WITH stats AS (
