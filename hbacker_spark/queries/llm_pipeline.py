@@ -331,6 +331,82 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id
+    FROM runs
+    """,
+    tags=("llm", "packing", "window"),
+    doc="Sequence packing: assign docs (in deterministic doc_id order, "
+    "per lang) to fixed ~2048-token training packs via an exact running "
+    "sum — the window shape of context-window packing. One shuffle on "
+    "the partition key; integer-exact, fully oracled.",
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", TX.n_tokens().alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return runs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        # floor() on both sides: CAST(double AS BIGINT) truncates in Spark
+        # but ROUNDS in DuckDB — never cast a quotient directly
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
+    )
+
+
+@register(
+    "mixture_interleave",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(rn AS INT) AS source_pos,
+           CAST(row_number() OVER (ORDER BY rn, source, doc_id) AS BIGINT) AS mixture_pos
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    """,
+    tags=("llm", "mixture", "window"),
+    doc="Deterministic mixture interleave: round-robin across sources "
+    "(position-within-source, then source) — the data-mixing order for "
+    "multi-source training runs, as two window passes.",
+)
+def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    w_all = Window.orderBy("rn", "source", "doc_id")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w_src))
+        .select(
+            "doc_id",
+            "source",
+            F.col("rn").cast("int").alias("source_pos"),
+            F.row_number().over(w_all).cast("bigint").alias("mixture_pos"),
+        )
+    )
+
+
+@register(
     "hash_sample_per_source",
     oracle=None,  # ordering key is Spark xxhash64 → rows-only; size and
     # determinism are pinned in tests
