@@ -378,6 +378,55 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_trailing_30d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+    doc="RANGE frame (rangeBetween): per-customer trailing-30-day spend — "
+    "value-based window bounds over epoch seconds, vs the row-based "
+    "frame in window_running_total. Exact decimal sums.",
+)
+def window_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("trailing_30d"),
+    )
+
+
+@register(
+    "rollup_with_grouping_marker",
+    oracle="""
+    SELECT l_returnflag, CAST(GROUPING(l_returnflag) AS INT) AS is_total, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag)
+    """,
+    tags=("aggregation", "rollup", "grouping"),
+    doc="GROUPING() marker distinguishes the rollup total row from a "
+    "genuine NULL group — required for correct rollups over nullable "
+    "keys.",
+)
+def rollup_with_grouping_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag").agg(
+        F.grouping("l_returnflag").cast("int").alias("is_total"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "is_total", "n")
+
+
+@register(
     "orders_by_month",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
