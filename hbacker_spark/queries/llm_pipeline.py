@@ -331,6 +331,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_token_overlap",
+    oracle="""
+    WITH halves AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             CAST(floor(len(string_split(text, ' ')) / 2) AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(w[1:h], w[h+1:len(w)])) AS INT) AS n_common,
+           CAST(len(list_distinct(list_concat(w[1:h], w[h+1:len(w)]))) AS INT) AS n_union
+    FROM halves
+    """,
+    tags=("array", "llm"),
+    doc="Array set functions (array_intersect/array_union — S10's "
+    "`exported & requested` as engine ops, import.rb:56-63): vocabulary "
+    "overlap between each doc's halves. Sizes compared, not arrays — "
+    "set-result ordering is engine-specific.",
+)
+def array_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    halved = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.floor(F.size(F.split("text", " ")) / 2).cast("int").alias("h"),
+    )
+    first = F.expr("slice(w, 1, h)")
+    second = F.expr("slice(w, h + 1, size(w) - h)")
+    return halved.select(
+        "doc_id",
+        F.size(F.array_intersect(first, second)).cast("int").alias("n_common"),
+        F.size(F.array_union(first, second)).cast("int").alias("n_union"),
+    )
+
+
+@register(
     "pack_token_budget",
     oracle=f"""
     WITH toks AS (
