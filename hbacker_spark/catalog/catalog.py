@@ -389,12 +389,37 @@ class Catalog:
         )
 
     # ---- §2.B: incremental chain watermark ---------------------------------
-    def next_start_times(self, mode: str = "export") -> DataFrame:
+    def next_start_times(
+        self,
+        dest_root: str | None = None,
+        mode: str = "export",
+        cluster_name: str | None = None,
+    ) -> DataFrame:
         """Per-table watermark: next export's start_time = max recorded
-        end_time (docs/…HBASE-1684.txt:40-58)."""
-        return (
-            self.read("tables")
-            .filter((F.col("mode") == mode) & (F.col("error") == F.lit(False)))
-            .groupBy("table_name")
-            .agg(F.max("end_time").alias("next_start_time"))
+        end_time (docs/…HBASE-1684.txt:40-58).
+
+        The watermark is keyed by the export CHAIN, not just the table:
+        table rows join to their parent sessions and only sessions whose
+        dest_root (and optionally cluster_name) match contribute.
+        Without this, the first incremental export to a NEW destination
+        would inherit another chain's watermark and silently omit every
+        older cell from the new chain (ADVICE r1). ``dest_root=None``
+        keeps the legacy across-all-chains behavior for callers that
+        genuinely want a global watermark.
+        """
+        tables = self.read("tables").filter(
+            (F.col("mode") == mode) & (F.col("error") == F.lit(False))
         )
+        if dest_root is not None:
+            sessions = self.read("sessions").filter(
+                (F.col("mode") == mode) & (F.col("dest_root") == dest_root)
+            )
+            if cluster_name is not None:
+                sessions = sessions.filter(F.col("cluster_name") == cluster_name)
+            # sessions are tiny by construction → broadcast semi-join
+            tables = tables.join(
+                F.broadcast(sessions.select("session_name").distinct()),
+                "session_name",
+                "left_semi",
+            )
+        return tables.groupBy("table_name").agg(F.max("end_time").alias("next_start_time"))

@@ -30,45 +30,27 @@ def cosine(a: str, b: str) -> Column:
 
 
 def brute_force_pair_cosines(spark, df, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.4, round_to: int = 6):
-    """All-pairs cosine >= threshold via Arrow-batched numpy (mapInPandas).
+    """All-pairs cosine >= threshold as a pure Spark plan: broadcast
+    nested-loop self-join on ``id_a < id_b`` with the fold-exact
+    :func:`cosine` kernel.
 
-    The O(n^2 * d) kernel is a BLAS matmul per partition block against a
-    broadcast matrix of the full (small) side — the idiomatic Spark shape
-    for brute-force similarity: Python sees Arrow batches, never rows.
-    At 100 TB the caller buckets first (LSH/IVF) so each broadcast side
-    stays bounded; this kernel then runs per bucket.
+    The broadcast side is built BY THE EXECUTORS/JVM (``F.broadcast``),
+    never collected through the driver — no ``toPandas``/``sc.broadcast``
+    anywhere on this path, so the driver heap is never a bottleneck. At
+    100 TB the caller buckets first (LSH/IVF, ``operators.similarity``)
+    so the broadcast side stays bounded; this kernel then runs per
+    bucket. ``spark`` is accepted for API compatibility and unused.
 
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
     """
-    import numpy as np
-    import pandas as pd
-
-    side = df.select(id_col, vec_col).toPandas()
-    ids_all = side[id_col].to_numpy()
-    m_all = np.stack(side[vec_col].to_numpy()).astype("float64")
-    norms_all = np.sqrt((m_all * m_all).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_all, m_all, norms_all))
-
-    def block(batches):
-        ids_b, m_b, n_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            ida = pdf[id_col].to_numpy()
-            na = np.sqrt((a * a).sum(axis=1))
-            cos = np.round((a @ m_b.T) / np.outer(na, n_b), round_to)
-            ai, bj = np.where(cos >= threshold)
-            keep = ida[ai] < ids_b[bj]
-            yield pd.DataFrame(
-                {
-                    "vec_a": ida[ai][keep],
-                    "vec_b": ids_b[bj][keep],
-                    "cos_sim": cos[ai, bj][keep],
-                }
-            )
-
-    return df.select(id_col, vec_col).mapInPandas(block, schema="vec_a long, vec_b long, cos_sim double")
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_emb_a"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_emb_b"))
+    cos = F.round(cosine("_emb_a", "_emb_b"), round_to)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def sql_dot(a: str, b: str) -> str:

@@ -78,7 +78,10 @@ def ann_topk(
 
     Candidate set = vectors sharing any table's bucket with the query;
     only candidates get the exact cosine (fold expression, JVM-side).
-    Returns (vec_id, cos_sim, rnk) — rnk over the candidate set.
+    Returns (vec_id, cos_sim, rnk) — rnk over the candidate set. Top-k
+    via orderBy().limit(k) → TakeOrderedAndProject (distributed partial
+    top-k per partition + k-row merge, no single-reducer global window);
+    rnk is re-derived over just the k surviving rows.
     """
     from pyspark.sql import Window
 
@@ -101,8 +104,9 @@ def ann_topk(
         F.col(id_col),
         F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim"),
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))  # over k rows only
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 def ivf_assign(
@@ -111,6 +115,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
+    dim: int | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF (inverted-file) partitioning: assign every vector to its
     nearest of ``n_centroids`` random unit centroids (deterministic seed).
@@ -144,8 +149,11 @@ def ivf_assign(
     assigned = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
         batches, schema="vec_id long, centroid_id int"
     )
-    # centroid matrix re-derived driver-side for query probing
-    dim = len(df.select(vec_col).first()[0])
+    # centroid matrix re-derived driver-side for query probing; callers
+    # that know the dimensionality pass it in — the .first() probe is a
+    # convenience fallback only (an extra driver job at scale)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed + 1)
     c = rng.standard_normal((n_centroids, dim))
     return assigned, c / np.linalg.norm(c, axis=1, keepdims=True)
@@ -170,7 +178,7 @@ def ivf_topk(
 
     from hbacker_spark.functions.similarity import cosine
 
-    assigned, cents = ivf_assign(df, n_centroids, id_col, vec_col, seed)
+    assigned, cents = ivf_assign(df, n_centroids, id_col, vec_col, seed, dim=len(query_vec))
     q = np.asarray(query_vec, dtype="float64")
     qn = q / np.linalg.norm(q)
     probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
@@ -181,8 +189,9 @@ def ivf_topk(
     scored = candidates.crossJoin(F.broadcast(q_df)).select(
         F.col(id_col), F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))  # over k rows only
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 def ann_candidate_pairs(

@@ -45,6 +45,34 @@ CELLS_SCHEMA = T.StructType(
 
 CELL_KEY = ("row_key", "cf", "qualifier")
 DEFAULT_VERSIONS = 100_000  # reference default (cli.rb:71-74)
+DEFAULT_MAX_RETRIES = 2  # transient-failure retries per table (Q5)
+
+# Q5 transient-vs-permanent split (worker.rb:28-48: transient AWS errors
+# are released back to the queue for retry; permanent ones are buried).
+# Spark already retries TASK failures; this is the driver-level analog
+# for whole-table export failures (network blips, object-store 500/503
+# throttling) — matched on exception type or message markers.
+_TRANSIENT_MARKERS = (
+    "timeout",
+    "timed out",
+    "connection reset",
+    "connection refused",
+    "broken pipe",
+    "service unavailable",
+    "slow down",
+    "throttl",
+    "internal server error",
+    "temporarily unavailable",
+)
+
+
+def is_transient_error(ex: BaseException) -> bool:
+    """True for errors worth a bounded in-place retry (Q5 'release'),
+    False for permanent ones that get recorded and re-raised ('bury')."""
+    if isinstance(ex, (ConnectionError, TimeoutError)):
+        return True
+    text = f"{type(ex).__name__}: {ex}".lower()
+    return any(m in text for m in _TRANSIENT_MARKERS)
 
 
 def _now_ms() -> int:
@@ -93,14 +121,18 @@ class SnapshotStore:
         versions: int = DEFAULT_VERSIONS,
         column_descriptors: list[dict] | None = None,
         resume: bool = False,
+        max_retries: int = DEFAULT_MAX_RETRIES,
     ) -> bool:
         """Export one table's cells; returns True if data was written.
 
         Mirrors the worker path (lib/worker.rb:68-100):
         exists?-skip (C6, idempotent resume) → emptiness probe (S6) →
         empty ⇒ record-only (schema still captured) → else S1 scan-export
-        + catalog row (C3). Errors are recorded (C3 error=true) and
-        re-raised (export.rb:156-163).
+        + catalog row (C3). TRANSIENT failures (worker.rb:28-48's
+        'release for retry') get up to ``max_retries`` in-place retries —
+        partial output cleared, no catalog error row; permanent failures
+        (or retry exhaustion) are recorded (C3 error=true) and re-raised
+        ('bury', export.rb:156-163).
         """
         if resume and self.catalog.exists(table_name, session_name):
             return False  # worker.rb:85-87: already recorded in this chain
@@ -113,15 +145,30 @@ class SnapshotStore:
                 column_descriptors=column_descriptors, empty=True,
             )
             return False
-        try:
-            snap.write.mode("errorifexists").parquet(snapshot_path(dest_root, session_name, table_name))
-        except Exception as ex:  # noqa: BLE001 — record then re-raise (export.rb:156-163)
-            self.catalog.exported_table_info(
-                table_name, session_name, start_time, end_time, versions,
-                column_descriptors=column_descriptors, error=True, error_info=str(ex)[:500],
-            )
-            self._write_log(dest_root, session_name, table_name, "export_failed", str(ex)[:500])
-            raise
+        dest = snapshot_path(dest_root, session_name, table_name)
+        attempt = 0
+        while True:
+            try:
+                self._write_snapshot(snap, dest)
+                break
+            except Exception as ex:  # noqa: BLE001
+                if attempt < max_retries and is_transient_error(ex):
+                    attempt += 1
+                    from hbacker_spark.sources import storage
+
+                    storage.delete_path(self.spark, dest)  # clear partial output
+                    self._write_log(
+                        dest_root, session_name, table_name, "export_retry",
+                        f"attempt={attempt} transient: {str(ex)[:200]}",
+                    )
+                    continue
+                # permanent (or exhausted): record then re-raise
+                self.catalog.exported_table_info(
+                    table_name, session_name, start_time, end_time, versions,
+                    column_descriptors=column_descriptors, error=True, error_info=str(ex)[:500],
+                )
+                self._write_log(dest_root, session_name, table_name, "export_failed", str(ex)[:500])
+                raise
         self.catalog.exported_table_info(
             table_name, session_name, start_time, end_time, versions,
             column_descriptors=column_descriptors,
@@ -131,6 +178,11 @@ class SnapshotStore:
             f"start={start_time} end={end_time} versions={versions}",
         )
         return True
+
+    def _write_snapshot(self, snap: DataFrame, dest: str) -> None:
+        """The one side-effecting write — isolated so tests can inject
+        transient failures and so retries re-run just this step."""
+        snap.write.mode("errorifexists").parquet(dest)
 
     def _write_log(self, dest_root: str, session_name: str, table_name: str, status: str, detail: str) -> None:
         """S11 parity: job-log artifact beside the data
@@ -230,7 +282,13 @@ class SnapshotStore:
         (docs/…HBASE-1684.txt:40-58); tables never exported start at 0
         (full export, mysql.rb:221-223)."""
         end_time = _now_ms() if end_time is None else end_time
-        watermarks = {r["table_name"]: r["next_start_time"] for r in self.catalog.next_start_times().collect()}
+        # watermarks keyed to THIS destination's chain: a new dest_root
+        # starts at 0 (full export) instead of inheriting another
+        # chain's end_time and silently skipping older cells
+        watermarks = {
+            r["table_name"]: r["next_start_time"]
+            for r in self.catalog.next_start_times(dest_root=dest_root).collect()
+        }
         self.catalog.start_info(
             "export", self.cluster_name, session_name, dest_root,
             min(watermarks.values(), default=0) or 0, end_time,
@@ -268,9 +326,18 @@ class SnapshotStore:
             & (F.col("session_name") == export_session_name)
             & (F.col("table_name") == table_name)
         )
-        rows = info.collect()
+        # Latest row wins, deterministically: a transient-failure retry
+        # appends an error row THEN a success row for the same
+        # (table, session) — an unordered collect()[0] would pick one at
+        # random (ADVICE r1).
+        rows = info.orderBy(F.col("updated_at").desc()).collect()
         if not rows:
             raise ValueError(f"table {table_name!r} not recorded in export session {export_session_name!r}")
+        if rows[0]["error"]:
+            raise ValueError(
+                f"table {table_name!r} recorded with error in export session "
+                f"{export_session_name!r}: {rows[0]['error_info']}"
+            )
         if rows[0]["empty"]:
             if restore_empty_tables:
                 self.catalog.imported_table_info(table_name, import_session_name, empty=True)

@@ -18,6 +18,12 @@ from hbacker_spark.sources.tables import load_table
 JACCARD_THRESHOLD = 0.5
 NEAR_DUP_COS = 0.4
 KNN_K = 10
+# Stop-shingle cutoff (SURVEY.md §2.C dedup): a shingle present in more
+# than this many docs carries no near-dup signal but creates O(df^2)
+# join pairs — one viral shingle would go quadratic per key at 100 TB.
+# Jaccard is therefore defined over informative (df <= N) shingles, on
+# BOTH engines.
+MAX_SHINGLE_DF = 100
 
 
 @register(
@@ -66,9 +72,15 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id, unnest({D.sql_word_shingles('text')}) AS shingle
       FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS sh_df
+        FROM sh0
+      ) WHERE sh_df <= {MAX_SHINGLE_DF}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
@@ -87,7 +99,9 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Near-dup by word-3-shingle Jaccard >= 0.5 via inverted-index "
     "self-join (explode shingles → equi-join on shingle → count). The "
     "shingle join is the scalable candidate generator: no doc×doc "
-    "cartesian, shuffle keyed on shingle.",
+    "cartesian, shuffle keyed on shingle; stop shingles (document "
+    "frequency > MAX_SHINGLE_DF) are dropped first so no single viral "
+    "shingle can go quadratic per key — mirrored in the oracle.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -97,6 +111,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", F.explode(D.word_shingles("text")).alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("shingle_h")
     )
+    # Stop-shingle guard: shingles are per-doc distinct (array_distinct
+    # in the builder), so count(*) per shingle == document frequency.
+    # The stop list holds only ubiquitous shingles → tiny → broadcast
+    # anti-join, no extra big-table shuffle beyond the df aggregation.
+    stop = (
+        sh.groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("sh_df"))
+        .filter(F.col("sh_df") > MAX_SHINGLE_DF)
+        .select("shingle_h")
+    )
+    sh = sh.join(F.broadcast(stop), "shingle_h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -155,7 +180,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "topk"),
     doc="Brute-force cosine top-k vs query vector (vec_id=0): the exact "
     "per-bucket kernel; broadcast the query side, fold-exact arithmetic. "
-    "Rounded to 6dp before ranking so the rank cut is engine-stable.",
+    "Rounded to 6dp before ranking so the rank cut is engine-stable. "
+    "Top-k via orderBy().limit(k) → TakeOrderedAndProject (distributed "
+    "per-partition partial top-k, NOT a single-reducer global window); "
+    "rnk is re-derived over just the k surviving rows.",
 )
 def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -165,8 +193,9 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(S.cosine("embedding", "q_emb"), 6).alias("cos_sim"),
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(KNN_K)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))  # over k rows only
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 @register(
@@ -308,22 +337,24 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "tfidf"),
     doc="TF-IDF top-5 terms per doc, pure DataFrame ops: explode tokens → "
     "tf per (doc,term) → document frequency → smoothed idf → rank-limit "
-    "window. At scale: one shuffle on token, one on doc_id; the doc-count "
-    "side is a broadcast scalar. Rounded to 6dp before ranking so the "
-    "rank cut is engine-stable (ln() ulps).",
+    "window. At scale: one shuffle on token, one on doc_id; the doc "
+    "count is a 1-row aggregate broadcast-cross-joined in — ONE plan, "
+    "no separate driver-side count() job. Rounded to 6dp before ranking "
+    "so the rank cut is engine-stable (ln() ulps).",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; folded into the idf literal
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row agg, broadcast side
     scored = (
         tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
-            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))

@@ -111,11 +111,24 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # deterministic-fake decode is engine-internal → rows-only
     tags=("multimodal", "udf"),
     doc="Decode+embed every media row via Arrow-batched mapInPandas "
-    "(deterministic fake decoder standing in for PIL/ffmpeg).",
+    "(deterministic fake decoder standing in for PIL/ffmpeg). The "
+    "declared query projects a canonicalizable fingerprint of the "
+    "feature vector (raw array<float> columns break the driver's "
+    "rows-only pandas canonicalization — unhashable list); the raw "
+    "array stays on the MM.extract_features API.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    fingerprint = F.concat_ws(
+        ",", F.transform(F.col("features"), lambda v: F.round(v.cast("double"), 6).cast("string"))
+    )
+    return feats.select(
+        "media_id",
+        "modality",
+        F.size("features").cast("int").alias("dim"),
+        fingerprint.alias("feature_fp"),
+    )
 
 
 @register(

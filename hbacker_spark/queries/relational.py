@@ -791,15 +791,23 @@ def percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "range"),
     doc="Range/theta join: same-user event pairs within 5 minutes. "
-    "Equi-key on user_id keeps it a hash join with a range residual "
-    "(no cartesian) — the scalable shape for interval joins.",
+    "Equi-key on (user_id, 5-min ts bucket): the left side explodes to "
+    "its bucket and the next one (2x fan-out), the right side keeps one "
+    "bucket, so every qualifying pair matches exactly once and per-task "
+    "pair counts are bounded by per-(user, 5-min) density instead of "
+    "per-user totals — the SCALE_NOTES.md mitigation for the ~linear-in-"
+    "pairs growth of the plain user_id residual join.",
 )
 def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    WINDOW_US = 5 * 60 * 1_000_000  # 5 min in microseconds
     e = load_table(spark, sf_dir, "events")
-    a = e.alias("a")
-    b = e.alias("b")
+    bkt = F.floor(F.unix_micros(F.col("ts")) / WINDOW_US)
+    # b.ts ∈ (a.ts, a.ts + 5min] ⇒ bucket(b) ∈ {bucket(a), bucket(a)+1}
+    a = e.select("user_id", "ts", F.explode(F.array(bkt, bkt + 1)).alias("bkt")).alias("a")
+    b = e.select("user_id", "ts", bkt.alias("bkt")).alias("b")
     cond = (
         (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
         & (F.col("b.ts") > F.col("a.ts"))
         & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
     )

@@ -62,3 +62,12 @@ def list_path(spark: SparkSession, path: str) -> list[dict]:
 def exists(spark: SparkSession, path: str) -> bool:
     fs, hpath = _fs_and_path(spark, path)
     return bool(fs.exists(hpath))
+
+
+def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Remove a path (any scheme). Used to clear partial output before a
+    transient-failure retry; returns False if the path did not exist."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, recursive))

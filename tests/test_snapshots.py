@@ -182,3 +182,69 @@ def test_storage_scheme_dispatch(spark, tmp_path):
     assert all(d["is_dir"] for d in listing)
     assert storage.exists(spark, f"{base}/s1/t1/export_log.txt")
     assert not storage.exists(spark, f"{base}/s1/t3")
+
+
+def test_transient_failure_retried_then_clean(spark, store, dest, monkeypatch):
+    """Q5 transient split (worker.rb:28-48): a transient write failure is
+    retried in place — ONE final catalog row, no error flag; the partial
+    output from the failed attempt is cleared before the retry."""
+    from hbacker_spark.operators import snapshots as S
+
+    cells = make_cells(spark)
+    real_write = S.SnapshotStore._write_snapshot
+    calls = {"n": 0}
+
+    def flaky(self, snap, dest_path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("connection reset by peer (simulated object-store blip)")
+        return real_write(self, snap, dest_path)
+
+    monkeypatch.setattr(S.SnapshotStore, "_write_snapshot", flaky)
+    assert store.export_table(cells, "flaky_t", dest, "s_retry", 0, T3 + 1) is True
+    assert calls["n"] == 2
+    rows = store.catalog.read("tables").filter(F.col("table_name") == "flaky_t").collect()
+    assert len(rows) == 1 and rows[0]["error"] is False and rows[0]["empty"] is False
+    # data actually landed and reads back
+    got = spark.read.parquet(snapshot_path(dest, "s_retry", "flaky_t"))
+    assert got.count() > 0
+
+
+def test_permanent_failure_recorded_and_raised(spark, store, dest, monkeypatch):
+    """Permanent failures skip the retry loop: recorded (error=true) and
+    re-raised on the first attempt — the reference's 'bury'."""
+    from hbacker_spark.operators import snapshots as S
+
+    cells = make_cells(spark)
+    calls = {"n": 0}
+
+    def broken(self, snap, dest_path):
+        calls["n"] += 1
+        raise ValueError("schema mismatch: permanent")
+
+    monkeypatch.setattr(S.SnapshotStore, "_write_snapshot", broken)
+    with pytest.raises(ValueError, match="permanent"):
+        store.export_table(cells, "perm_t", dest, "s_perm", 0, T3 + 1)
+    assert calls["n"] == 1  # not retried
+    rows = store.catalog.read("tables").filter(F.col("table_name") == "perm_t").collect()
+    assert len(rows) == 1 and rows[0]["error"] is True
+
+
+def test_watermark_keyed_by_dest_root(spark, store, dest, tmp_path):
+    """ADVICE r1: a NEW destination's first incremental starts at 0 (full
+    export), not at another chain's watermark."""
+    cells = make_cells(spark)
+    store.export_tables({"wm_t": cells}, dest, "chain_a", 0, T2)
+    # chain A has a watermark; a brand-new dest_root must not see it
+    wm_a = {r["table_name"]: r["next_start_time"]
+            for r in store.catalog.next_start_times(dest_root=dest).collect()}
+    assert wm_a["wm_t"] == T2
+    other = str(tmp_path / "other_dest")
+    wm_b = {r["table_name"]: r["next_start_time"]
+            for r in store.catalog.next_start_times(dest_root=other).collect()}
+    assert "wm_t" not in wm_b
+    # incremental to the new dest therefore exports the FULL range
+    store.export_incremental({"wm_t": cells}, other, "chain_b", end_time=T3 + 1)
+    restored = spark.read.parquet(snapshot_path(other, "chain_b", "wm_t"))
+    full = scan_export(cells, 0, T3 + 1).count()
+    assert restored.count() == full
