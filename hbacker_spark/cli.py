@@ -41,13 +41,20 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--source-root", required=True)
     imp.add_argument("--export-session", required=True)
     imp.add_argument("--import-session", default=None)
-    imp.add_argument("--tables", nargs="*", default=None)
+    sel = imp.add_mutually_exclusive_group()
+    sel.add_argument("--tables", nargs="*", default=None, help="explicit table list (xor --pattern)")
+    sel.add_argument("--pattern", default=None, help="SQL LIKE table pattern (cli.rb:259; C5 wildcard)")
+    imp.add_argument(
+        "--restore-empty-tables", action="store_true",
+        help="recreate schema-only records for tables exported empty (import.rb option)",
+    )
     imp.add_argument("--out-root", required=True, help="dir to write restored <table>.parquet")
 
     db = sub.add_parser("db", help="catalog report (C9/C10; cli.rb:287-322)")
     db.add_argument("--mode", default="export", choices=["export", "import"])
     db.add_argument("--session-name-pattern", default=None, help="SQL LIKE pattern")
     db.add_argument("--table-name-pattern", default=None, help="SQL LIKE pattern")
+    db.add_argument("--dest-root", default=None, help="filter to one destination chain (cli.rb:304-310)")
     return p
 
 
@@ -88,7 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "import":
         import_session = args.import_session or mint_session_name()
         restored = store.import_tables(
-            args.source_root, args.export_session, import_session, requested=args.tables
+            args.source_root, args.export_session, import_session,
+            requested=args.tables, pattern=args.pattern,
+            restore_empty_tables=args.restore_empty_tables,
         )
         os.makedirs(args.out_root, exist_ok=True)
         for name, df in restored.items():
@@ -97,11 +106,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "db":
+        from pyspark.sql import functions as F
+
         report = catalog.session_report(args.mode, args.session_name_pattern)
         if args.table_name_pattern is not None:
-            from pyspark.sql import functions as F
-
             report = report.filter(F.col("table_name").like(args.table_name_pattern))
+        if args.dest_root is not None:  # per-chain listing (cli.rb:304-310)
+            report = report.filter(F.col("dest_root") == args.dest_root)
         for row in report.orderBy("session_name", "table_name").collect():
             d = row.asDict()
             for k, v in d.items():

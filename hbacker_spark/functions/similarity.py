@@ -10,6 +10,8 @@ the scale path (IVF/LSH bucketing to prune candidates) lives in
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -29,10 +31,45 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def brute_force_pair_cosines(spark, df, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.4, round_to: int = 6):
+def pair_dot_pandas():
+    """Arrow-vectorized pair dot product, bit-identical to :func:`dot`'s
+    left fold: per row, acc starts at 0.0 and adds float64 products in
+    ascending index order — the same IEEE addition sequence as the fold
+    and the DuckDB oracle — but vectorized ACROSS pairs with numpy, so
+    the per-pair cost is ~64 fused array ops per Arrow batch.
+
+    Why not pure JVM for the hot pair loop: the interpreted HOF fold
+    costs ~2.8µs/element, and an unrolled 64-term codegen expression
+    exceeds the JVM's 8000-bytecode JIT threshold (the generated method
+    runs in the bytecode interpreter — measured ~100x slower than an
+    8-term one). The Arrow-batched kernel sidesteps both while keeping
+    exact parity.
+    """
+    @F.pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series(np.zeros(0))
+        ma = np.stack(a.to_numpy()).astype("float64")
+        mb = np.stack(b.to_numpy()).astype("float64")
+        acc = np.zeros(len(ma))
+        for i in range(ma.shape[1]):
+            acc = acc + ma[:, i] * mb[:, i]  # left fold per row, exact
+        return pd.Series(acc)
+
+    return pair_dot
+
+
+def brute_force_pair_cosines(
+    spark,
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_to: int = 6,
+    dim: int | None = None,
+):
     """All-pairs cosine >= threshold as a pure Spark plan: broadcast
-    nested-loop self-join on ``id_a < id_b`` with the fold-exact
-    :func:`cosine` kernel.
+    nested-loop self-join on ``id_a < id_b``.
 
     The broadcast side is built BY THE EXECUTORS/JVM (``F.broadcast``),
     never collected through the driver — no ``toPandas``/``sc.broadcast``
@@ -41,11 +78,28 @@ def brute_force_pair_cosines(spark, df, id_col: str = "vec_id", vec_col: str = "
     so the broadcast side stays bounded; this kernel then runs per
     bucket. ``spark`` is accepted for API compatibility and unused.
 
+    Norms are precomputed ONCE PER VECTOR (fold expression, n rows not
+    n² pairs) on each side before the join; the per-pair work is one
+    Arrow-vectorized dot (:func:`pair_dot_pandas` — see its docstring
+    for why the JVM expression paths lose here). The streaming side is
+    repartitioned to the default parallelism: a small parquet input is
+    otherwise ONE partition and the whole O(n²) projection runs in a
+    single task. ``dim`` is accepted for API compatibility (the Arrow
+    kernel derives it per batch).
+
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
     """
-    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_emb_a"))
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_emb_b"))
-    cos = F.round(cosine("_emb_a", "_emb_b"), round_to)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = (
+        df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_emb_a"))
+        .withColumn("_norm_a", norm("_emb_a"))
+        .repartition(par)
+    )
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_emb_b")).withColumn(
+        "_norm_b", norm("_emb_b")
+    )
+    pair_dot = pair_dot_pandas()
+    cos = F.round(pair_dot("_emb_a", "_emb_b") / (F.col("_norm_a") * F.col("_norm_b")), round_to)
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))

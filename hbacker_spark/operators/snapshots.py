@@ -355,11 +355,23 @@ class SnapshotStore:
         export_session_name: str,
         import_session_name: str,
         requested: list[str] | None = None,
+        pattern: str | None = None,
+        restore_empty_tables: bool = False,
     ) -> dict[str, DataFrame]:
         """Import#specified_tables (import.rb:46-90): resolve the exported
         list from the catalog (C5), validate requested ⊆ exported (S10 —
-        reported via anti-join, not a loop), session-bracket the run."""
-        exported = [r["table_name"] for r in self.catalog.table_names(export_session_name, source_root).collect()]
+        reported via anti-join, not a loop), session-bracket the run.
+
+        Table selection is ``requested`` XOR ``pattern`` (cli.rb:259's
+        --tables / --pattern): an explicit list is subset-validated; a
+        SQL LIKE pattern feeds C5's wildcard directly.
+        """
+        if requested is not None and pattern is not None:
+            raise ValueError("pass requested tables OR a pattern, not both (cli.rb:259)")
+        exported = [
+            r["table_name"]
+            for r in self.catalog.table_names(export_session_name, source_root, pattern=pattern).collect()
+        ]
         if requested is not None:
             missing = sorted(set(requested) - set(exported))  # S10 subset validation (import.rb:56-63)
             if missing:
@@ -371,7 +383,10 @@ class SnapshotStore:
         out: dict[str, DataFrame] = {}
         try:
             for t in selected:
-                df = self.import_table(t, source_root, export_session_name, import_session_name)
+                df = self.import_table(
+                    t, source_root, export_session_name, import_session_name,
+                    restore_empty_tables=restore_empty_tables,
+                )
                 if df is not None:
                     out[t] = df
         except Exception as ex:  # noqa: BLE001

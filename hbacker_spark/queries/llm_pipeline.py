@@ -24,6 +24,9 @@ KNN_K = 10
 # Jaccard is therefore defined over informative (df <= N) shingles, on
 # BOTH engines.
 MAX_SHINGLE_DF = 100
+# Testdata embeddings are 64-dim at every SF (TESTDATA.md); a known dim
+# lets the pair kernel unroll the dot product into codegen.
+EMB_DIM = 64
 
 
 @register(
@@ -210,11 +213,13 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "llm"),
     doc="Embedding-cosine near-dup pairs (threshold 0.4). Brute-force "
     "pair scan here; at scale the LSH/IVF bucketing in "
-    "operators.similarity prunes candidates first.",
+    "operators.similarity prunes candidates first. Norms are "
+    "precomputed per vector; the per-pair dot is the Arrow-vectorized "
+    "exact-fold kernel (see functions.similarity.pair_dot_pandas).",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return S.brute_force_pair_cosines(spark, e, threshold=NEAR_DUP_COS)
+    return S.brute_force_pair_cosines(spark, e, threshold=NEAR_DUP_COS, dim=EMB_DIM)
 
 
 @register(

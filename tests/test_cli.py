@@ -75,3 +75,26 @@ def test_cli_export_import_db_roundtrip(spark, tmp_path):
     )
     assert bad.returncode != 0
     assert "ghost" in bad.stderr
+
+    # wildcard selection (cli.rb:259 --pattern → C5 LIKE): 'us%' matches
+    # users, 'zz%' matches nothing
+    pat_root = str(tmp_path / "restored_pat")
+    out = run_cli(
+        "--catalog-root", cat, "import",
+        "--source-root", dest, "--export-session", "20260813_010101",
+        "--out-root", pat_root, "--pattern", "us%", "--import-session", "20260813_020202",
+    )
+    assert json.loads(out.stdout.strip().splitlines()[-1])["tables"] == ["users"]
+    out = run_cli(
+        "--catalog-root", cat, "import",
+        "--source-root", dest, "--export-session", "20260813_010101",
+        "--out-root", pat_root, "--pattern", "zz%", "--import-session", "20260813_030303",
+    )
+    assert json.loads(out.stdout.strip().splitlines()[-1])["tables"] == []
+
+    # db --dest-root filters to one destination chain (cli.rb:304-310)
+    out = run_cli("--catalog-root", cat, "db", "--dest-root", dest)
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert rows and all(r["dest_root"] == dest for r in rows)
+    out = run_cli("--catalog-root", cat, "db", "--dest-root", str(tmp_path / "nowhere"))
+    assert not [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
