@@ -591,3 +591,93 @@ def corpus_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.sum(guess_match).alias("n_guess_match"),
     )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({D.sql_word_shingles('text')}) AS shingle
+      FROM documents
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0')
+    SELECT c.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+           (CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 20
+              >= COUNT(*)) AS contaminated
+    FROM corpus c LEFT JOIN ev ON c.shingle = ev.shingle
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "dedup", "contamination", "join"),
+    doc="Benchmark-contamination check: per corpus doc, how many of its "
+    "3-shingles appear in the eval set's shingle vocabulary (here: docs "
+    "from source 'src0' stand in for a held-out benchmark). The eval "
+    "vocabulary is small by construction (benchmarks are) → broadcast "
+    "hash join against the exploded corpus, one shuffle on doc_id for "
+    "the count. Contamination flag is integer-exact (hits*20 >= total, "
+    "i.e. >=5% overlap) — no float threshold to drift between engines.",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", F.explode(D.word_shingles("text")).alias("shingle"))
+    ev = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    corpus = sh.filter(F.col("source") != "src0")
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    return (
+        corpus.join(F.broadcast(ev.withColumn("_hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit).cast("bigint").alias("n_eval_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_eval_hits",
+            (F.col("n_eval_hits") * 20 >= F.col("n_shingles")).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "bigram_next_words",
+    oracle="""
+    WITH ws AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+      FROM ws
+    ),
+    counts AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2)
+    SELECT w1, w2, cnt, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2) AS rnk
+          FROM counts)
+    WHERE rnk <= 3
+    """,
+    tags=("llm", "text", "ngram", "window"),
+    doc="Bigram LM stats: top-3 next words per leading word. Explode "
+    "bigrams WITH multiplicity (unlike dedup shingles) → count per "
+    "(w1, w2) → per-w1 rank-limit window (WindowGroupLimit: map-side "
+    "partial top-k per leading word). Guarded: docs under 2 words emit "
+    "nothing (Spark sequence() counts DOWN on empty ranges).",
+)
+def bigram_next_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), F.col("w2"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

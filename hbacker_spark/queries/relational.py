@@ -870,3 +870,90 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_last_click._click_id").alias("click_id"),
         F.col("_last_click._cts").alias("click_ts"),
     )
+
+
+@register(
+    "event_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+    doc="Batch gap-sessionization (30-min inactivity gap): lag-marker + "
+    "running-sum session ids, then per-session bounds — the batch twin "
+    "of streaming/windows.py's session windows. ONE shuffle on user_id "
+    "serves both windows AND the final aggregate (same partitioning "
+    "reused across stages); gaps compared in integer epoch-micros so "
+    "both engines make identical cuts.",
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1_800_000_000), 1
+    ).otherwise(0)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "docs_length_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT lang, CAST(decile AS INT) AS decile,
+           COUNT(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM ranked
+    GROUP BY lang, decile
+    """,
+    tags=("window", "ntile", "aggregation"),
+    doc="Per-language length deciles via ntile(10) — the distribution "
+    "profile a corpus-curation pass cuts length filters from. Tie-break "
+    "on doc_id so decile boundaries are engine-deterministic; ntile's "
+    "floor-division bucket sizing is SQL-standard in both engines.",
+)
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select("lang", "n_chars", F.ntile(10).over(w).alias("decile"))
+    return ranked.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
