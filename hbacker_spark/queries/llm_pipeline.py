@@ -681,3 +681,116 @@ def bigram_next_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), F.col("w2"))
     return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM prs
+      UNION
+      SELECT vb AS u, va AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS vec_id,
+           min(v) AS keeper_id,
+           (min(v) = u) AS is_keeper
+    FROM reach
+    GROUP BY u
+    """,
+    tags=("dedup", "llm", "iterative", "similarity"),
+    doc="End-to-end embedding dedup resolution, ORACLED: cosine near-dup "
+    "pairs (>=0.4, exact-fold kernel) → connected components → every "
+    "vector mapped to its cluster's min-id keeper. The Spark side is the "
+    "pointer-doubling label-propagation loop (operators/clustering.py, "
+    "O(log n) rounds); the oracle expresses the same fixpoint as a "
+    "DuckDB recursive CTE (transitive closure + min-reachable), proving "
+    "the iterative operator against SQL semantics — not just row counts.",
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.clustering import dedup_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.brute_force_pair_cosines(spark, e, threshold=NEAR_DUP_COS, dim=EMB_DIM).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_clusters(e, pairs, id_col="vec_id")
+
+
+@register(
+    "repetition_ratio_filter",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(MAX(tf) AS BIGINT) AS max_tf,
+           (CAST(MAX(tf) AS BIGINT) * 5 >= CAST(SUM(tf) AS BIGINT)) AS repetitive
+    FROM tf
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+    doc="Gopher-style repetition gate: per doc, the most frequent "
+    "token's share of all tokens; docs where one token is >=20% of the "
+    "text are flagged repetitive. Two shuffles (token counts, then doc "
+    "rollup), integer-exact end to end — no float threshold to drift.",
+)
+def repetition_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+        (F.max("tf").cast("bigint") * 5 >= F.sum("tf").cast("bigint")).alias("repetitive"),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INT) AS n_phones,
+           length(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                                 '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_len
+    FROM documents
+    """,
+    tags=("llm", "text", "cleaning"),
+    doc="PII scrub pass: count + redact email/phone patterns per doc "
+    "(regexp kept to the Java/RE2 common dialect so both engines "
+    "match). Pure codegen'd expressions — the cleaning-map shape that "
+    "runs at scan speed; the synthetic corpus has few hits but the "
+    "operator semantics are fully oracled.",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
