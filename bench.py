@@ -49,6 +49,8 @@ HEADLINE = (
     "simhash_fingerprints",
     "dedup_cluster_resolution",
     "embedding_near_dup_pairs",
+    "embedding_dedup_clusters",
+    "contamination_ngram_overlap",
     "knn_cosine_top10",
     "ann_lsh_cosine_topk",
     "ann_ivf_cosine_topk",

@@ -68,43 +68,81 @@ def brute_force_pair_cosines(
     round_to: int = 6,
     dim: int | None = None,
 ):
-    """All-pairs cosine >= threshold as a pure Spark plan: broadcast
-    nested-loop self-join on ``id_a < id_b``.
+    """All-pairs cosine >= threshold as a block-matrix plan: side A is
+    grouped into per-partition blocks (``collect_list`` on executors),
+    side B is one executor-aggregated row broadcast by the JVM — no
+    ``toPandas``/``sc.broadcast``, the driver never holds vectors. Arrow
+    then transfers each vector ONCE per block (O(n·par) floats), not
+    once per pair (O(n²)) as a pair-expanded join would.
 
-    The broadcast side is built BY THE EXECUTORS/JVM (``F.broadcast``),
-    never collected through the driver — no ``toPandas``/``sc.broadcast``
-    anywhere on this path, so the driver heap is never a bottleneck. At
-    100 TB the caller buckets first (LSH/IVF, ``operators.similarity``)
-    so the broadcast side stays bounded; this kernel then runs per
-    bucket. ``spark`` is accepted for API compatibility and unused.
+    Inside each block the k×n dot matrix is built as a left fold over
+    the dimension index (one rank-1 update per component, ascending),
+    so every pair's dot has the exact IEEE addition order of the
+    :func:`dot` fold and the DuckDB oracle — bit-identical cosines,
+    vectorized across the whole block. Rounding and the final threshold
+    stay JVM-side (`F.round` HALF_UP, matching DuckDB); the kernel
+    pre-filters with a half-ulp-loose bound so sub-threshold pairs never
+    leave the executor.
 
-    Norms are precomputed ONCE PER VECTOR (fold expression, n rows not
-    n² pairs) on each side before the join; the per-pair work is one
-    Arrow-vectorized dot (:func:`pair_dot_pandas` — see its docstring
-    for why the JVM expression paths lose here). The streaming side is
-    repartitioned to the default parallelism: a small parquet input is
-    otherwise ONE partition and the whole O(n²) projection runs in a
-    single task. ``dim`` is accepted for API compatibility (the Arrow
-    kernel derives it per batch).
+    At 100 TB the caller buckets first (LSH/IVF,
+    ``operators.similarity``) so the broadcast side stays bounded; this
+    kernel is the per-bucket exact path. ``spark`` and ``dim`` are
+    accepted for API compatibility (the kernel derives dim per block).
 
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    a = (
-        df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_emb_a"))
-        .withColumn("_norm_a", norm("_emb_a"))
-        .repartition(par)
+    id_type = df.schema[id_col].dataType.simpleString()
+    rows = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_emb"))
+    blocks = (
+        rows.repartition(par)
+        .select(F.spark_partition_id().alias("_blk"), "_id", "_emb")
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_emb")).alias("_a"))
     )
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_emb_b")).withColumn(
-        "_norm_b", norm("_emb_b")
+    whole = rows.agg(F.collect_list(F.struct("_id", "_emb")).alias("_b"))
+    # round(x, r) (HALF_UP) can only reach >= threshold if x is within
+    # half an ulp below it; anything smaller is dropped executor-side.
+    prefilter = threshold - 0.5 * 10.0 ** (-round_to)
+
+    def block_pairs(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for arows, brows in zip(pdf["_a"], pdf["_b"]):
+                if len(arows) == 0 or len(brows) == 0:
+                    continue
+                ida = np.asarray([r["_id"] for r in arows])
+                va = np.stack([np.asarray(r["_emb"], dtype="float64") for r in arows])
+                idb = np.asarray([r["_id"] for r in brows])
+                vb = np.stack([np.asarray(r["_emb"], dtype="float64") for r in brows])
+                dots = np.zeros((len(ida), len(idb)))
+                na = np.zeros(len(ida))
+                nb = np.zeros(len(idb))
+                for i in range(va.shape[1]):  # ascending-index left fold: exact parity
+                    dots = dots + va[:, i : i + 1] * vb[:, i][None, :]
+                    na = na + va[:, i] * va[:, i]
+                    nb = nb + vb[:, i] * vb[:, i]
+                cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                mask = (ida[:, None] < idb[None, :]) & (cos >= prefilter)
+                ii, jj = np.nonzero(mask)
+                out_a.append(ida[ii])
+                out_b.append(idb[jj])
+                out_c.append(cos[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "_raw": np.concatenate(out_c),
+                    }
+                )
+
+    out = blocks.crossJoin(F.broadcast(whole)).mapInPandas(
+        block_pairs, f"vec_a {id_type}, vec_b {id_type}, _raw double"
     )
-    pair_dot = pair_dot_pandas()
-    cos = F.round(pair_dot("_emb_a", "_emb_b") / (F.col("_norm_a") * F.col("_norm_b")), round_to)
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return out.select(
+        "vec_a", "vec_b", F.round("_raw", round_to).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def sql_dot(a: str, b: str) -> str:
