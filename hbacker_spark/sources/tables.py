@@ -54,6 +54,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY if the plan is narrower than the
+    session's parallelism.
+
+    Explode/regex-heavy pipelines (shingling, tokenizing) multiply work
+    per input row; when the source is a single small parquet split the
+    whole pipeline otherwise runs in ONE task while 31 cores idle. On a
+    real cluster the same table arrives as thousands of splits and this
+    is a no-op — the partition probe is driver-side metadata (file
+    listing), no job. The repartition shuffles raw input bytes once,
+    which the fan-out work then amortizes.
+    """
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views (for spark.sql queries)."""
     for name in TABLES:
