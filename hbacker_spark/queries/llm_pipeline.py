@@ -819,3 +819,101 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
         F.length(scrubbed).alias("scrubbed_len"),
     )
+
+
+# Rolling-fingerprint arithmetic (SURVEY.md §2.C text analysis): both
+# engines fold chars → word hash, then a base-131 rolling combine over
+# 4-word windows, everything mod 1e9+7 so BIGINT never overflows
+# ((M-1)*131 + M ≈ 1.3e11) and results are integer-exact cross-engine.
+FP_MOD = 1_000_000_007
+FP_GRAM = 4
+
+
+@register(
+    "doc_fingerprint_rolling",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % {FP_MOD})) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(hs) - {FP_GRAM} + 1 AS BIGINT) AS n_grams,
+           CAST(list_min(gs) AS BIGINT) AS min_fp,
+           CAST(list_max(gs) AS BIGINT) AS max_fp,
+           CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_fp
+    FROM (
+      SELECT doc_id, hs,
+             list_transform(generate_series(1, len(hs) - {FP_GRAM} + 1), i ->
+               (((((hs[i] * 131 + hs[i+1]) % {FP_MOD})
+                  * 131 + hs[i+2]) % {FP_MOD})
+                  * 131 + hs[i+3]) % {FP_MOD}) AS gs
+      FROM hs WHERE len(hs) >= {FP_GRAM}
+    )
+    """,
+    tags=("llm", "text", "fingerprint"),
+    doc="Rolling-hash document fingerprint (winnowing-style sketch): "
+    "char-fold each word to a 31-base hash, slide a 4-word 131-base "
+    "rolling window, keep min/max/distinct-count of window hashes per "
+    "doc. All modular BIGINT arithmetic in codegen'd higher-order "
+    "functions — integer-exact on both engines, no explode (the gram "
+    "array never leaves the row), embarrassingly parallel per doc.",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    hs = F.expr(
+        f"transform(split(text, ' '), w -> "
+        f"aggregate(split(w, ''), CAST(0 AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {FP_MOD}))"
+    )
+    with_hs = d.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= FP_GRAM)
+    gs = F.expr(
+        f"transform(sequence(0, size(hs) - {FP_GRAM}), i -> "
+        f"(((((hs[i] * 131 + hs[i+1]) % {FP_MOD}) "
+        f"* 131 + hs[i+2]) % {FP_MOD}) "
+        f"* 131 + hs[i+3]) % {FP_MOD})"
+    )
+    return with_hs.select(
+        "doc_id",
+        (F.size("hs") - F.lit(FP_GRAM - 1)).cast("bigint").alias("n_grams"),
+        F.array_min(gs).cast("bigint").alias("min_fp"),
+        F.array_max(gs).cast("bigint").alias("max_fp"),
+        F.size(F.array_distinct(gs)).cast("bigint").alias("n_distinct_fp"),
+    )
+
+
+# ASCII-only classes: Java regex and DuckDB's RE2 agree exactly on
+# these (unicode classes would not).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace(chr(92) + 's', chr(92) + 's')}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS tokens_per_word
+    FROM documents
+    """,
+    tags=("llm", "text", "tokenize"),
+    doc="BPE-ish token counting: letter runs, single digits, and "
+    "punctuation as separate tokens (the GPT-2 pre-tokenizer's shape, "
+    "ASCII classes only so Java regex == RE2), vs whitespace word "
+    "count. regexp_count is codegen'd JVM-side; one pass, no explode.",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    n_bpe = F.regexp_count("text", F.lit(BPE_PATTERN))
+    n_ws = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / n_ws, 6).alias("tokens_per_word"),
+    )

@@ -29,7 +29,7 @@ from hbacker_spark.queries._util import (
     rate,
 )
 from hbacker_spark.registry import register
-from hbacker_spark.sources.tables import load_table
+from hbacker_spark.sources.tables import load_table, widen
 
 CUTOFF = "1998-09-02"
 
@@ -956,4 +956,127 @@ def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+    FROM part
+    """,
+    tags=("unpivot", "reshape"),
+    doc="UNPIVOT/melt: wide part metrics to long (metric, val) rows via "
+    "the native unpivot operator (Expand node: each input row fans out "
+    "JVM-side, no shuffle at all). Oracle states the same reshape as "
+    "UNION ALL — portable SQL with identical semantics.",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "window_rank_percentiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+    tags=("window", "rank"),
+    doc="percent_rank + cume_dist per market segment: relative standing "
+    "of every customer's balance. Ties share ranks in both engines by "
+    "SQL definition, so no tie-break key is needed; the (rank-1)/(n-1) "
+    "and peers/n divisions are single exact-int divisions, identical "
+    "bits on both engines (rounded to 6dp anyway). One shuffle on the "
+    "segment key.",
+)
+def window_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@register(
+    "fuzzy_part_name_match",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+    tags=("dedup", "fuzzy", "join"),
+    doc="Fuzzy record matching: near-identical part names by bounded "
+    "levenshtein distance (<=1: the typo class). The brand equi-key is "
+    "the blocking key — the quadratic edit-distance comparison runs "
+    "only within a brand's bucket, the standard blocking design that "
+    "keeps fuzzy dedup feasible at scale (full-corpus pairwise never "
+    "materializes). Shuffle on brand; per-bucket pairs stream through "
+    "codegen'd levenshtein.",
+)
+def fuzzy_part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = widen(load_table(spark, sf_dir, "part"))
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["brand"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(lev <= 1)
+        .select("part_a", "part_b", lev.cast("int").alias("lev_dist"))
+    )
+
+
+@register(
+    "customers_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(12,2))
+          * (SELECT COUNT(*) FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+          > (SELECT SUM(CAST(i.c_acctbal AS DECIMAL(12,2)))
+             FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+    """,
+    tags=("subquery", "aggregation", "join"),
+    doc="Correlated scalar subquery: customers above their own nation's "
+    "mean balance. The Spark plan is the de-correlated form Catalyst "
+    "itself rewrites to — per-nation aggregate + equi-join back. The "
+    "mean test is stated as acctbal*n > sum in DECIMAL (testdata money "
+    "has exactly 2dp): integer-exact and aggregation-order-independent, "
+    "where a floating avg() could flip boundary rows per engine.",
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(12,2)")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.sum(dec).alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        c.join(F.broadcast(per_nation), "c_nationkey")
+        .filter(dec * F.col("_n") > F.col("_total"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
     )
