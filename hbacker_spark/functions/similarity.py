@@ -75,14 +75,17 @@ def brute_force_pair_cosines(
     then transfers each vector ONCE per block (O(n·par) floats), not
     once per pair (O(n²)) as a pair-expanded join would.
 
-    Inside each block the k×n dot matrix is built as a left fold over
-    the dimension index (one rank-1 update per component, ascending),
-    so every pair's dot has the exact IEEE addition order of the
-    :func:`dot` fold and the DuckDB oracle — bit-identical cosines,
-    vectorized across the whole block. Rounding and the final threshold
-    stay JVM-side (`F.round` HALF_UP, matching DuckDB); the kernel
-    pre-filters with a half-ulp-loose bound so sub-threshold pairs never
-    leave the executor.
+    Inside each block: filter-then-verify. A BLAS dgemm scores all k×n
+    pairs (the fast path — a rank-1-update left-fold loop is ~50x
+    slower, memory-bound); candidates within a safety margin of the
+    threshold are then RE-SCORED with the exact ascending-index left
+    fold, so every emitted cosine has the exact IEEE addition order of
+    the :func:`dot` fold and the DuckDB oracle — bit-identical, while
+    the quadratic work runs at matmul speed. The margin (1e-9) is ~1e5
+    times the worst-case f64 summation-order divergence for small dims
+    (~n_dim·eps), so no true candidate is ever lost. Rounding and the
+    final threshold stay JVM-side (`F.round` HALF_UP, matching DuckDB);
+    sub-threshold pairs never leave the executor.
 
     At 100 TB the caller buckets first (LSH/IVF,
     ``operators.similarity``) so the broadcast side stays bounded; this
@@ -99,11 +102,25 @@ def brute_force_pair_cosines(
         .select(F.spark_partition_id().alias("_blk"), "_id", "_emb")
         .groupBy("_blk")
         .agg(F.collect_list(F.struct("_id", "_emb")).alias("_a"))
+        # AQE coalesces the tiny post-agg shuffle (few rows, each a fat
+        # block) down to a handful of partitions, serializing the O(n²)
+        # scoring; an explicit width pins one task per block.
+        .repartition(par)
     )
     whole = rows.agg(F.collect_list(F.struct("_id", "_emb")).alias("_b"))
     # round(x, r) (HALF_UP) can only reach >= threshold if x is within
     # half an ulp below it; anything smaller is dropped executor-side.
+    # The extra 1e-9 covers dgemm-vs-left-fold summation-order drift
+    # (worst case ~dim·eps ≈ 1e-14 for small dims).
     prefilter = threshold - 0.5 * 10.0 ** (-round_to)
+    blas_margin = prefilter - 1e-9
+
+    def _fold_dots(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Row-wise dot with the exact left-fold addition order."""
+        acc = np.zeros(len(x))
+        for i in range(x.shape[1]):
+            acc = acc + x[:, i] * y[:, i]
+        return acc
 
     def block_pairs(batches):
         for pdf in batches:
@@ -115,19 +132,25 @@ def brute_force_pair_cosines(
                 va = np.stack([np.asarray(r["_emb"], dtype="float64") for r in arows])
                 idb = np.asarray([r["_id"] for r in brows])
                 vb = np.stack([np.asarray(r["_emb"], dtype="float64") for r in brows])
-                dots = np.zeros((len(ida), len(idb)))
-                na = np.zeros(len(ida))
-                nb = np.zeros(len(idb))
-                for i in range(va.shape[1]):  # ascending-index left fold: exact parity
-                    dots = dots + va[:, i : i + 1] * vb[:, i][None, :]
-                    na = na + va[:, i] * va[:, i]
-                    nb = nb + vb[:, i] * vb[:, i]
-                cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
-                mask = (ida[:, None] < idb[None, :]) & (cos >= prefilter)
+                # Fast path: BLAS scores every pair.
+                dots_f = va @ vb.T
+                na_f = np.sqrt(np.einsum("ij,ij->i", va, va))
+                nb_f = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+                cos_f = dots_f / (na_f[:, None] * nb_f[None, :])
+                mask = (ida[:, None] < idb[None, :]) & (cos_f >= blas_margin)
                 ii, jj = np.nonzero(mask)
-                out_a.append(ida[ii])
-                out_b.append(idb[jj])
-                out_c.append(cos[ii, jj])
+                if not len(ii):
+                    continue
+                # Verify path: exact left-fold rescore of survivors only
+                # (dots AND norms), bit-identical to the fold oracle.
+                sa, sb = va[ii], vb[jj]
+                na_e = np.sqrt(_fold_dots(va, va))
+                nb_e = np.sqrt(_fold_dots(vb, vb))
+                cos = _fold_dots(sa, sb) / (na_e[ii] * nb_e[jj])
+                keep = cos >= prefilter
+                out_a.append(ida[ii][keep])
+                out_b.append(idb[jj][keep])
+                out_c.append(cos[keep])
             if out_a:
                 yield pd.DataFrame(
                     {

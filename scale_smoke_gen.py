@@ -1,0 +1,80 @@
+"""Build a 10x replica of sf0.1 docs/embeddings/part for scale smokes.
+
+Replication model (documented in SCALE_NOTES.md): corpus GROWS with new
+content — duplicate/near-dup rate stays constant. Naive row copies would
+make every doc 10x-duplicated (pathological input: pair counts explode
+quadratically by construction, telling us nothing about real scaling).
+- documents: every word suffixed with a replica tag -> cross-replica
+  shingle overlap is zero, within-replica structure identical.
+- embeddings: per-replica deterministic dimension permutation ->
+  within-replica pair cosines EXACTLY the originals, cross-replica
+  pairs decorrelated.
+- part: brand suffixed per replica -> fuzzy-match blocks scale OUT
+  (more blocks), not UP (bigger blocks) — the realistic blocking-key
+  assumption, stated explicitly.
+Other tables are copied as-is from sf0.1.
+"""
+import os, shutil, sys
+sys.path.insert(0, "/root/repo")
+import numpy as np
+from pyspark.sql import functions as F
+from hbacker_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scale_smoke/x10"  # gitignored, transient
+N = 10
+
+spark = get_spark("scale_smoke")
+spark.sparkContext.setLogLevel("ERROR")
+os.makedirs(DST, exist_ok=True)
+
+docs = spark.read.parquet(f"{SRC}/documents.parquet")
+max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+parts = []
+for i in range(N):
+    r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc))
+    if i:
+        r = r.withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1x{i}"))
+    parts.append(r)
+parts[0].unionByName(*parts[1:]) if False else None
+out = parts[0]
+for p in parts[1:]:
+    out = out.unionByName(p)
+out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+dim = len(emb.select("embedding").first()[0])
+eparts = []
+for i in range(N):
+    r = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vec))
+    if i:
+        perm = np.random.RandomState(i).permutation(dim).tolist()
+        r = r.withColumn("embedding", F.array(*[F.col("embedding")[p] for p in perm]))
+    eparts.append(r)
+out = eparts[0]
+for p in eparts[1:]:
+    out = out.unionByName(p)
+out.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+part = spark.read.parquet(f"{SRC}/part.parquet")
+max_pk = part.agg(F.max("p_partkey")).first()[0] + 1
+pparts = []
+for i in range(N):
+    r = part.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * max_pk))
+    if i:
+        r = r.withColumn("p_brand", F.concat("p_brand", F.lit(f"_r{i}")))
+    pparts.append(r)
+out = pparts[0]
+for p in pparts[1:]:
+    out = out.unionByName(p)
+out.write.mode("overwrite").parquet(f"{DST}/part.parquet")
+
+for t in ("region", "nation", "customer", "supplier", "orders", "lineitem", "events"):
+    s = f"{SRC}/{t}.parquet"
+    d = f"{DST}/{t}.parquet"
+    if os.path.isdir(s):
+        shutil.copytree(s, d, dirs_exist_ok=True)
+    else:
+        shutil.copy(s, d)
+print("built", DST)
