@@ -917,3 +917,55 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.cast("bigint").alias("n_ws_tokens"),
         F.round(n_bpe.cast("double") / n_ws, 6).alias("tokens_per_word"),
     )
+
+
+# Context-window chunking (training-data prep): 128-word chunks on a
+# 96-word stride (32-word overlap), the standard sliding-window split
+# that keeps cross-boundary context in at least one chunk.
+CHUNK_WORDS = 128
+CHUNK_STRIDE = 96
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             s,
+             ws[s + 1 : s + {CHUNK_WORDS}] AS chunk
+      FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1, {CHUNK_STRIDE})) AS s
+            FROM ws)
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    tags=("llm", "text", "chunking"),
+    doc="Sliding-window document chunking for context-window packing: "
+    "128-word chunks every 96 words (32 overlap), last chunk ragged. "
+    "Pure codegen'd higher-order functions (sequence → slice → explode) "
+    "— the chunk arrays never leave the JVM; the oracle-compared "
+    "identity is the md5 of the rejoined chunk text. DuckDB list slices "
+    "are inclusive (ws[s+1 : s+128]) where Spark slice() takes a "
+    "length — same 128 elements either way.",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - 1, {CHUNK_STRIDE}), "
+                f"s -> struct(s AS s, slice(split(text, ' '), s + 1, {CHUNK_WORDS}) AS chunk))"
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("c.s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size("c.chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "c.chunk").cast("binary")).alias("chunk_hash"),
+    )

@@ -121,3 +121,65 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "stream_dedup_shadow",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "dedup", "window"),
+    doc="Streaming-dedup semantics in batch: the FIRST event per "
+    "(user_id, event_type) — what dropDuplicatesWithinWatermark keeps "
+    "on an in-order stream, stated deterministically via a (ts, "
+    "event_id)-ordered window so the oracle pins exactly which row "
+    "survives. The live twin (state-store dedup under a watermark) "
+    "runs in tests/test_streaming.py over the same source.",
+)
+def stream_dedup_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
+    "stream_static_enrich_shadow",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "aggregation"),
+    doc="Stream-static enrichment semantics in batch: fact stream joined "
+    "to the customer dimension (broadcast — the static side is the "
+    "small one, exactly how a streaming query would plan it) and "
+    "aggregated per (segment, event_type) with decimal-exact sums. The "
+    "live twin (readStream fact x static dim join) runs in "
+    "tests/test_streaming.py.",
+)
+def stream_static_enrich_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )

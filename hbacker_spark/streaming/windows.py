@@ -116,3 +116,25 @@ def stream_to_snapshots(events: DataFrame, dest_root: str, checkpoint: str, sess
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_first_events(
+    events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type"), watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup: keep the first arrival per key, state bounded by
+    the watermark (dropDuplicatesWithinWatermark evicts key state once
+    the watermark passes it — the only way streaming dedup survives
+    unbounded key cardinality). Batch-shadow twin: the oracled
+    `stream_dedup_shadow` query (deterministic first-by-(ts, event_id)).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the static
+    dimension snapshot; Spark plans the static side as the build side
+    (broadcast under the threshold), so the stream never shuffles on the
+    join key. Batch-shadow twin: `stream_static_enrich_shadow`."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), events[on_left] == dim[on_right])

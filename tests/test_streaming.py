@@ -102,3 +102,46 @@ def test_stream_to_snapshots_foreachbatch(spark, stream_src, tmp_path):
     assert len(sessions) >= 2  # multiple micro-batches → multiple session dirs
     total = spark.read.parquet(f"{dest}/*/events").count()
     assert total == spark.read.parquet(stream_src).count()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate (user_id, event_type) rows across micro-batches collapse
+    to one surviving row while the watermark holds the key state."""
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:00:30", 7, "click", 2.0, "{}"),  # dup key
+        (3, "2024-01-01 10:01:00", 8, "view", 3.0, "{}"),
+        (4, "2024-01-01 10:02:00", 7, "view", 4.0, "{}"),
+        (5, "2024-01-01 10:03:00", 8, "view", 5.0, "{}"),  # dup key
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = W.read_events_stream(spark, src)
+    got = W.run_to_completion(W.dedup_first_events(stream), "t_dedup")
+    keys = sorted((r["user_id"], r["event_type"]) for r in got.collect())
+    assert keys == [(7, "click"), (7, "view"), (8, "view")]
+
+
+def test_stream_static_enrich_matches_batch(spark, stream_src):
+    """Stream-static dimension join converges to the batch join."""
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer")
+    stream = W.read_events_stream(spark, stream_src)
+    enriched = (
+        W.enrich_with_dimension(stream, dim, "user_id", "c_custkey")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = W.run_to_completion(enriched, "t_enrich", output_mode="complete")
+    events = spark.read.parquet(stream_src)
+    want = (
+        events.join(dim, events.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
