@@ -969,3 +969,59 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c.chunk").cast("bigint").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "c.chunk").cast("binary")).alias("chunk_hash"),
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           min(round(sqrt({S.sql_dot('embedding', 'embedding')}), 6)) AS min_norm,
+           max(round(sqrt({S.sql_dot('embedding', 'embedding')}), 6)) AS max_norm,
+           CAST(SUM(CAST(round(sqrt({S.sql_dot('embedding', 'embedding')}), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("llm", "similarity", "aggregation"),
+    doc="Per-label embedding L2-norm profile (the sanity gate before any "
+    "cosine pipeline: zero or wildly-scaled norms break similarity). "
+    "Norms via the exact fold, rounded to 6dp BEFORE aggregating; the "
+    "sum goes through DECIMAL(18,6) so it is aggregation-order-"
+    "independent — min/max/count are order-free by nature. One shuffle "
+    "on label.",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(S.norm("embedding"), 6)
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min(nrm).alias("min_norm"),
+        F.max(nrm).alias("max_norm"),
+        F.sum(nrm.cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+    )
+
+
+@register(
+    "approx_percentile_totalprice",
+    oracle=None,  # sketch-based (GK/KLL-style) quantiles are engine-specific → rows-only
+    tags=("aggregation", "sketch", "approx"),
+    doc="Approximate quantiles of order totals per order-priority via "
+    "approx_percentile (Greenwald-Khanna sketch, mergeable across "
+    "partitions — the 100 TB path where exact percentile's full sort "
+    "is unpayable; accuracy 1/10000). Exact twin: "
+    "percentile_totalprice (oracled). Rows-only by design: sketch "
+    "internals differ across engines.",
+)
+def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pcts = F.expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95), 10000)"
+    ).alias("pcts")
+    return o.groupBy("o_orderpriority").agg(pcts).select(
+        "o_orderpriority",
+        F.col("pcts")[0].alias("p25"),
+        F.col("pcts")[1].alias("p50"),
+        F.col("pcts")[2].alias("p75"),
+        F.col("pcts")[3].alias("p95"),
+    )
