@@ -148,3 +148,42 @@ def test_export_all_tables_s2(spark, tmp_path):
     assert exported == {"cells_alpha", "cells_beta"}
     # schema captured per table (S5)
     assert store.catalog.column_descriptors("cells_alpha", "s1")
+
+
+def test_pair_kernel_exact_at_threshold_boundary(spark):
+    """The dgemm filter-then-verify kernel must agree with the pure JVM
+    fold expression EXACTLY for pairs engineered to sit within one ulp
+    of the rounded threshold — the regime where a fast-path-only kernel
+    would misclassify. Vectors are built so cosines land a hair above,
+    exactly at, and a hair below round-to-6 boundaries of 0.4."""
+    import math
+
+    from hbacker_spark.functions.similarity import brute_force_pair_cosines, cosine
+
+    eps = 1e-9
+    base = [
+        (0, [1.0, 0.0]),
+        (1, [0.4, math.sqrt(1 - 0.4**2)]),            # cos(0,1) = 0.4 exactly-ish
+        (2, [0.3999995, math.sqrt(1 - 0.3999995**2)]),  # rounds UP to 0.4
+        (3, [0.3999994, math.sqrt(1 - 0.3999994**2)]),  # rounds DOWN to 0.399999
+        (4, [0.4 + eps, math.sqrt(1 - (0.4 + eps) ** 2)]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in brute_force_pair_cosines(spark, df, threshold=0.4).collect()
+    }
+    # Ground truth: the pure JVM fold expression on the full cross join.
+    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", F.round(cosine("ea", "eb"), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.4)
+        ).collect()
+    }
+    assert got == want and len(want) >= 3
