@@ -1080,3 +1080,165 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dec * F.col("_n") > F.col("_total"))
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
+
+
+@register(
+    "events_locf_purchase_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(12,2)) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+    tags=("window", "timeseries", "gapfill"),
+    doc="LOCF gap-fill (last observation carried forward): every event "
+    "row annotated with the user's most recent purchase value — "
+    "last_value(... IGNORE NULLS) over a rows-frame window, the "
+    "standard forward-fill for sparse observations in telemetry and "
+    "feature pipelines. Values go through DECIMAL(12,2) (testdata "
+    "money is 2dp-exact) so carried values are bit-stable; ties break "
+    "on event_id in both engines. One shuffle on user_id.",
+)
+def events_locf_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(12,2)")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "events_resample_5min_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '5 minutes', min(ts)) AS lo,
+             time_bucket(INTERVAL '5 minutes', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '5 minutes')) AS bucket FROM bounds
+    ),
+    actual AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT s.bucket, COALESCE(a.n, 0) AS n
+    FROM spine s LEFT JOIN actual a ON s.bucket = a.bucket
+    """,
+    tags=("timeseries", "resample", "join"),
+    doc="Gap-inclusive 5-minute resample: a generated time spine "
+    "(sequence between the epoch-aligned min/max buckets) left-joined "
+    "to actual bucket counts so EMPTY intervals appear as zero rows — "
+    "the resample shape dashboards and anomaly detectors need, which a "
+    "plain groupBy(window) cannot produce (it only emits observed "
+    "buckets). The spine derives from a 1-row min/max aggregate "
+    "exploded JVM-side (no driver round-trip) and broadcast-joins the "
+    "counts.",
+)
+def events_resample_5min_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 300) * 300)
+    bounds = e.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 5 minutes)")).alias("bucket")
+    )
+    actual = e.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(actual, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(CASE
+             WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click THEN 3
+             WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 2
+             WHEN t_signup IS NOT NULL THEN 1
+             ELSE 0 END AS INT) AS funnel_stage,
+           COUNT(*) AS n_users
+    FROM per_user
+    GROUP BY 1
+    """,
+    tags=("aggregation", "funnel", "conditional"),
+    doc="Conversion funnel via conditional aggregation: per user, the "
+    "first signup/click/purchase timestamps in ONE groupBy (three "
+    "conditional mins — no self-joins, no multiple scans), then the "
+    "reached stage from their ordering (NULL comparisons are falsy in "
+    "both engines, so missing steps demote cleanly). Two shuffles "
+    "total: user rollup + stage histogram. Timestamps compare in "
+    "microseconds identically on both engines.",
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_signup").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            3,
+        )
+        .when(F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup")), 2)
+        .when(F.col("t_signup").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return per_user.groupBy(stage.alias("funnel_stage")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "value_histogram_fixed_bins",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 50), 19) AS INT) AS bin,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("aggregation", "histogram"),
+    doc="Fixed-width histogram (20 bins of 50, top bin open-ended) per "
+    "event type — the distribution profile for monitoring drift. The "
+    "bin arithmetic is stated directly (floor of a double division, "
+    "identical IEEE ops per engine; floor BEFORE the int cast because "
+    "DuckDB's double→int cast rounds where Spark truncates). A single "
+    "map-side-combining shuffle on (type, bin).",
+)
+def value_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 50), F.lit(19)).cast("int")
+    return e.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
