@@ -55,5 +55,6 @@ def load_all_queries() -> dict[str, QuerySpec]:
     import hbacker_spark.queries.multimodal_udf  # noqa: F401
     import hbacker_spark.queries.relational  # noqa: F401
     import hbacker_spark.queries.streaming_shadow  # noqa: F401
+    import hbacker_spark.queries.tpch_extra  # noqa: F401
 
     return REGISTRY
