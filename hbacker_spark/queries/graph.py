@@ -1,0 +1,176 @@
+"""Graph analytics over relational data (SURVEY.md §2.C widening).
+
+Co-purchase graph: parts are nodes; an undirected edge (u, v) exists
+when both parts appear in the same order at least ``SUPPORT`` times.
+Frequent-pair mining, degree profiling, and triangle counting are the
+canonical "graph on a relational engine" workloads (cf. the CC-based
+dedup clustering in operators/clustering.py, which is the iterative
+sibling of these one-shot queries).
+
+Scale notes (100 TB discipline):
+- the edge builder is a self-equi-join on l_orderkey — a single shuffle
+  on the order key; per-order fan-out is bounded by lines-per-order
+  (TPC-H ~4, here ~4), so no quadratic blowup. The support filter
+  (HAVING count >= N) then cuts the edge set before anything graphy.
+- triangle counting uses the *oriented wedge* algorithm: every edge is
+  directed from its lower-degree endpoint (ties by id), wedges are
+  enumerated only at each triangle's minimum-degree vertex, and closed
+  against the canonical edge list. Wedge count is sum(outdeg^2) with
+  outdeg bounded by ~sqrt(|E|) — the standard way triangle counting
+  stays subquadratic on power-law graphs (same trick as GraphFrames /
+  Spark's own triangleCount).
+- everything is equi-joins + aggregates: shuffles on node/edge keys,
+  no driver-side state, AQE free to re-plan skewed degrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbacker_spark.registry import register
+from hbacker_spark.sources.tables import load_table
+
+SUPPORT = 2
+
+_SQL_PAIRS = f"""
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS support
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {SUPPORT}
+"""
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) co-purchase edges with their support counts."""
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= SUPPORT)
+    )
+
+
+@register(
+    "copurchase_frequent_pairs",
+    oracle=f"""
+    SELECT u, v, support FROM ({_SQL_PAIRS})
+    ORDER BY support DESC, u, v
+    LIMIT 25
+    """,
+    tags=("graph", "join", "topk"),
+    doc="Frequent-itemset pairs: top-25 co-purchased part pairs by "
+    "support. Edge build is one shuffle on the order key with bounded "
+    "per-order fan-out; top-k compiles to TakeOrderedAndProject.",
+)
+def copurchase_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _copurchase_pairs(spark, sf_dir)
+        .orderBy(F.col("support").desc(), "u", "v")
+        .limit(25)
+    )
+
+
+@register(
+    "copurchase_degree_distribution",
+    oracle=f"""
+    WITH pairs AS ({_SQL_PAIRS}),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs) t
+      GROUP BY node)
+    SELECT degree, COUNT(*) AS n_parts
+    FROM deg GROUP BY degree
+    """,
+    tags=("graph", "aggregation"),
+    doc="Degree distribution of the co-purchase graph — the skew probe "
+    "you run BEFORE joining on a graph at 100 TB (a heavy-tail degree "
+    "here predicts hot keys there).",
+)
+def copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@register(
+    "copurchase_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({_SQL_PAIRS}),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs) t
+      GROUP BY node),
+    ori AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.u ELSE p.v END AS s,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v) THEN p.v ELSE p.u END AS t
+      FROM pairs p
+        JOIN deg du ON p.u = du.node
+        JOIN deg dv ON p.v = dv.node),
+    wedge AS (
+      SELECT e1.t AS a, e2.t AS b
+      FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t)
+    SELECT COUNT(*) AS n_triangles
+    FROM wedge w JOIN pairs p ON w.a = p.u AND w.b = p.v
+    """,
+    tags=("graph", "join", "aggregation"),
+    doc="Oriented-wedge triangle count: edges point low-degree -> "
+    "high-degree (ties by id), wedges are enumerated only at each "
+    "triangle's min-degree vertex, then closed against the canonical "
+    "(u < v) edge list. Wedge work is sum(outdeg^2), outdeg ~ "
+    "sqrt(|E|)-bounded — the subquadratic form GraphX/GraphFrames use.",
+)
+def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    p = pairs.alias("p")
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    low_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("p.u") < F.col("p.v"))
+    )
+    ori = (
+        p.join(du, F.col("p.u") == F.col("du.node"))
+        .join(dv, F.col("p.v") == F.col("dv.node"))
+        .select(
+            F.when(low_first, F.col("p.u")).otherwise(F.col("p.v")).alias("s"),
+            F.when(low_first, F.col("p.v")).otherwise(F.col("p.u")).alias("t"),
+        )
+    )
+    e1 = ori.alias("e1")
+    e2 = ori.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(F.col("e1.t").alias("a"), F.col("e2.t").alias("b"))
+    closed = wedge.join(
+        pairs.select("u", "v"),
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

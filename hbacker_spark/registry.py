@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
 
 def load_all_queries() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
+    import hbacker_spark.queries.graph  # noqa: F401
     import hbacker_spark.queries.hbacker_semantics  # noqa: F401
     import hbacker_spark.queries.llm_pipeline  # noqa: F401
     import hbacker_spark.queries.multimodal_udf  # noqa: F401
