@@ -183,3 +183,38 @@ def stream_static_enrich_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_join_attribution_shadow",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts       AS purchase_ts,
+           p.value    AS purchase_value,
+           c.event_id AS click_id,
+           c.ts       AS click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "join", "range"),
+    doc="Stream-stream join semantics in batch: every purchase attributed "
+    "to the same user's clicks in the preceding hour. The IDENTICAL "
+    "function body (streaming/joins.py attribute_purchases_to_clicks) "
+    "runs under readStream in tests/test_streaming.py — watermark + the "
+    "time-range condition are what let the streaming engine evict "
+    "buffered rows, so the range bound is load-bearing at scale, not "
+    "decoration. Batch planning: equi-join on user_id with the range "
+    "as a residual — one shuffle, no cartesian.",
+)
+def stream_join_attribution_shadow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.streaming.joins import attribute_purchases_to_clicks
+
+    e = load_table(spark, sf_dir, "events")
+    return attribute_purchases_to_clicks(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

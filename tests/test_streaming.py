@@ -145,3 +145,28 @@ def test_stream_static_enrich_matches_batch(spark, stream_src):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_stream_join_matches_batch(spark, stream_src):
+    """Inner stream-stream join (watermark + time-range bound) over
+    multi-batch file arrival must converge to the batch join on the
+    same data — including cross-micro-batch matches, which is what the
+    buffered state exists for."""
+    from hbacker_spark.streaming.joins import attribute_purchases_to_clicks
+
+    stream = W.read_events_stream(spark, stream_src)
+    got = W.run_to_completion(
+        attribute_purchases_to_clicks(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            watermark="60 days",  # nothing late → exact convergence
+        ),
+        "t_ss_join",
+    )
+    events = spark.read.parquet(stream_src)
+    want = attribute_purchases_to_clicks(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
