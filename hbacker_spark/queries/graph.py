@@ -174,3 +174,54 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+BFS_SEED = 0
+BFS_DEPTH = 3
+
+
+@register(
+    "copurchase_bfs_reachable",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_PAIRS}),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    walk(node, hops) AS (
+      SELECT CAST({BFS_SEED} AS BIGINT) AS node, 0 AS hops
+      UNION
+      SELECT e.v AS node, w.hops + 1 AS hops
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.hops < {BFS_DEPTH})
+    SELECT node, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative"),
+    doc=f"BFS reachability: parts within {BFS_DEPTH} co-purchase hops of "
+    f"part {BFS_SEED}, with minimum hop count. The oracle is DuckDB's "
+    "recursive CTE (UNION-distinct recursion, so the working set is "
+    "(node,hops) pairs, not paths); Spark has no recursive SQL, so the "
+    "engine form is the frontier loop every distributed BFS uses — "
+    "join frontier to edges, anti-join out visited nodes, union into "
+    "visited. Each round is one equi-join shuffle over the FRONTIER "
+    "(not the full graph); depth is a fixed constant, so the plan is "
+    "a statically unrolled chain, same shape as the CC pointer-doubling "
+    "loop in operators/clustering.py but with per-level dedup.",
+)
+def copurchase_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir).select("u", "v")
+    edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seed = spark.range(1).select(
+        F.lit(BFS_SEED).cast("long").alias("node"), F.lit(0).cast("int").alias("hops")
+    )
+    visited = seed
+    frontier = seed
+    for depth in range(1, BFS_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth).cast("int"))
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited

@@ -1335,3 +1335,122 @@ def nullsafe_bucket_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ck").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "dq_audit_metrics",
+    oracle="""
+    SELECT 'n_orders' AS metric, COUNT(*) AS value FROM orders
+    UNION ALL
+    SELECT 'dup_orderkeys', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'orphan_orders', COUNT(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'orphan_lineitems', COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'null_totalprice', COUNT(*) FROM orders WHERE o_totalprice IS NULL
+    UNION ALL
+    SELECT 'negative_quantity', COUNT(*) FROM lineitem WHERE l_quantity < 0
+    """,
+    tags=("quality", "join", "aggregation"),
+    doc="Data-quality audit as a query: primary-key uniqueness, FK "
+    "referential orphans (left-anti probes), null and range violations "
+    "— the pre-ingest QA sweep a training pipeline runs before "
+    "trusting a new data drop. Each probe is one scan/anti-join; "
+    "unioned into a (metric, value) report so new checks are one "
+    "SELECT away.",
+)
+def dq_audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(metric: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(F.lit(metric).alias("metric"), F.col("value"))
+
+    n_orders = o.agg(F.count(F.lit(1)).alias("value"))
+    dup_keys = o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("value"))
+    orphan_o = (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    orphan_l = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    null_tp = o.filter(F.col("o_totalprice").isNull()).agg(F.count(F.lit(1)).alias("value"))
+    neg_qty = l.filter(F.col("l_quantity") < 0).agg(F.count(F.lit(1)).alias("value"))
+    return (
+        one("n_orders", n_orders)
+        .unionAll(one("dup_orderkeys", dup_keys))
+        .unionAll(one("orphan_orders", orphan_o))
+        .unionAll(one("orphan_lineitems", orphan_l))
+        .unionAll(one("null_totalprice", null_tp))
+        .unionAll(one("negative_quantity", neg_qty))
+    )
+
+
+@register(
+    "cumulative_new_users_hourly",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('hour', ts)) AS h FROM events GROUP BY user_id),
+    hourly AS (SELECT h, COUNT(*) AS new_users FROM firsts GROUP BY h)
+    SELECT h AS hour, new_users,
+           SUM(new_users) OVER (ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM hourly
+    """,
+    tags=("window", "timeseries", "aggregation"),
+    doc="Cumulative distinct users per hour WITHOUT a running "
+    "COUNT(DISTINCT) (which no engine can do incrementally): reduce "
+    "each user to their first-seen hour, count firsts per hour, then a "
+    "running sum over the tiny per-hour relation. Two shuffles on "
+    "user/hour; the window sees only one row per hour — the standard "
+    "rewrite that turns an O(n^2) running-distinct into O(n).",
+)
+def cumulative_new_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.date_trunc("hour", "ts")).alias("h"))
+    hourly = firsts.groupBy("h").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return hourly.select(
+        F.col("h").alias("hour"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, epoch(o_orderdate) * 100000000 + o_orderkey) AS last_orderkey,
+           max_by(o_totalprice, epoch(o_orderdate) * 100000000 + o_orderkey) AS last_totalprice,
+           MAX(o_orderdate) AS last_orderdate
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("aggregation", "argmax"),
+    doc="arg-max per group via max_by: each customer's most recent order "
+    "in ONE aggregation pass (no rank window, no self-join). Ties on "
+    "the date are broken by folding the unique orderkey into the "
+    "ordering scalar (epoch*1e8 + key) — deterministic on both "
+    "engines, and the fold stays in int64 range at any realistic "
+    "order count.",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ordval = (
+        F.unix_timestamp("o_orderdate") * F.lit(100000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordval).alias("last_orderkey"),
+        F.max_by("o_totalprice", ordval).alias("last_totalprice"),
+        F.max("o_orderdate").alias("last_orderdate"),
+    )

@@ -170,3 +170,56 @@ def test_embedding_pairs_plan_has_no_driver_collect(spark, sf_dir):
     plan = X.explain_str(SPECS["embedding_near_dup_pairs"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_q19_disjunction_pushes_side_local_conjuncts(spark, sf_dir):
+    """OR-of-ANDs across both join sides: Catalyst must CNF-extract the
+    side-local disjuncts and push them into BOTH parquet scans — the
+    quantity envelope to lineitem, the brand/size envelope to part."""
+    plan = X.explain_str(SPECS["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed), plan
+    assert any("p_brand" in l or "p_size" in l for l in pushed), plan
+
+
+def test_tpch_topk_compile_to_take_ordered(spark, sf_dir):
+    """Q10/Q18/Q21-style deterministic top-k must be distributed partial
+    top-k (TakeOrderedAndProject), never a global sort or a
+    single-partition rank window."""
+    for name in ("q10_returned_items", "q18_large_volume_customers", "q21_sole_returner"):
+        plan = X.explain_str(SPECS[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan}"
+
+
+def test_exists_patterns_stay_semi_anti_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS / IN subqueries must plan as semi/anti hash
+    joins (decorrelated), not nested-loop or cartesian shapes."""
+    for name, frag in (
+        ("q4_priority_exists", "LeftSemi"),
+        ("q20_part_supply_chain", "LeftSemi"),
+        ("q22_idle_rich_customers", "LeftAnti"),
+    ):
+        plan = X.explain_str(SPECS[name].fn(spark, sf_dir))
+        assert frag in plan, f"{name}: expected {frag}\n{plan}"
+        assert "CartesianProduct" not in plan.replace(
+            "BroadcastNestedLoopJoin BuildRight, Inner", ""
+        ), f"{name}: cartesian residual\n{plan}"
+
+
+def test_copurchase_pairs_subplan_is_reused(spark):
+    """The degree computation references the edge relation twice; the
+    physical plan must reuse one exchange, not rebuild the self-join.
+    ReusedExchange only materializes in the POST-EXECUTION AQE plan (and
+    only when the input is big enough that AQE doesn't broadcast the
+    whole subplan), so run at sf0.1 and collect first."""
+    from hbacker_spark.queries.graph import copurchase_degree_distribution
+
+    df = copurchase_degree_distribution(spark, "/root/testdata/sf0.1")
+    df.collect()
+    plan = X.executed_plan_str(df)
+    assert "ReusedExchange" in plan, plan
+
+
+def test_bfs_frontier_joins_are_hash_not_cartesian(spark, sf_dir):
+    plan = X.explain_str(SPECS["copurchase_bfs_reachable"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
