@@ -80,7 +80,14 @@ HEADLINE = (
     "multimodal_features",
     "merge_upsert_segment_boost",
     "stream_session_windows",
+    "stream_join_attribution_shadow",
     "s1_version_limited_scan",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "q21_sole_returner",
+    "copurchase_triangle_count",
+    "copurchase_bfs_reachable",
+    "snapshot_fingerprint_by_nation",
 )
 
 

@@ -153,3 +153,106 @@ def catalog_like_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("table_name"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "snapshot_fingerprint_by_nation",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(c_custkey AS VARCHAR), c_name,
+               CAST(c_nationkey AS VARCHAR),
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+               c_mktsegment)), 1, 15)) AS UBIGINT)) AS fingerprint
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("validation", "aggregation", "hbacker"),
+    doc="Content fingerprint per shard: md5 row digests XOR-folded per "
+    "nation (operators/validate.py). The reference's import validation "
+    "set-compares table NAMES only (lib/hbacker/import.rb:54-63); this "
+    "is the content-level check it lacks — XOR is partition-order "
+    "independent, so source and restore fingerprints are comparable "
+    "regardless of how either side was parallelized, and grouping "
+    "localizes which shard diverged. Cross-engine exact because the "
+    "row rendering pins decimals to a fixed scale before hashing.",
+)
+def snapshot_fingerprint_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.validate import table_fingerprint
+
+    c = load_table(spark, sf_dir, "customer")
+    cols = [
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+        F.col("c_mktsegment"),
+    ]
+    return table_fingerprint(c, cols, group_by=["c_nationkey"])
+
+
+@register(
+    "snapshot_diff_order_status",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_custkey,
+             max_by(o_orderstatus, epoch(o_orderdate) * 100000000 + o_orderkey) AS status
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY o_custkey),
+    v2 AS (
+      SELECT o_custkey,
+             max_by(o_orderstatus, epoch(o_orderdate) * 100000000 + o_orderkey) AS status
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY o_custkey)
+    SELECT COALESCE(v1.o_custkey, v2.o_custkey) AS o_custkey,
+           v1.status AS v1_status,
+           v2.status AS v2_status,
+           CASE WHEN v1.o_custkey IS NULL THEN 'added'
+                WHEN v1.status <> v2.status THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_custkey = v2.o_custkey
+    WHERE v1.o_custkey IS NULL OR v1.status <> v2.status
+    """,
+    tags=("validation", "cdc", "join", "hbacker"),
+    doc="CDC diff between two point-in-time states (the reference's "
+    "incremental chain, read back as a changeset): latest order status "
+    "per customer as of two cutoffs, full-outer-joined and classified "
+    "added/changed. One shuffle per state + one on the join key; the "
+    "max_by arg-max uses the composite ordering scalar so both states "
+    "are deterministic. At 100 TB this is the snapshot-comparison you "
+    "run instead of re-exporting to see what an increment will touch.",
+)
+def snapshot_diff_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ordval = (
+        F.unix_timestamp("o_orderdate") * F.lit(100000000).cast("long")
+        + F.col("o_orderkey")
+    )
+
+    def state(cutoff: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(F.max_by("o_orderstatus", ordval).alias("status"))
+        )
+
+    v1 = state("1999-01-01").select(
+        F.col("o_custkey").alias("k1"), F.col("status").alias("v1_status")
+    )
+    v2 = state("2000-01-01").select(
+        F.col("o_custkey").alias("k2"), F.col("status").alias("v2_status")
+    )
+    diff = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    return (
+        diff.select(
+            F.coalesce(F.col("k1"), F.col("k2")).alias("o_custkey"),
+            "v1_status",
+            "v2_status",
+            F.when(F.col("k1").isNull(), "added")
+            .when(F.col("v1_status") != F.col("v2_status"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type"),
+        )
+        .filter((F.col("v1_status").isNull()) | (F.col("v1_status") != F.col("v2_status")))
+    )

@@ -248,3 +248,33 @@ def test_watermark_keyed_by_dest_root(spark, store, dest, tmp_path):
     restored = spark.read.parquet(snapshot_path(other, "chain_b", "wm_t"))
     full = scan_export(cells, 0, T3 + 1).count()
     assert restored.count() == full
+
+
+def test_fingerprint_validates_roundtrip_and_detects_loss(spark, store, dest):
+    """Content fingerprint (operators/validate.py): export→import must
+    preserve (count, xor-fingerprint); dropping any row must change it.
+    This is the content-level check the reference's name-set validation
+    (import.rb:54-63) cannot make."""
+    from pyspark.sql import functions as F
+
+    from hbacker_spark.operators.validate import table_fingerprint
+
+    cells = make_cells(spark)
+    cols = [
+        F.col("row_key"),
+        F.col("cf"),
+        F.col("qualifier"),
+        F.col("ts").cast("string"),
+        F.col("value"),
+    ]
+    store.export_tables({"t_fp": cells}, dest, "20110103_000000", 0, T3 + 1)
+    restored = store.import_tables(dest, "20110103_000000", "20110103_010000")["t_fp"]
+
+    src_fp = table_fingerprint(cells, cols).collect()[0]
+    dst_fp = table_fingerprint(restored, cols).collect()[0]
+    assert (src_fp["n_rows"], src_fp["fingerprint"]) == (dst_fp["n_rows"], dst_fp["fingerprint"])
+
+    # any lost row flips the fingerprint even when another keeps the count plausible
+    lost = restored.limit(restored.count() - 1)
+    bad_fp = table_fingerprint(lost, cols).collect()[0]
+    assert bad_fp["fingerprint"] != src_fp["fingerprint"] or bad_fp["n_rows"] != src_fp["n_rows"]
