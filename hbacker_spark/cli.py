@@ -50,6 +50,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     imp.add_argument("--out-root", required=True, help="dir to write restored <table>.parquet")
 
+    cpt = sub.add_parser(
+        "compact",
+        help="rewrite a snapshot table dir to ~target-sized files "
+        "(small-file maintenance; fingerprint-safe atomic swap)",
+    )
+    cpt.add_argument("--dest-root", required=True)
+    cpt.add_argument("--session-name", required=True)
+    cpt.add_argument("--table", required=True)
+    cpt.add_argument("--target-file-mb", type=int, default=128)
+
     db = sub.add_parser("db", help="catalog report (C9/C10; cli.rb:287-322)")
     db.add_argument("--mode", default="export", choices=["export", "import"])
     db.add_argument("--session-name-pattern", default=None, help="SQL LIKE pattern")
@@ -103,6 +113,15 @@ def main(argv: list[str] | None = None) -> int:
         for name, df in restored.items():
             df.write.mode("overwrite").parquet(os.path.join(args.out_root, f"{name}.parquet"))
         print(json.dumps({"import_session": import_session, "tables": sorted(restored)}))
+        return 0
+
+    if args.command == "compact":
+        from hbacker_spark.operators.maintenance import compact_snapshot
+        from hbacker_spark.operators.snapshots import snapshot_path
+
+        path = snapshot_path(args.dest_root, args.session_name, args.table)
+        before, after = compact_snapshot(spark, path, args.target_file_mb)
+        print(json.dumps({"path": path, "files_before": before, "files_after": after}))
         return 0
 
     if args.command == "db":

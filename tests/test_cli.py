@@ -98,3 +98,18 @@ def test_cli_export_import_db_roundtrip(spark, tmp_path):
     assert rows and all(r["dest_root"] == dest for r in rows)
     out = run_cli("--catalog-root", cat, "db", "--dest-root", str(tmp_path / "nowhere"))
     assert not [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+
+    # compact: rewrite the exported users snapshot to one file, content-safe
+    from hbacker_spark.operators.snapshots import snapshot_path
+
+    snap = snapshot_path(dest, "20260813_010101", "users")
+    n_before = sum(1 for f in os.listdir(snap) if f.endswith(".parquet"))
+    out = run_cli(
+        "--catalog-root", cat, "compact",
+        "--dest-root", dest, "--session-name", "20260813_010101", "--table", "users",
+        "--target-file-mb", "512",
+    )
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["files_before"] == n_before and info["files_after"] == 1
+    restored_again = spark.read.parquet(snap)
+    assert restored_again.count() > 0
