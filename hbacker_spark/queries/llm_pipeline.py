@@ -1025,3 +1025,82 @@ def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[2].alias("p75"),
         F.col("pcts")[3].alias("p95"),
     )
+
+
+@register(
+    "mixture_waterfill_allocation",
+    oracle="""
+    WITH caps AS (
+      SELECT source,
+             CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS cap
+      FROM documents GROUP BY source),
+    ranked AS (
+      SELECT source, cap,
+             ROW_NUMBER() OVER (ORDER BY cap, source) AS i,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+             COUNT(*) OVER () AS n,
+             SUM(cap) OVER () AS total
+      FROM caps),
+    cand AS (
+      SELECT *,
+             (CAST(total AS DOUBLE) / 2.0 - CAST(prefix AS DOUBLE))
+               / CAST(n - i + 1 AS DOUBLE) AS lam
+      FROM ranked),
+    k AS (SELECT MIN(i) AS k_i FROM cand WHERE lam <= CAST(cap AS DOUBLE)),
+    lamv AS (SELECT c.lam FROM cand c JOIN k ON c.i = k.k_i)
+    SELECT c.source, c.cap,
+           CASE WHEN k.k_i IS NOT NULL AND c.i >= k.k_i THEN lamv.lam
+                ELSE CAST(c.cap AS DOUBLE) END AS allocation
+    FROM cand c LEFT JOIN k ON TRUE LEFT JOIN lamv ON TRUE
+    """,
+    tags=("mixing", "window", "aggregation"),
+    doc="Water-filling token-budget allocation across sources: spend "
+    "half the corpus's total tokens so every source gets an equal "
+    "share EXCEPT sources too small to use theirs, whose surplus is "
+    "redistributed — the standard data-mixing budgeter (caps = "
+    "per-source token counts). Closed form, no iteration: sort "
+    "sources by cap, prefix-sum, and the fill level lambda is the "
+    "first candidate (B - prefix_{i-1})/(n-i+1) that its own cap can "
+    "absorb. Post-agg relation is one row per SOURCE (tiny), so the "
+    "global windows are safe at any corpus size; the only fact-table "
+    "work is the per-source token count — one shuffle.",
+)
+def mixture_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    caps = d.groupBy("source").agg(F.sum(tokens).cast("long").alias("cap"))
+    wo = Window.orderBy("cap", "source")
+    wall = Window.partitionBy()
+    ranked = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(wo).alias("i"),
+        F.coalesce(
+            F.sum("cap").over(wo.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("prefix"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cap").over(wall).alias("total"),
+    )
+    cand = ranked.withColumn(
+        "lam",
+        (F.col("total").cast("double") / F.lit(2.0) - F.col("prefix").cast("double"))
+        / (F.col("n") - F.col("i") + 1).cast("double"),
+    )
+    k = cand.filter(F.col("lam") <= F.col("cap").cast("double")).agg(
+        F.min("i").alias("k_i")
+    )
+    lamv = cand.join(k, cand.i == k.k_i).select(F.col("lam").alias("_lam"))
+    return (
+        cand.join(k, F.lit(True), "left")
+        .join(lamv, F.lit(True), "left")
+        .select(
+            "source",
+            "cap",
+            F.when(
+                F.col("k_i").isNotNull() & (F.col("i") >= F.col("k_i")), F.col("_lam")
+            )
+            .otherwise(F.col("cap").cast("double"))
+            .alias("allocation"),
+        )
+    )

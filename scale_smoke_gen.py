@@ -70,7 +70,25 @@ for p in pparts[1:]:
     out = out.unionByName(p)
 out.write.mode("overwrite").parquet(f"{DST}/part.parquet")
 
-for t in ("region", "nation", "customer", "supplier", "orders", "lineitem", "events"):
+# lineitem: replicate with per-replica orderkey/partkey offsets — the
+# co-purchase graph gains 10x DISJOINT components (new stores, not
+# denser stores): within-replica edge/triangle structure identical,
+# cross-replica edges zero. Linear-input growth => graph queries
+# (pairs/degree/triangles/BFS) should scale ~linearly; superlinear
+# growth here means a join shape regressed.
+li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+lparts = []
+for i in range(N):
+    r = (li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+           .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * max_pk)))
+    lparts.append(r)
+out = lparts[0]
+for q in lparts[1:]:
+    out = out.unionByName(q)
+out.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+for t in ("region", "nation", "customer", "supplier", "orders", "events"):
     s = f"{SRC}/{t}.parquet"
     d = f"{DST}/{t}.parquet"
     if os.path.isdir(s):
