@@ -38,6 +38,8 @@ def get_spark(
         # nanosecond timestamps — read as long, loader truncates to micros
         # (matching DuckDB's nanos→micros truncation on read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python Data Source row-key pushdown (sources/cells_source.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
