@@ -1454,3 +1454,50 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_totalprice", ordval).alias("last_totalprice"),
         F.max("o_orderdate").alias("last_orderdate"),
     )
+
+
+@register(
+    "hof_user_event_folds",
+    oracle="""
+    WITH packed AS (
+      SELECT user_id,
+             list_sort(list(struct_pack(et := event_type, v := CAST(value AS DOUBLE)))) AS evs
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           length(list_filter(evs, x -> x.et = 'purchase')) AS n_purchases,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_filter(evs, x -> x.et = 'purchase'), x -> x.v)),
+             (a, b) -> a + b) AS purchase_total,
+           CAST(length(list_filter(evs, x -> x.et = 'error')) > 0 AS BOOLEAN) AS has_error
+    FROM packed
+    """,
+    tags=("array", "hof", "aggregation"),
+    doc="Higher-order functions over arrays of structs: pack each user's "
+    "events into a SORTED struct array (sorting makes the collected "
+    "array deterministic under parallel aggregation — same rule as "
+    "user_event_type_sets), then filter/transform/exists/aggregate "
+    "entirely inside codegen'd lambda expressions. The fold is a LEFT "
+    "fold seeded with 0.0 on both engines, the one evaluation order "
+    "that makes float sums bit-identical (the vector-kernel rule from "
+    "functions/similarity.py applied to business data). No shuffle "
+    "beyond the one groupBy.",
+)
+def hof_user_event_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    packed = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("event_type").alias("et"), F.col("value").cast("double").alias("v")))
+        ).alias("evs")
+    )
+    purchases = F.filter("evs", lambda x: x["et"] == "purchase")
+    return packed.select(
+        "user_id",
+        F.size(purchases).alias("n_purchases"),
+        F.aggregate(
+            F.transform(purchases, lambda x: x["v"]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("purchase_total"),
+        F.exists("evs", lambda x: x["et"] == "error").alias("has_error"),
+    )

@@ -223,3 +223,19 @@ def test_copurchase_pairs_subplan_is_reused(spark):
 def test_bfs_frontier_joins_are_hash_not_cartesian(spark, sf_dir):
     plan = X.explain_str(SPECS["copurchase_bfs_reachable"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Partitioned fact + filtered dim join must plan a dynamicpruning
+    subquery on the partition column — at 100 TB this is the difference
+    between scanning 3 partitions and scanning all of them when the
+    pruning key only becomes known at runtime (via the dim filter)."""
+    fact_path = str(tmp_path / "lineitem_part")
+    load_table(spark, sf_dir, "lineitem").write.partitionBy("l_returnflag").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("R", "returned")], "flag string, label string"
+    ).filter(F.col("label") == "returned")
+    joined = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("label").count()
+    plan = X.explain_str(joined)
+    assert "dynamicpruning" in plan.lower(), plan
