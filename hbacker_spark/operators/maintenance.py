@@ -91,3 +91,36 @@ def write_clustered(
         else df.repartitionByRange(*cluster_by)
     )
     part.sortWithinPartitions(*cluster_by).write.mode("errorifexists").parquet(path)
+
+
+def scrub_snapshot(
+    spark: SparkSession, path: str, forget_keys: DataFrame, key_col: str
+) -> tuple[int, int]:
+    """Right-to-be-forgotten rewrite: drop every row whose ``key_col``
+    appears in ``forget_keys``; returns (rows_before, rows_after).
+
+    This is the ONE deliberate exception to the snapshot layer's
+    append-only discipline (snapshots.py documents the no-delete
+    caveat): compliance deletion must rewrite history, so it reuses the
+    compaction swap (temp dir + rename) to stay atomic, and the
+    implementation is a broadcast left_anti join — the forget list is
+    small relative to the table at any scale, and the rewrite is one
+    scan with no shuffle of the kept data. Run fingerprints before and
+    after if you need an audit trail of what changed.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    keys = forget_keys.select(F.col(key_col)).distinct()
+    kept = df.join(F.broadcast(keys), key_col, "left_anti")
+
+    tmp = path.rstrip("/") + ".__scrub__"
+    bak = path.rstrip("/") + ".__pre_scrub__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("errorifexists").parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    after = spark.read.parquet(path).count()
+    return before, after

@@ -65,3 +65,22 @@ def test_clustered_write_prunes_files_on_key_filter(spark, tmp_path):
     rr = str(tmp_path / "roundrobin")
     df.repartition(8).write.parquet(rr)
     assert files_touched(rr) == 8
+
+
+def test_scrub_removes_only_forgotten_keys(spark, tmp_path):
+    path = str(tmp_path / "scrub_snap")
+    df = spark.range(1_000).select(
+        F.col("id"), (F.col("id") % 7).cast("decimal(12,2)").alias("v")
+    )
+    df.write.parquet(path)
+    forget = spark.createDataFrame([(5,), (17,), (999,)], "id long")
+
+    from hbacker_spark.operators.maintenance import scrub_snapshot
+
+    before, after = scrub_snapshot(spark, path, forget, "id")
+    assert (before, after) == (1_000, 997)
+    remaining = spark.read.parquet(path)
+    assert remaining.filter(F.col("id").isin(5, 17, 999)).count() == 0
+    # untouched rows keep their content (fingerprint of the kept set)
+    want = _fp(df.filter(~F.col("id").isin(5, 17, 999)))
+    assert _fp(remaining) == want
