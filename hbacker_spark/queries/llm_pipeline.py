@@ -1104,3 +1104,26 @@ def mixture_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("allocation"),
         )
     )
+
+
+@register(
+    "md5_deterministic_sample",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+    tags=("sampling", "deterministic"),
+    doc="Engine-independent deterministic ~10% sample: bucket = 32 bits "
+    "of md5(key) mod 10. Unlike TABLESAMPLE/rand() (seeded per "
+    "engine/partitioning) or xxhash64 (not portable), the md5 bucket "
+    "reproduces EXACTLY on any engine, any executor count, any day — "
+    "which is what makes a train/eval split auditable years later. "
+    "The xxhash64 twins (hash_sample_per_source) are the cheaper "
+    "in-engine path; this is the cross-system contract. Embarrassingly "
+    "parallel: filter only, no shuffle.",
+)
+def md5_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 10
+    return d.filter(bucket == 0).select("doc_id", "source", "lang")

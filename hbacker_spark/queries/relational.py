@@ -1501,3 +1501,70 @@ def hof_user_event_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchase_total"),
         F.exists("evs", lambda x: x["et"] == "error").alias("has_error"),
     )
+
+
+@register(
+    "percentile_qty_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50_qty,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90_qty,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "statistics", "percentile"),
+    doc="Exact grouped percentiles: Spark percentile() and DuckDB "
+    "quantile_cont() both linearly interpolate over the sorted group, "
+    "so the doubles match bit-for-bit (established r1 on the global "
+    "variant; this is the per-group form). Exact percentile sorts "
+    "within each group — fine when groups are few and bounded; the "
+    "100 TB default is the mergeable GK sketch twin "
+    "(approx_percentile_totalprice).",
+)
+def percentile_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)).alias("p50_qty"),
+        F.percentile(F.col("l_quantity").cast("double"), F.lit(0.9)).alias("p90_qty"),
+        F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.99)).alias("p99_price"),
+    )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+           GROUPING(EXTRACT(YEAR FROM o_orderdate)) AS g_y,
+           GROUPING(EXTRACT(QUARTER FROM o_orderdate)) AS g_q,
+           GROUPING(EXTRACT(MONTH FROM o_orderdate)) AS g_m,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(EXTRACT(YEAR FROM o_orderdate),
+                    EXTRACT(QUARTER FROM o_orderdate),
+                    EXTRACT(MONTH FROM o_orderdate))
+    """,
+    tags=("aggregation", "rollup", "date"),
+    doc="Calendar-hierarchy rollup (month ⊂ quarter ⊂ year ⊂ grand "
+    "total) with GROUPING() flags disambiguating NULL-as-subtotal from "
+    "NULL-as-value at every level — the time-dimension OLAP cube edge. "
+    "One Expand + one shuffle; subtotal rows are computed map-side "
+    "with the leaves.",
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("y", F.year("o_orderdate"))
+        .withColumn("q", F.quarter("o_orderdate"))
+        .withColumn("m", F.month("o_orderdate"))
+    )
+    return o.rollup("y", "q", "m").agg(
+        F.grouping("y").alias("g_y"),
+        F.grouping("q").alias("g_q"),
+        F.grouping("m").alias("g_m"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+    )
