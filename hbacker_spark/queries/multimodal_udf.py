@@ -141,3 +141,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
     return MM.sample_frames(media, every_ms=1000, max_frames=4)
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle="""
+    WITH ks AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, CAST(ceil(length(text) / 150.0) AS INT) - 1)) AS k
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+           substr(text, 150 * CAST(k AS INT) + 1, 200) AS chunk
+    FROM ks
+    """,
+    tags=("udf", "udtf", "chunking"),
+    doc="Python UDTF (Spark 4 user-defined TABLE function) in a LATERAL "
+    "join: each document expands to overlapping 200-char chunks at "
+    "stride 150 — one Python process per Arrow batch, rows fan out "
+    "inside the executor, never through the driver. Same deliberate "
+    "semantics-pin role as udf_canonicalize_labels: the built-in twin "
+    "is doc_chunk_windows (explode over sequence), which is the hot "
+    "path; the UDTF is the escape hatch for chunkers whose logic "
+    "outgrows SQL (tokenizer-aware splitting, sentence boundaries).",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class Chunker:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF signature
+            if not text:
+                return
+            start, i = 0, 0
+            while start < len(text):
+                yield (i, text[start : start + 200])
+                start += 150
+                i += 1
+
+    spark.udtf.register("hbacker_chunker", Chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk "
+        "FROM _udtf_docs d, LATERAL hbacker_chunker(d.doc_id, d.text) c"
+    )
