@@ -1568,3 +1568,102 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(money("o_totalprice")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "winsorize_order_totals",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS p05,
+             quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           LEAST(GREATEST(CAST(o.o_totalprice AS DOUBLE), b.p05), b.p95) AS clamped_total
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    """,
+    tags=("statistics", "join", "preprocessing"),
+    doc="Winsorization: clamp each order's total into its priority "
+    "group's [p05, p95] envelope — the standard outlier-taming "
+    "preprocessing step before fitting anything to heavy-tailed "
+    "money columns. Exact grouped percentiles (interpolation "
+    "identical on both engines) broadcast back onto the fact rows; "
+    "one shuffle for the quantiles, none for the clamp.",
+)
+def winsorize_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("double")
+    b = o.groupBy(F.col("o_orderpriority").alias("_prio")).agg(
+        F.percentile(tp, F.lit(0.05)).alias("p05"),
+        F.percentile(tp, F.lit(0.95)).alias("p95"),
+    )
+    return (
+        o.join(F.broadcast(b), o.o_orderpriority == F.col("_prio"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.least(F.greatest(tp, F.col("p05")), F.col("p95")).alias("clamped_total"),
+        )
+    )
+
+
+@register(
+    "event_type_lift",
+    oracle="""
+    WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    singles AS (SELECT event_type, COUNT(*) AS n_t FROM ue GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+      FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           (CAST(p.n_ab AS DOUBLE) * n.n_users)
+             / (CAST(sa.n_t AS DOUBLE) * sb.n_t) AS lift
+    FROM pairs p
+      JOIN singles sa ON p.type_a = sa.event_type
+      JOIN singles sb ON p.type_b = sb.event_type
+      CROSS JOIN n
+    """,
+    tags=("statistics", "graph", "aggregation"),
+    doc="Association lift between event types: P(a,b)/(P(a)P(b)) stated "
+    "as the ratio n_ab*N/(n_a*n_b) — PMI without the log, because "
+    "exp/log are the one place JVM and C libm may differ in the last "
+    "ulp while *,/ are IEEE-exact on both. Distinct-reduce per "
+    "(user,type) first, so the self-join fans out over ≤|types| rows "
+    "per user, never raw events.",
+)
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ue = e.select("user_id", "event_type").distinct()
+    n = e.agg(F.countDistinct("user_id").alias("n_users"))
+    singles = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ue.alias("a")
+    b = ue.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("_ta"), F.col("n_t").alias("_na"))
+    sb = singles.select(F.col("event_type").alias("_tb"), F.col("n_t").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("type_a") == F.col("_ta"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("_tb"))
+        .join(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") * F.col("n_users"))
+                / (F.col("_na").cast("double") * F.col("_nb"))
+            ).alias("lift"),
+        )
+    )
