@@ -1667,3 +1667,75 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "mad_quantity_by_flag",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           ANY_VALUE(m.p50) AS median_qty,
+           quantile_cont(abs(CAST(l.l_quantity AS DOUBLE) - m.p50), 0.5) AS mad_qty
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("statistics", "aggregation"),
+    doc="Median absolute deviation per group — the robust spread metric "
+    "(stddev is hostage to outliers; MAD is not). Two grouped exact "
+    "percentiles with the tiny median relation broadcast between them; "
+    "abs-deviation arithmetic is identical IEEE ops on both engines.",
+)
+def mad_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    med = l.groupBy(F.col("l_returnflag").alias("_flag")).agg(
+        F.percentile(q, F.lit(0.5)).alias("p50")
+    )
+    return (
+        l.join(F.broadcast(med), l.l_returnflag == F.col("_flag"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("p50").alias("median_qty"),
+            F.percentile(F.abs(q - F.col("p50")), F.lit(0.5)).alias("mad_qty"),
+        )
+    )
+
+
+@register(
+    "mode_priority_per_segment",
+    oracle="""
+    WITH counts AS (
+      SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority)
+    SELECT c_mktsegment,
+           max_by(o_orderpriority, printf('%020d', n) || o_orderpriority) AS modal_priority,
+           MAX(n) AS modal_count
+    FROM counts
+    GROUP BY c_mktsegment
+    """,
+    tags=("statistics", "aggregation", "argmax"),
+    doc="Mode (most frequent value) per group: count sub-aggregate then "
+    "arg-max — two shuffles, both on shrinking keys. Ties broken by "
+    "the value itself via max_by's composite ordering (struct "
+    "comparison is lexicographic on both engines), so the mode is "
+    "deterministic even when two priorities tie (the composite is "
+    "encoded as a fixed-width sortable string — DuckDB's max_by cannot "
+    "order by structs, and string comparison is identical on both).",
+)
+def mode_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ordkey = F.concat(F.format_string("%020d", F.col("n")), F.col("o_orderpriority"))
+    return counts.groupBy("c_mktsegment").agg(
+        F.max_by("o_orderpriority", ordkey).alias("modal_priority"),
+        F.max("n").alias("modal_count"),
+    )
