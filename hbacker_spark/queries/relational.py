@@ -1739,3 +1739,49 @@ def mode_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderpriority", ordkey).alias("modal_priority"),
         F.max("n").alias("modal_count"),
     )
+
+
+@register(
+    "gini_part_revenue",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_partkey, CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(28,4)) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, l_partkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM r)
+    SELECT (2.0 * CAST(SUM(CAST(i * rev AS DECIMAL(38,4))) AS DOUBLE)
+            - (ANY_VALUE(n) + 1) * CAST(SUM(rev) AS DOUBLE))
+           / (ANY_VALUE(n) * CAST(SUM(rev) AS DOUBLE)) AS gini
+    FROM ranked
+    """,
+    tags=("statistics", "window", "aggregation"),
+    doc="Gini concentration of revenue across parts — the skew summary "
+    "you compute BEFORE deciding a partitioning strategy (a high Gini "
+    "on the join key predicts hot partitions). Rank-weighted form "
+    "G = (2*sum(i*r) - (n+1)*sum(r)) / (n*sum(r)) with every sum "
+    "carried in exact DECIMAL (i*rev products included) and ONE final "
+    "conversion to double — aggregation order can't perturb it. Ranks "
+    "tie-broken by partkey so both engines number identical orderings. "
+    "The rank window's input is the per-part AGGREGATE (dimension "
+    "cardinality, post-collapse), never the fact table — the same "
+    "post-agg-window discipline as nation_revenue_share.",
+)
+def gini_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    r = l.groupBy("l_partkey").agg(
+        F.sum(disc_price()).cast("decimal(28,4)").alias("rev")
+    )
+    w = Window.orderBy("rev", "l_partkey")
+    ranked = r.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    A = F.sum((F.col("i") * F.col("rev")).cast("decimal(38,4)")).cast("double")
+    S = F.sum("rev").cast("double")
+    n = F.any_value("n")
+    return ranked.agg(
+        ((F.lit(2.0) * A - (n + F.lit(1)) * S) / (n * S)).alias("gini")
+    )
