@@ -1785,3 +1785,55 @@ def gini_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         ((F.lit(2.0) * A - (n + F.lit(1)) * S) / (n * S)).alias("gini")
     )
+
+
+@register(
+    "pareto_customers_for_80pct",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rev) OVER () AS total,
+             COUNT(*) OVER () AS n_customers
+      FROM r)
+    SELECT COUNT(*) AS n_top_customers,
+           ANY_VALUE(n_customers) AS n_customers,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n_customers) AS frac_customers
+    FROM ranked
+    WHERE (cum - rev) * 10 < total * 8
+    """,
+    tags=("statistics", "window", "aggregation"),
+    doc="Pareto/80-20 probe: how many top customers cover 80% of "
+    "revenue — the concentration companion to gini_part_revenue (high "
+    "concentration on a join/grouping key predicts hot partitions and "
+    "motivates salting). A customer is in the covering set while the "
+    "revenue BEFORE them is under the 80% line, stated decimal-exact "
+    "as (cum - rev)*10 < total*8 — no floating threshold to flip "
+    "boundary rows. Windows run over the per-customer aggregate, not "
+    "the fact table.",
+)
+def pareto_customers_for_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("rev"))
+    wo = Window.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    ranked = r.select(
+        "rev",
+        F.sum("rev").over(wo).alias("cum"),
+        F.sum("rev").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_customers"),
+    )
+    return (
+        ranked.filter((F.col("cum") - F.col("rev")) * 10 < F.col("total") * 8)
+        .agg(
+            F.count(F.lit(1)).alias("n_top_customers"),
+            F.any_value("n_customers").alias("n_customers"),
+            (F.count(F.lit(1)).cast("double") / F.any_value("n_customers")).alias("frac_customers"),
+        )
+    )
