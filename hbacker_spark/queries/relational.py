@@ -29,7 +29,7 @@ from hbacker_spark.queries._util import (
     rate,
 )
 from hbacker_spark.registry import register
-from hbacker_spark.sources.tables import load_table, widen
+from hbacker_spark.sources.tables import load_table, ts_epoch_us, widen
 
 CUTOFF = "1998-09-02"
 
@@ -801,7 +801,7 @@ def percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW_US = 5 * 60 * 1_000_000  # 5 min in microseconds
     e = load_table(spark, sf_dir, "events")
-    bkt = F.floor(F.unix_micros(F.col("ts")) / WINDOW_US)
+    bkt = F.floor(ts_epoch_us(e) / WINDOW_US)
     # b.ts ∈ (a.ts, a.ts + 5min] ⇒ bucket(b) ∈ {bucket(a), bucket(a)+1}
     a = e.select("user_id", "ts", F.explode(F.array(bkt, bkt + 1)).alias("bkt")).alias("a")
     b = e.select("user_id", "ts", bkt.alias("bkt")).alias("b")
@@ -909,9 +909,10 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    epoch_us = ts_epoch_us(e)
+    prev_us = F.lag(epoch_us).over(w)
     new_session = F.when(
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1_800_000_000), 1
+        prev_us.isNull() | (epoch_us - prev_us > 1_800_000_000), 1
     ).otherwise(0)
     numbered = e.select(
         "user_id",

@@ -34,10 +34,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
-        # nanosecond timestamps — read as long, loader truncates to micros
-        # (matching DuckDB's nanos→micros truncation on read).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Python Data Source row-key pushdown (sources/cells_source.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )

@@ -32,26 +32,50 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # The testdata events file stores TIMESTAMP(NANOS), which Spark
-        # cannot represent — any session that hasn't opted into
-        # nanosAsLong fails the read outright. Set it here so queries
-        # work under ANY caller-provided session (e.g. the driver's),
-        # not just ones from our factory. Runtime-settable; verified.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Driver testdata events.ts is parquet TIMESTAMP(NANOS), surfaced
-        # as long nanos via spark.sql.legacy.parquet.nanosAsLong
-        # (session.py). Truncate to microseconds — exactly what DuckDB
-        # does reading the same file — so oracle comparisons see identical
-        # timestamps. Engine-written events parquet already carries a real
-        # timestamp column and skips this. Integer division: double
-        # division loses ulps at ~1.7e18 ns.
+    if name == "events":
+        # Driver testdata events.ts is parquet TIMESTAMP(NANOS). PySpark
+        # 4.1.2 reads it natively as TIMESTAMP_NTZ with nanos truncated to
+        # micros — exactly DuckDB's nanos→micros truncation, so oracle
+        # comparisons see identical wall-clock values and no cast is
+        # needed (NTZ carries no zone, matching DuckDB's naive TIMESTAMP).
+        # Defensive branch: under a session where the legacy nanosAsLong
+        # conf is active the same file surfaces as long nanos; normalize
+        # to the identical NTZ wall clock (integer DIV: double division
+        # loses ulps at ~1.7e18 ns; session TZ is UTC so the LTZ->NTZ
+        # cast is value-preserving).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            )
     return df
+
+
+def ts_epoch_us(df: DataFrame, colname: str = "ts"):
+    """Epoch-microseconds expression for a timestamp column, tolerant of
+    every dtype the events table can surface as across environments:
+
+    - TIMESTAMP_NTZ (PySpark 4.1.x native read of parquet TIMESTAMP(NANOS)):
+      ``unix_micros`` rejects NTZ, so interpret the naive wall clock as UTC
+      via ``to_utc_timestamp(col, 'UTC')`` — session-timezone-independent,
+      and identical to DuckDB's ``epoch_us`` on its naive TIMESTAMP.
+    - TIMESTAMP (engine-written parquet): plain ``unix_micros``.
+    - LONG (legacy nanosAsLong read): nanos DIV 1000.
+
+    All branches resolve JVM-side inside whole-stage codegen; schema
+    dispatch is driver-side metadata only (no job).
+    """
+    from pyspark.sql import functions as F
+
+    dt = df.schema[colname].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{colname} DIV 1000")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(F.to_utc_timestamp(F.col(colname), "UTC"))
+    return F.unix_micros(F.col(colname))
 
 
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

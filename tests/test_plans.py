@@ -162,14 +162,23 @@ def test_topk_similarity_is_take_ordered_not_global_window(spark, sf_dir):
         )
 
 
-def test_embedding_pairs_plan_has_no_driver_collect(spark, sf_dir):
-    """embedding_near_dup_pairs must be one Spark plan (executor-built
-    broadcast self-join), not a driver toPandas + sc.broadcast round-trip
-    (VERDICT r1 #3): the whole pipeline shows up as a single physical plan
-    with a broadcast exchange feeding a nested-loop join."""
+def test_embedding_pairs_plan_has_no_full_corpus_broadcast(spark, sf_dir):
+    """embedding_near_dup_pairs must be the symmetric block-matrix plan
+    (VERDICT r2 #3): one shuffle assembling bounded two-block combos —
+    NO broadcast side carrying the whole corpus, no join at all, and no
+    driver toPandas round-trip. Per-task memory is then O(2·n/n_blocks·d)
+    instead of O(n·d), which is what survives a 100x scale-up."""
     plan = X.explain_str(SPECS["embedding_near_dup_pairs"].fn(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    # exactly one corpus-wide exchange: the combo-assembly groupBy
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if l.strip().startswith(("Exchange", "+- Exchange"))
+        or "Exchange hashpartitioning" in l
+    )
+    assert n_exchanges <= 2, plan  # combo shuffle (+ AQE wrapper variance)
 
 
 def test_q19_disjunction_pushes_side_local_conjuncts(spark, sf_dir):
