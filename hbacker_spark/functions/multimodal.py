@@ -56,12 +56,11 @@ def _try_real_decoder():
         return None
 
 
-def _decode_bytes(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """DETERMINISTIC FAKE decode→features: SHA-256 of the bytes expanded
-    to `dim` floats in [0,1). Stands in for decode+embed; replace with a
-    real decoder (PIL/librosa/ffmpeg) where available."""
-    if _try_real_decoder() == "pil":  # pragma: no cover - not in container
-        raise NotImplementedError("real decoder wiring lands with the PIL-enabled image")
+    to `dim` floats in [0,1). Stands in for decode+embed where no media
+    library exists; also the fallback for bytes a real decoder rejects,
+    so one corrupt blob never fails a 100 TB pipeline stage."""
     out: list[float] = []
     h = hashlib.sha256(content or b"")
     buf = b""
@@ -69,6 +68,32 @@ def _decode_bytes(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
         buf = hashlib.sha256(buf + h.digest()).digest()
         out.extend(b / 256.0 for b in buf[: dim - len(out)])
     return out
+
+
+def _pil_decode(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image decode→features via PIL: decode bytes, grayscale,
+    resize to a dim-pixel strip, intensities normalized to [0,1).
+    Undecodable bytes fall back to the deterministic fake (never raise
+    inside an executor batch). Exercised by the stub-PIL unit test; runs
+    live wherever PIL is importable."""
+    import io
+
+    import PIL.Image as Image
+
+    try:
+        img = Image.open(io.BytesIO(content or b"")).convert("L").resize((dim, 1))
+        return [p / 256.0 for p in list(img.getdata())[:dim]]
+    except Exception:
+        return _fake_decode(content, dim)
+
+
+def _decode_bytes(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Decode→features dispatch: the real PIL branch when the library is
+    importable, else the deterministic fake. The swap is environmental
+    (install PIL), not a code edit."""
+    if _try_real_decoder() == "pil":
+        return _pil_decode(content, dim)
+    return _fake_decode(content, dim)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -149,11 +149,17 @@ def ivf_assign(
     assigned = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
         batches, schema="vec_id long, centroid_id int"
     )
-    # centroid matrix re-derived driver-side for query probing; callers
-    # that know the dimensionality pass it in — the .first() probe is a
-    # convenience fallback only (an extra driver job at scale)
+    # The centroid matrix is a pure function of (seed, dim, n_centroids)
+    # and is re-derived driver-side for query probing — so dim must be
+    # known WITHOUT running a driver job (a .first() probe is a full
+    # scan stage at 100 TB). Require it explicitly; array columns carry
+    # no length in the schema.
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "ivf_assign requires dim= (embedding dimensionality): the "
+            "probe-side centroid matrix is derived driver-side and "
+            "inferring dim would cost a driver job over the corpus"
+        )
     rng = np.random.RandomState(seed + 1)
     c = rng.standard_normal((n_centroids, dim))
     return assigned, c / np.linalg.norm(c, axis=1, keepdims=True)

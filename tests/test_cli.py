@@ -92,6 +92,26 @@ def test_cli_export_import_db_roundtrip(spark, tmp_path):
     )
     assert json.loads(out.stdout.strip().splitlines()[-1])["tables"] == []
 
+    # --tables xor --pattern (cli.rb:259 raises MalformattedArgumentError
+    # on both; neither = catalog-driven full restore, exercised above).
+    # argparse rejects the combination before a JVM ever starts.
+    both = run_cli(
+        "--catalog-root", cat, "import",
+        "--source-root", dest, "--export-session", "20260813_010101",
+        "--out-root", pat_root, "--tables", "users", "--pattern", "us%",
+        check=False,
+    )
+    assert both.returncode != 0
+    assert "not allowed with" in both.stderr  # mutually-exclusive-group error
+
+    # db --table-name-pattern narrows the nested per-table listing
+    # (cli.rb:310-319: LIKE on table_name within each session)
+    out = run_cli("--catalog-root", cat, "db", "--table-name-pattern", "us%")
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert rows and all(r["table_name"].startswith("us") for r in rows)
+    out = run_cli("--catalog-root", cat, "db", "--table-name-pattern", "zz%")
+    assert not [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+
     # db --dest-root filters to one destination chain (cli.rb:304-310)
     out = run_cli("--catalog-root", cat, "db", "--dest-root", dest)
     rows = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]

@@ -57,9 +57,12 @@ def test_ivf_probe_prunes_and_recalls(spark, embeddings):
 
     qvec = list(embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     n = embeddings.count()
-    assigned, cents = ivf_assign(embeddings)
+    assigned, cents = ivf_assign(embeddings, dim=len(qvec))
     assert assigned.count() == n  # every vector in exactly one list
     assert cents.shape[0] == 16
+    # dim is required (deriving it would cost a driver job at scale)
+    with pytest.raises(ValueError, match="dim"):
+        ivf_assign(embeddings)
 
     got = ivf_topk(spark, embeddings, qvec, k=10)
     ids = {r["vec_id"] for r in got.collect()}
@@ -76,6 +79,58 @@ def test_ann_pairs_subquadratic(spark, embeddings):
     n = embeddings.count()
     pairs = ann_candidate_pairs(embeddings).count()
     assert pairs < n * (n - 1) // 2 * 0.5, "bucketing should prune most pairs"
+
+
+def test_ann_candidate_recall_on_planted_near_dups(spark):
+    """LSH candidate generation must have recall 1.0 in the regime it is
+    designed for: true near-duplicates (cos >= ~0.95, the thresholds real
+    dedup pipelines run at). The driver testdata is random vectors with a
+    max pair cosine of ~0.51 — LSH's worst case, covered by the recall
+    floor below — so plant jittered copies to exercise the design case:
+    64-dim base vectors + copies with small noise (cos ~0.99)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    planted = set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        dup = v + 0.05 * rng.standard_normal(64)  # cos ~0.995
+        rows.append((100 + i, [float(x) for x in dup]))
+        planted.add((i, 100 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = {(r["vec_a"], r["vec_b"]) for r in ann_candidate_pairs(df).collect()}
+    missed = planted - cand
+    assert not missed, f"LSH missed planted near-dups: {missed}"
+
+
+def test_ann_near_dup_is_exact_subset_with_recall_floor(spark):
+    """The registered bucketed path (ann_near_dup_pairs) must emit a
+    strict SUBSET of the exact kernel's pairs (the rescore is the same
+    fold + rounding, so no false positives are possible) with a
+    documented recall floor. At the registry's 0.4 threshold over the
+    random testdata (pair cosines top out ~0.51) LSH recall is
+    inherently partial — measured 0.36 (sf0.001) / 0.49 (sf0.01) with
+    the default 6-plane x 8-table config; the floor pins against
+    silent degradation, and the planted-dup test above pins the
+    recall-1.0 design regime."""
+    from hbacker_spark.registry import load_all_queries
+
+    SPECS = load_all_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in SPECS["embedding_near_dup_pairs"].fn(spark, sf).collect()
+    }
+    ann = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in SPECS["ann_near_dup_pairs"].fn(spark, sf).collect()
+    }
+    assert set(ann) <= set(exact), "ann emitted a pair the exact kernel did not"
+    for k, v in ann.items():
+        assert v == exact[k], f"score mismatch on {k}: {v} != {exact[k]}"
+    assert len(ann) / len(exact) >= 0.3, (len(ann), len(exact))
 
 
 def test_normalize_keys_u1():
