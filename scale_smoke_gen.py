@@ -88,7 +88,30 @@ for q in lparts[1:]:
     out = out.unionByName(q)
 out.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
 
-for t in ("region", "nation", "customer", "supplier", "orders", "events"):
+# events: replicate with per-replica user_id/event_id offsets — 10x
+# DISJOINT users at constant per-user event density ("more users, not
+# denser users"). The range join's pair count and sessionization's
+# per-user window work both track per-user density, so linear input
+# growth should give ~linear (sub-linear after overhead amortization)
+# time growth; superlinear means the (user_id, ts-bucket) equi-key or
+# the single-shuffle window chain regressed. ts passes through
+# unchanged (NANOS->NTZ on read, NTZ parquet on write — also exercises
+# the engine-written-events read path in load_table).
+ev = spark.read.parquet(f"{SRC}/events.parquet")
+max_uid = ev.agg(F.max("user_id")).first()[0] + 1
+max_eid = ev.agg(F.max("event_id")).first()[0] + 1
+evparts = []
+for i in range(N):
+    evparts.append(
+        ev.withColumn("user_id", F.col("user_id") + F.lit(i * max_uid))
+          .withColumn("event_id", F.col("event_id") + F.lit(i * max_eid))
+    )
+out = evparts[0]
+for q in evparts[1:]:
+    out = out.unionByName(q)
+out.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
+for t in ("region", "nation", "customer", "supplier", "orders"):
     s = f"{SRC}/{t}.parquet"
     d = f"{DST}/{t}.parquet"
     if os.path.isdir(s):
