@@ -73,6 +73,7 @@ HEADLINE = (
     "knn_cosine_top10",
     "ann_lsh_cosine_topk",
     "ann_ivf_cosine_topk",
+    "ann_near_dup_pairs",
     "tfidf_top_terms",
     "text_quality_stats",
     "pipeline_clean_corpus",

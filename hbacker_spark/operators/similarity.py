@@ -76,13 +76,19 @@ def ann_topk(
 ) -> DataFrame:
     """Top-k by cosine to ``query_vec``, LSH-pruned.
 
-    Candidate set = vectors sharing any table's bucket with the query;
-    only candidates get the exact cosine (fold expression, JVM-side).
+    Candidate set = vectors sharing any table's bucket with the query.
+    The bucket match is evaluated INSIDE the one Arrow signature pass
+    (the query's buckets are a tiny closure constant): a vector's
+    signatures never leave the executor unless it is a candidate, so
+    the pass emits O(candidates) rows instead of materializing the full
+    n·n_tables signature index and filtering it afterwards. Only
+    candidates get the exact cosine (fold expression, JVM-side).
     Returns (vec_id, cos_sim, rnk) — rnk over the candidate set. Top-k
     via orderBy().limit(k) → TakeOrderedAndProject (distributed partial
     top-k per partition + k-row merge, no single-reducer global window);
     rnk is re-derived over just the k surviving rows.
     """
+    import pandas as pd
     from pyspark.sql import Window
 
     from hbacker_spark.functions.similarity import cosine
@@ -92,11 +98,27 @@ def ann_topk(
     weights = 1 << np.arange(n_planes)
     q_buckets = [(t, int((((planes[t] @ q) > 0) * weights).sum())) for t in range(n_tables)]
 
-    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed)
-    bucket_match = F.lit(False)
-    for t, b in q_buckets:
-        bucket_match = bucket_match | ((F.col("table_idx") == t) & (F.col("bucket") == b))
-    candidate_ids = sigs.filter(bucket_match).select("vec_id").distinct()
+    def candidate_batches(it):
+        local_planes = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            if local_planes is None:
+                local_planes = _hyperplanes(m.shape[1], n_planes, n_tables, seed)
+            ids = pdf["vec_id"].to_numpy()
+            hit = np.zeros(len(ids), dtype=bool)
+            for t, qb in q_buckets:
+                signs = (m @ local_planes[t].T) > 0
+                hit |= (signs * weights).sum(axis=1) == qb
+            if hit.any():
+                yield pd.DataFrame({"vec_id": ids[hit]})
+
+    # no distinct needed: each input vector emits at most one row (the
+    # per-table matches are OR-folded before emit), saving a shuffle
+    candidate_ids = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+        candidate_batches, schema="vec_id long"
+    )
 
     candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
     q_df = spark.createDataFrame([(query_vec,)], f"q_emb array<float>")

@@ -803,6 +803,116 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_keeper_by_quality",
+    oracle=f"""
+    WITH RECURSIVE
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM prs
+      UNION
+      SELECT vb AS u, va AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+    m AS (
+      SELECT c.doc_id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    k AS (
+      SELECT component, doc_id AS keeper_id
+      FROM (SELECT component, doc_id,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM m)
+      WHERE rn = 1
+    )
+    SELECT m.doc_id, k.keeper_id, (m.doc_id = k.keeper_id) AS is_keeper
+    FROM m JOIN k USING (component)
+    """,
+    tags=("dedup", "llm", "iterative", "similarity", "quality"),
+    doc="Quality-aware semantic dedup: embedding near-dup pairs → "
+    "connected components → keeper = the HIGHEST-QUALITY doc per "
+    "cluster (n_chars, ties to min doc_id) instead of min-id — what "
+    "production pipelines actually keep. One max_by aggregate per "
+    "component + a membership join; the oracle proves the full "
+    "fixpoint + argmax chain against a recursive CTE. Embeddings and "
+    "documents share the id space (TESTDATA.md), making this the "
+    "cross-table join showcase for the dedup family.",
+)
+def semantic_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.clustering import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = S.brute_force_pair_cosines(spark, e, threshold=NEAR_DUP_COS, dim=EMB_DIM).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comps = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    membership = d.join(comps, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    keepers = membership.groupBy("component").agg(
+        # argmax quality, ties to min id: lexicographic struct max
+        F.max_by("doc_id", F.struct(F.col("n_chars"), -F.col("doc_id"))).alias("keeper_id")
+    )
+    return membership.join(keepers, "component").select(
+        "doc_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+
+
+@register(
+    "adaptive_length_gate_per_lang",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.1) AS lo,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, q.lo, q.hi,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN d.n_chars >= q.lo AND d.n_chars <= q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN q ON d.lang = q.lang
+    GROUP BY d.lang, q.lo, q.hi
+    """,
+    tags=("llm", "text", "quality", "percentile", "aggregation"),
+    doc="Adaptive per-language length gates: thresholds are the "
+    "language's own p10/p95 (not global constants — a fixed cutoff "
+    "tuned on English over-filters CJK), derived in one grouped "
+    "percentile pass, broadcast back (per-lang bounds are tiny), and "
+    "applied as conditional counts. Interpolated percentile parity "
+    "with quantile_cont is bit-exact (established on the global "
+    "variant). Two shuffles on lang total at any scale.",
+)
+def adaptive_length_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = d.groupBy("lang").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.1)).alias("lo"),
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.95)).alias("hi"),
+    )
+    kept = (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    return (
+        d.join(F.broadcast(q), "lang")
+        .groupBy("lang", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+@register(
     "repetition_ratio_filter",
     oracle="""
     WITH tf AS (
