@@ -555,18 +555,32 @@ def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hash_sample_per_source",
-    oracle=None,  # ordering key is Spark xxhash64 → rows-only; size and
-    # determinism are pinned in tests
+    oracle="""
+    SELECT doc_id, source, lang, rn
+    FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id || ':42'), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
     tags=("llm", "sampling", "window"),
     doc="Reproducible per-stratum sampling: order docs inside each source "
-    "by xxhash64(doc_id, seed) and keep the first 20 — a deterministic "
-    "'random' sample that is stable across runs, partitionings, and "
-    "cluster sizes (unlike rand()-based sampling). The scale-safe way to "
-    "draw fixed-size training subsets per bucket.",
+    "by md5(doc_id || ':' || seed) and keep the first 20 — a "
+    "deterministic 'random' sample that is stable across runs, "
+    "partitionings, cluster sizes, AND engines (md5 hex ordering is "
+    "identical everywhere, making this fully oracled — upgraded from "
+    "the rows-only xxhash64 form; swap xxhash64 back in at 100 TB if "
+    "the md5 cost on the sort key ever shows up, the semantics are "
+    "unchanged). The scale-safe way to draw fixed-size training "
+    "subsets per bucket; rank-limit compiles to WindowGroupLimit.",
 )
 def hash_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.xxhash64("doc_id", F.lit(42)), F.col("doc_id"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), F.col("doc_id")
+    )
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
