@@ -27,6 +27,11 @@ MAX_SHINGLE_DF = 100
 # Testdata embeddings are 64-dim at every SF (TESTDATA.md); a known dim
 # lets the pair kernel unroll the dot product into codegen.
 EMB_DIM = 64
+# Rolling-hash fingerprint parameters (doc_fingerprint_rolling,
+# fingerprint_containment_pairs): 31-base word hash, 131-base 4-word
+# window, prime modulus — integer-exact on both engines.
+FP_MOD = 1_000_000_007
+FP_GRAM = 4
 
 
 @register(
@@ -166,6 +171,162 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+CONTAIN_T = 0.8  # asymmetric-containment gate (quote/excerpt detection)
+
+
+@register(
+    "fingerprint_containment_pairs",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % {FP_MOD})) AS hs
+      FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(hs) - {FP_GRAM} + 1), i ->
+                 (((((hs[i] * 131 + hs[i+1]) % {FP_MOD})
+                    * 131 + hs[i+2]) % {FP_MOD})
+                    * 131 + hs[i+3]) % {FP_MOD}))) AS g
+      FROM hs WHERE len(hs) >= {FP_GRAM}
+    ),
+    gk AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS g_df FROM g0
+      ) WHERE g_df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM gk GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / sa.n_fp, 6) AS contain_a,
+           round(CAST(n_common AS DOUBLE) / sb.n_fp, 6) AS contain_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / sa.n_fp >= {CONTAIN_T}
+       OR CAST(n_common AS DOUBLE) / sb.n_fp >= {CONTAIN_T}
+    """,
+    tags=("dedup", "llm", "fingerprint", "join"),
+    doc="Asymmetric containment detection: fraction of each doc's "
+    "distinct rolling-hash 4-gram fingerprints shared with the other "
+    "doc — catches quotes/excerpts/supersets that symmetric Jaccard "
+    "misses (a doc fully contained in a 10x-larger one has Jaccard "
+    "~0.1 but containment 1.0). Same single-scan inverted-index shape "
+    "as ngram_jaccard_pairs (posting lists off ONE shuffle, stop-gram "
+    "df cutoff bounds the pair fan-out, integer rolling hashes match "
+    "the oracle exactly).",
+)
+def fingerprint_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    hs = F.expr(
+        f"transform(split(text, ' '), w -> "
+        f"aggregate(split(w, ''), CAST(0 AS BIGINT), "
+        f"(a, c) -> (a * 31 + ascii(c)) % {FP_MOD}))"
+    )
+    gs = F.expr(
+        f"array_distinct(transform(sequence(0, size(hs) - {FP_GRAM}), i -> "
+        f"(((((hs[i] * 131 + hs[i+1]) % {FP_MOD}) "
+        f"* 131 + hs[i+2]) % {FP_MOD}) "
+        f"* 131 + hs[i+3]) % {FP_MOD}))"
+    )
+    grams = (
+        d.select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") >= FP_GRAM)
+        .select("doc_id", F.explode(gs).alias("g"))
+    )
+    posts = (
+        grams.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("g_df"),
+            F.sort_array(F.collect_list("doc_id")).alias("ds"),
+        )
+        .filter(F.col("g_df") <= MAX_SHINGLE_DF)
+        .select("g_df", "ds")
+    )
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    pairs = posts.filter(F.col("g_df") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    common = (
+        pairs.select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    c_a = F.col("n_common").cast("double") / F.col("sa.n_fp")
+    c_b = F.col("n_common").cast("double") / F.col("sb.n_fp")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter((c_a >= CONTAIN_T) | (c_b >= CONTAIN_T))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_a, 6).alias("contain_a"),
+            F.round(c_b, 6).alias("contain_b"),
+        )
+    )
+
+
+@register(
+    "unigram_rarity_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(tf.cnt) AS BIGINT) AS sum_token_df,
+           CAST(MIN(tf.cnt) AS BIGINT) AS rarest_token_df,
+           round(CAST(SUM(tf.cnt) AS DOUBLE) / COUNT(*), 6) AS mean_token_df
+    FROM toks t JOIN tf ON t.token = tf.token
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "quality", "aggregation"),
+    doc="Unigram-LM rarity scoring: each doc scored by the corpus-wide "
+    "frequency of its own tokens (mean + rarest) — the integer-exact "
+    "twin of unigram log-prob perplexity proxies (log-space scoring "
+    "would hash-drift across libm implementations; counts cannot). Low "
+    "mean/rarest = OOV-heavy or noisy doc, high mean = boilerplate. "
+    "Two shuffles (global token counts, per-doc rollup) + one equi-join "
+    "on token; the vocab side broadcasts when small.",
+)
+def unigram_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_token_df"),
+            F.min("cnt").cast("bigint").alias("rarest_token_df"),
+            F.round(F.sum("cnt").cast("double") / F.count(F.lit(1)), 6).alias("mean_token_df"),
+        )
     )
 
 
@@ -999,8 +1160,8 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines fold chars → word hash, then a base-131 rolling combine over
 # 4-word windows, everything mod 1e9+7 so BIGINT never overflows
 # ((M-1)*131 + M ≈ 1.3e11) and results are integer-exact cross-engine.
-FP_MOD = 1_000_000_007
-FP_GRAM = 4
+# (FP_MOD / FP_GRAM moved to module top: the containment query's oracle
+# f-string needs them at registration time)
 
 
 @register(

@@ -133,6 +133,46 @@ def test_ann_near_dup_is_exact_subset_with_recall_floor(spark):
     assert len(ann) / len(exact) >= 0.3, (len(ann), len(exact))
 
 
+def test_block_matrix_kernel_matches_naive_cross_join(spark):
+    """Property check for the symmetric block-matrix kernel: on random
+    small corpora (sizes straddling n_blocks, so some blocks are empty,
+    some singleton) plus zero vectors, its pairs and scores must equal
+    the naive fold-expression cross join exactly. Pins the triangular
+    combo assembly (each unordered pair scored exactly once, diagonal
+    dedup, off-diagonal canonicalization) independent of data layout."""
+    import numpy as np
+
+    from hbacker_spark.functions.similarity import brute_force_pair_cosines, cosine
+
+    rng = np.random.RandomState(3)
+    for n, nblk in ((1, 8), (5, 8), (37, 8), (64, 4)):
+        rows = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(n)]
+        if n >= 5:
+            rows[2] = (2, [0.0] * 8)  # zero vector: NaN cosine, must drop
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in brute_force_pair_cosines(spark, df, threshold=0.2, n_blocks=nblk).collect()
+        }
+        # naive side: ANSI mode turns the zero-vector norm into a
+        # divide-by-zero error, so guard it out explicitly — the kernel
+        # drops those pairs via NaN comparisons, which is the behavior
+        # under test (no pair with the zero vector may appear).
+        nz = df.filter(F.aggregate("embedding", F.lit(0.0), lambda a_, x: a_ + x * x) > 0)
+        a = nz.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = nz.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        want = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in (
+                a.join(b, F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "vec_b", F.round(cosine("ea", "eb"), 6).alias("cos_sim"))
+                .filter(F.col("cos_sim") >= 0.2)
+            ).collect()
+        }
+        assert got == want, f"n={n} nblk={nblk}: {len(got)} vs {len(want)}"
+        assert not any(2 in p for p in got) or n < 5
+
+
 def test_normalize_keys_u1():
     from hbacker_spark.functions.util import normalize_keys
 
