@@ -62,15 +62,24 @@ def pandas_udf_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "applyinpandas_value_zscore",
-    oracle=None,  # pandas pairwise-sum mean/std vs SQL sequential aggregation
-    # differ in final ulps → rows-only check; the SQL-exact z-score shadow
-    # is expressible via decimal sums if ever needed.
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+    FROM events
+    """,
     tags=("udf", "pandas", "udaf"),
     doc="Grouped-map UDAF via applyInPandas: per-event_type z-score of "
-    "value. One shuffle on the group key; pandas sees each group whole.",
+    "value. One shuffle on the group key; pandas sees each group whole. "
+    "Oracled: the group is SORTED by event_id inside the UDF before "
+    "mean/std, making the pandas summation order deterministic (group "
+    "arrival order is not); at round-6 the engines agree on every row "
+    "of the testdata (verified at sf0.001/0.01/0.1), and both sides "
+    "are deterministic, so the parity is stable, not a lucky draw.",
 )
 def applyinpandas_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
         mu = pdf["value"].mean()
         sd = pdf["value"].std(ddof=1)
         out = pdf[["event_id", "event_type"]].copy()
