@@ -658,3 +658,139 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(cost) AS min_cost FROM costs GROUP BY l_partkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           CAST(c.cost AS DOUBLE) AS cost
+    FROM part p
+      JOIN costs c ON c.l_partkey = p.p_partkey
+      JOIN best b  ON b.l_partkey = c.l_partkey AND c.cost = b.min_cost
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, s.s_suppkey
+    LIMIT 100
+    """,
+    tags=("subquery", "join", "topk", "tpch"),
+    doc="TPC-H Q2 pattern: minimum-cost supplier per part (correlated "
+    "scalar-min subquery), restated over the testdata (no partsupp "
+    "table — supplier cost := min observed lineitem price for the "
+    "(part, supplier) pair, decimal-exact so the min-equality join is "
+    "safe). De-correlated form: per-(part,supp) costs → per-part min → "
+    "equi-join back, exactly Catalyst's own rewrite; supplier/nation "
+    "are broadcast dims. Top-100 is fully tie-broken (…, p_partkey, "
+    "s_suppkey) so the cut is deterministic on both engines.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    costs = l.groupBy("l_partkey", "l_suppkey").agg(F.min(money("l_extendedprice")).alias("cost"))
+    best = costs.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        p.join(costs, p.p_partkey == costs.l_partkey)
+        .join(best, (best.l_partkey == costs.l_partkey) & (F.col("cost") == F.col("min_cost")))
+        .join(F.broadcast(s), s.s_suppkey == costs.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("cost").cast("double").alias("cost"),
+            "s_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+        .drop("s_suppkey")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    tags=("join", "aggregation", "tpch"),
+    doc="TPC-H Q13 pattern: customer order-count distribution via LEFT "
+    "OUTER join (zero-order customers must appear), with the 'special "
+    "orders' exclusion restated on o_orderpriority (testdata has no "
+    "comment column). COUNT(o_orderkey) counts only matched rows — the "
+    "null-skipping count is the whole point of the pattern. Two "
+    "shuffles (custkey join reuses the count's partitioning, then the "
+    "tiny histogram agg).",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("subquery", "anti", "distinct", "aggregation", "tpch"),
+    doc="TPC-H Q16 pattern: distinct supplier count per part attribute "
+    "triple, with a NOT IN exclusion subquery (suppliers 'with "
+    "complaints' restated as negative account balance — no comment "
+    "column in the testdata) and the part-supplier relation derived "
+    "from lineitem (no partsupp table). NOT IN → left_anti join on the "
+    "tiny excluded-supplier set; the brand/size filters broadcast-"
+    "prune the pair relation before the distinct shuffle.",
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(bad_supp, pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
