@@ -234,6 +234,32 @@ def test_bfs_frontier_joins_are_hash_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q2_q13_q16_pattern_shapes(spark, sf_dir):
+    """The round-3 TPC-H closure analogs must keep their load-bearing
+    shapes: Q2's top-100 is distributed (TakeOrderedAndProject), Q13
+    keeps the LEFT OUTER join (zero-order customers must survive), and
+    Q16's NOT IN compiles to a left_anti hash join, never a cartesian."""
+    plan = X.explain_str(SPECS["q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    plan = X.explain_str(SPECS["q13_customer_order_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+    plan = X.explain_str(SPECS["q16_supplier_count_by_part"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_containment_and_gate_shapes(spark, sf_dir):
+    """fingerprint_containment_pairs must stay on the single-scan
+    inverted-index shape (no cartesian, no broadcast of the corpus);
+    adaptive_length_gate_per_lang must broadcast the tiny per-lang
+    bounds side, not shuffle the corpus twice for it."""
+    plan = X.explain_str(SPECS["fingerprint_containment_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    plan = X.explain_str(SPECS["adaptive_length_gate_per_lang"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     """Partitioned fact + filtered dim join must plan a dynamicpruning
     subquery on the partition column — at 100 TB this is the difference
