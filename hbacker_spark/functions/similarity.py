@@ -113,24 +113,27 @@ def brute_force_pair_cosines(
         F.col(vec_col).alias("_emb"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblk)).cast("int").alias("_blk"),
     )
-    # A-side copies: combos (_blk, j) for j in [_blk, nblk-1]
-    a_copies = rows.select(
-        "_id",
-        "_emb",
-        F.col("_blk").alias("_ca"),
-        F.explode(F.sequence(F.col("_blk"), F.lit(nblk - 1))).alias("_cb"),
-        F.lit(0).alias("_side"),
-    )
-    # B-side copies: combos (i, _blk) for i in [0, _blk]
-    b_copies = rows.select(
-        "_id",
-        "_emb",
-        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_ca"),
-        F.col("_blk").alias("_cb"),
-        F.lit(1).alias("_side"),
+    # Each row's combo memberships in ONE explode (a self-union here
+    # would scan the input twice): A-side of combos (_blk, j>=_blk),
+    # B-side of combos (i<=_blk, _blk) — nblk+1 copies total per row,
+    # independent of _blk (balanced fan-out).
+    memberships = F.concat(
+        F.transform(
+            F.sequence(F.col("_blk"), F.lit(nblk - 1)),
+            lambda j: F.struct(
+                F.col("_blk").alias("_ca"), j.alias("_cb"), F.lit(0).alias("_side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("_blk")),
+            lambda i: F.struct(
+                i.alias("_ca"), F.col("_blk").alias("_cb"), F.lit(1).alias("_side")
+            ),
+        ),
     )
     combos = (
-        a_copies.unionByName(b_copies)
+        rows.select("_id", "_emb", F.explode(memberships).alias("_m"))
+        .select("_id", "_emb", "_m._ca", "_m._cb", "_m._side")
         .groupBy("_ca", "_cb")
         .agg(
             # collect_list skips nulls: each combo row ends with exactly
