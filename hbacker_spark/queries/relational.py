@@ -634,6 +634,58 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regr_price_trend_by_priority",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(epoch_us(o_orderdate) // 86400000000 AS DECIMAL(12,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(epoch_us(o_orderdate) // 86400000000 AS DECIMAL(12,0))
+                  * CAST(epoch_us(o_orderdate) // 86400000000 AS DECIMAL(12,0)) AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(epoch_us(o_orderdate) // 86400000000 AS DECIMAL(12,0))
+                  * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+    FROM s
+    """,
+    tags=("aggregation", "statistics", "timeseries"),
+    doc="Least-squares price trend over time per order priority: slope "
+    "and intercept from exact decimal moment sums (x = epoch-day, a "
+    "small exact integer; y = 2-decimal money) — the same "
+    "order-independent-partials discipline as stats_exact_moments, "
+    "extended to regression aggregates. Built-in regr_slope/"
+    "regr_intercept accumulate doubles in partition order and cannot "
+    "cross-engine-match; exact sums then one identical double "
+    "expression can, to the last bit before rounding. One shuffle.",
+)
+def regr_price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.floor(ts_epoch_us(o, "o_orderdate") / F.lit(86_400_000_000)).cast("decimal(12,0)")
+    y = money("o_totalprice")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(28,0)")).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,2)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )
+
+
+@register(
     "scd2_order_versions",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
