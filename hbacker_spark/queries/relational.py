@@ -634,6 +634,60 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value, 2) AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_lower_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregation", "skew", "statistics"),
+    doc="Hot-key-proof aggregation via two-phase salting (operators/"
+    "skew.py:salted_agg): events has only ~6 event_type groups, the "
+    "worst shape for a grouped agg at 100 TB (each group = one reducer "
+    "without salting; map-side partials help sums but a single final "
+    "reducer per group still bounds throughput). The salt spreads each "
+    "group over 16 reducers, recombining decomposable partials "
+    "(sum/count/min/max) exactly — decimal-exact so salted == plain == "
+    "oracle bit-for-bit. count(distinct) is not salt-decomposable, so "
+    "it runs as its own two-level exact pass (distinct pairs shuffle "
+    "on the compound key, which is inherently spread).",
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    base = salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.round(F.col("value"), 2).cast(MONEY)),
+        },
+        salt_buckets=16,
+        salt_source="event_id",
+    )
+    # count(distinct user_id) is NOT salt-decomposable by simple
+    # recombination; do it as its own exact two-level pass (distinct
+    # pairs shuffle on (event_type, user_id) — inherently spread, no
+    # hot reducer), then join the tiny per-type results.
+    distincts = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_lower_bound"))
+    )
+    return base.join(distincts, "event_type").select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_users_lower_bound",
+    )
+
+
+@register(
     "regr_price_trend_by_priority",
     oracle="""
     WITH s AS (
