@@ -83,9 +83,13 @@ HEADLINE = (
     "stream_session_windows",
     "stream_join_attribution_shadow",
     "s1_version_limited_scan",
+    "q2_min_cost_supplier",
     "q8_market_share",
+    "q13_customer_order_distribution",
     "q18_large_volume_customers",
     "q21_sole_returner",
+    "semantic_keeper_by_quality",
+    "fingerprint_containment_pairs",
     "copurchase_triangle_count",
     "copurchase_bfs_reachable",
     "snapshot_fingerprint_by_nation",

@@ -22,7 +22,10 @@ def test_hash_sample_fixed_size_and_deterministic(spark, sf_dir):
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").repartition(13)
-    w = Window.partitionBy("source").orderBy(F.xxhash64("doc_id", F.lit(42)), F.col("doc_id"))
+    # same md5 ordering key as the registered query (oracled form)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))), F.col("doc_id")
+    )
     again = (
         d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).select("doc_id", "source", "lang", "rn")
     )
