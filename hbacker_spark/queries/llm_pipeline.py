@@ -493,15 +493,30 @@ def ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     cand = ann_candidate_pairs(e).select("vec_a", "vec_b")
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb"))
+    # Per-vector norms via the JVM fold (n rows, cheap); the PER-PAIR
+    # dot via the Arrow-batched exact-fold kernel — the interpreted HOF
+    # fold costs ~2.8µs/element and dominates on pair-shaped workloads
+    # (SCALE_NOTES: 62s vs 2.3s on 2M pairs). Same IEEE addition order,
+    # so scores stay bit-identical to the exact kernel (pinned by
+    # test_ann_near_dup_is_exact_subset_with_recall_floor).
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_ea"),
+        S.norm("embedding").alias("_na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_eb"),
+        S.norm("embedding").alias("_nb"),
+    )
+    pair_dot = S.pair_dot_pandas()
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(S.cosine("_ea", "_eb"), 6).alias("cos_sim"),
+            F.round(pair_dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEAR_DUP_COS)
     )
