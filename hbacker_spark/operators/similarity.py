@@ -229,20 +229,43 @@ def ann_candidate_pairs(
     n_planes: int = DEFAULT_PLANES,
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
+    max_bucket: int = 1024,
 ) -> DataFrame:
-    """All-pairs candidate generation via bucket self-join (the pairwise
-    analog of ann_topk; same shape as MinHash-LSH banding). Returns
+    """All-pairs candidate generation via per-(table, bucket) posting
+    lists (the pairwise analog of ann_topk; same shape as MinHash-LSH
+    banding and ngram_jaccard's inverted index). Returns
     (vec_a, vec_b, n_shared_buckets), vec_a < vec_b.
+
+    Hot-bucket bound: a bucket with more than ``max_bucket`` members is
+    DROPPED before pair expansion — without it one dense region (or an
+    adversarial all-identical corpus) makes the expansion quadratic in
+    that bucket's population. The cap bounds per-bucket fan-out at
+    max_bucket²/2 pairs, and true near-dups inside a dropped bucket
+    almost always co-occur in another table's smaller bucket (n_tables
+    independent hash tables). One shuffle builds the postings; pairs
+    explode JVM-side from the sorted lists (no self-join, no second
+    scan of the signatures).
     """
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    posts = (
+        sigs.groupBy("table_idx", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sort_array(F.collect_list("vec_id")).alias("ds"),
         )
-        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+    )
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS vec_a, y AS vec_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+        .groupBy("vec_a", "vec_b")
         .agg(F.count(F.lit(1)).alias("n_shared_buckets"))
     )
