@@ -225,3 +225,64 @@ def copurchase_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
+
+
+PR_ITER = 8
+PR_SCALE = "decimal(20,10)"
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=None,  # fixed-iteration power method — aggregation inside a
+    # recursive CTE's recursive term is not expressible in the oracle
+    # dialect; determinism + mass conservation pinned in pytest
+    tags=("graph", "iterative"),
+    doc="PageRank (damping 0.85, 8 power iterations) over the symmetric "
+    "co-purchase graph, top-50 by rank. Fully DETERMINISTIC despite "
+    "running on shuffled partials: scores and per-edge contributions "
+    "are fixed-scale DECIMALs, so every per-node sum is exact and "
+    "order-independent — float PageRank differs in final ulps from run "
+    "to run, decimal PageRank cannot. Edges+degrees materialize once "
+    "(localCheckpoint) so the upstream pair build doesn't re-execute "
+    "per iteration; each iteration is one join + one shuffle agg on "
+    "node, the same bounded shape as connected components.",
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir).select("u", "v")
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = sym.join(deg, "src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    state = nodes.withColumn("score", F.lit(1).cast(PR_SCALE)).localCheckpoint(eager=True)
+    for _ in range(PR_ITER):
+        contrib = (
+            edges.join(state, edges.src == state.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("score") / F.col("deg")).cast(PR_SCALE).alias("c"),
+            )
+        )
+        state = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("_in"))
+            .select(
+                "node",
+                (
+                    F.lit(0.15).cast(PR_SCALE)
+                    + (F.lit(0.85).cast("decimal(3,2)") * F.col("_in")).cast(PR_SCALE)
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        state.select("node", F.col("score").cast("double").alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(50)
+    )
