@@ -634,6 +634,44 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trailing_30min_window",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last30m,
+           CAST(SUM(CAST(round(value, 2) AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_last30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "timeseries"),
+    doc="Trailing 30-minute per-user activity window: RANGE frame over "
+    "epoch-microseconds (value-based boundaries — peers with equal "
+    "timestamps are all in-frame, unlike a ROWS frame), the "
+    "time-decayed-feature shape (trailing counts/spend) used for "
+    "online feature generation. One shuffle on user_id; the frame scan "
+    "is a single ordered pass per partition. Decimal-exact value sum; "
+    "epoch math NTZ-safe via ts_epoch_us.",
+)
+def events_trailing_30min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", ts_epoch_us(e).alias("_us"),
+        F.round("value", 2).cast(MONEY).alias("_v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-1_800_000_000, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last30m"),
+        F.sum("_v").over(w).cast("double").alias("v_last30m"),
+    )
+
+
+@register(
     "salted_event_type_stats",
     oracle="""
     SELECT event_type,
