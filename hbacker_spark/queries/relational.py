@@ -634,6 +634,29 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multiset_priority_overlap",
+    oracle="""
+    SELECT o_orderpriority FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+    """,
+    tags=("setop", "aggregation"),
+    doc="INTERSECT ALL (multiset semantics): each priority appears "
+    "min(count_1997, count_1998) times — the duplicate-preserving set "
+    "op the distinct INTERSECT/EXCEPT queries don't cover. Spark "
+    "intersectAll plans as a counted hash semi-structure, one shuffle "
+    "per side on the row value.",
+)
+def multiset_priority_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_orderpriority")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_orderpriority")
+    return y97.intersectAll(y98)
+
+
+@register(
     "events_trailing_30min_window",
     oracle="""
     SELECT event_id, user_id,
