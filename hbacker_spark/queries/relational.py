@@ -634,6 +634,45 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_k_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("json", "scalar", "aggregation"),
+    doc="Semi-structured access via Spark 4's VARIANT type: parse_json "
+    "once, typed try_variant_get extraction, then integer-exact "
+    "aggregates per event type. VARIANT is the engine's scan-speed "
+    "path for schema-on-read JSON at scale (binary-encoded, no "
+    "per-access string re-parse — the get is codegen'd against the "
+    "encoded form); the DuckDB oracle mirrors it with json_extract.",
+)
+def variant_props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    return (
+        e.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        )
+    )
+
+
+@register(
     "multiset_priority_overlap",
     oracle="""
     SELECT o_orderpriority FROM orders
