@@ -260,6 +260,18 @@ def test_containment_and_gate_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_variant_and_range_frame_shapes(spark, sf_dir):
+    """VARIANT extraction must not fall back to a Python UDF (the
+    parse_json/variant_get pipeline is JVM-side), and the trailing
+    30-minute window must plan a RANGE frame (value-based bounds), not
+    a ROWS frame."""
+    plan = X.explain_str(SPECS["variant_props_k_stats"].fn(spark, sf_dir))
+    assert "Python" not in plan, plan
+    assert "variant" in plan.lower() or "parse_json" in plan.lower(), plan
+    plan = X.explain_str(SPECS["events_trailing_30min_window"].fn(spark, sf_dir))
+    assert "RANGE BETWEEN" in plan or "RangeFrame" in plan, plan
+
+
 def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     """Partitioned fact + filtered dim join must plan a dynamicpruning
     subquery on the partition column — at 100 TB this is the difference
