@@ -75,8 +75,9 @@ def brute_force_pair_cosines(
     one combo row carrying just those two blocks, and each combo is
     scored independently. Per-task memory is O(2·n/n_blocks·d) — a
     tunable block budget — instead of the whole corpus; at 100 TB you
-    raise ``n_blocks`` (and shuffle partitions ≥ n_blocks²/2) and every
-    task still holds exactly two bounded blocks.
+    raise ``n_blocks`` and every task still holds exactly two bounded
+    blocks (the combo shuffle pins n_blocks·(n_blocks+1)/2 partitions
+    itself — no caller-side shuffle-partition tuning needed).
 
     The whole thing is ONE shuffle: each row is exploded to its
     n_blocks+1 combo memberships (A-side of combos (b, j≥b), B-side of
@@ -131,9 +132,20 @@ def brute_force_pair_cosines(
             ),
         ),
     )
+    # Pin ~one scoring task per combo (ADVICE r3): the combo rows are
+    # few and FAT, so AQE would coalesce a planner-generated groupBy
+    # shuffle (e.g. ~36 combos at nblk=8 fit one 64MB advisory
+    # partition) and serialize the O(n^2) dgemm scoring into 1-2 tasks.
+    # The explicit repartition goes BEFORE the groupBy: hash-
+    # partitioning on the grouping keys satisfies the aggregation's
+    # distribution requirement, so this stays ONE shuffle — and a
+    # user-specified repartition is never AQE-coalesced, so the
+    # mapInPandas stage keeps n_combos-way parallelism.
+    n_combos = nblk * (nblk + 1) // 2
     combos = (
         rows.select("_id", "_emb", F.explode(memberships).alias("_m"))
         .select("_id", "_emb", "_m._ca", "_m._cb", "_m._side")
+        .repartition(n_combos, "_ca", "_cb")
         .groupBy("_ca", "_cb")
         .agg(
             # collect_list skips nulls: each combo row ends with exactly
