@@ -202,13 +202,31 @@ BFS_DEPTH = 3
     "engine form is the frontier loop every distributed BFS uses — "
     "join frontier to edges, anti-join out visited nodes, union into "
     "visited. Each round is one equi-join shuffle over the FRONTIER "
-    "(not the full graph); depth is a fixed constant, so the plan is "
-    "a statically unrolled chain, same shape as the CC pointer-doubling "
-    "loop in operators/clustering.py but with per-level dedup.",
+    "(not the full graph). The edge set materializes ONCE "
+    "(localCheckpoint, symmetrized by a single explode so the pair "
+    "build runs exactly once) and every round's frontier is "
+    "checkpointed too (VERDICT r3 #2) — without that the statically "
+    "unrolled plan nests the lineitem self-join ~2^depth times and "
+    "leans on AQE exchange reuse to dedup it at runtime; with it each "
+    "round joins two small materialized relations, the same bounded "
+    "per-iteration shape as copurchase_pagerank.",
 )
 def copurchase_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir).select("u", "v")
-    edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Single-explode symmetrization: a pairs.unionAll(pairs.swapped)
+    # would execute the upstream self-join twice at checkpoint time.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .localCheckpoint(eager=True)
+    )
     seed = spark.range(1).select(
         F.lit(BFS_SEED).cast("long").alias("node"), F.lit(0).cast("int").alias("hops")
     )
@@ -221,6 +239,7 @@ def copurchase_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(depth).cast("int"))
+            .localCheckpoint(eager=True)
         )
         visited = visited.unionAll(nxt)
         frontier = nxt

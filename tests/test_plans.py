@@ -234,6 +234,21 @@ def test_bfs_frontier_joins_are_hash_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bfs_lineage_is_checkpointed_not_replayed(spark, sf_dir):
+    """VERDICT r3 #2: the unrolled BFS must NOT re-reference the
+    lineitem self-join per frontier round. With edges + each round's
+    frontier localCheckpoint'ed, the final plan reads only materialized
+    RDDs — zero parquet scans and zero joins of the pair build remain
+    in the visited-union plan (they ran exactly once, eagerly, inside
+    the builder)."""
+    df = SPECS["copurchase_bfs_reachable"].fn(spark, sf_dir)
+    plan = X.explain_str(df)
+    assert "Scan parquet" not in plan, plan
+    # the pair build's order-key self-join must not survive into the
+    # unrolled plan (each round joins checkpointed scans only)
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_q2_q13_q16_pattern_shapes(spark, sf_dir):
     """The round-3 TPC-H closure analogs must keep their load-bearing
     shapes: Q2's top-100 is distributed (TakeOrderedAndProject), Q13
