@@ -489,16 +489,25 @@ def ann_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O(n^2) pairs. Both equi-joins back to embeddings shuffle on vec_id.",
 )
 def ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return _ann_rescored_pairs(e)
+
+
+def _ann_rescored_pairs(e: DataFrame) -> DataFrame:
+    """LSH candidate pairs → exact-fold rescore → threshold: the shared
+    sub-quadratic pair stage for ann_near_dup_pairs and the ANN-fed
+    cluster/keeper queries below.
+
+    Per-vector norms via the JVM fold (n rows, cheap); the PER-PAIR
+    dot via the Arrow-batched exact-fold kernel — the interpreted HOF
+    fold costs ~2.8µs/element and dominates on pair-shaped workloads
+    (SCALE_NOTES: 62s vs 2.3s on 2M pairs). Same IEEE addition order,
+    so scores stay bit-identical to the exact kernel (pinned by
+    test_ann_near_dup_is_exact_subset_with_recall_floor).
+    """
     from hbacker_spark.operators.similarity import ann_candidate_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
     cand = ann_candidate_pairs(e).select("vec_a", "vec_b")
-    # Per-vector norms via the JVM fold (n rows, cheap); the PER-PAIR
-    # dot via the Arrow-batched exact-fold kernel — the interpreted HOF
-    # fold costs ~2.8µs/element and dominates on pair-shaped workloads
-    # (SCALE_NOTES: 62s vs 2.3s on 2M pairs). Same IEEE addition order,
-    # so scores stay bit-identical to the exact kernel (pinned by
-    # test_ann_near_dup_is_exact_subset_with_recall_floor).
     ea = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("_ea"),
@@ -519,6 +528,71 @@ def ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pair_dot("_ea", "_eb") / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+    )
+
+
+@register(
+    "ann_dedup_clusters",
+    oracle=None,  # approximate-by-design upstream (LSH recall < 1 in the
+    # worst case) → rows-only; keeper-set equality vs the ORACLED exact
+    # cluster query is pinned at test scale in
+    # tests/test_similarity.py::test_ann_clusters_match_exact_clusters
+    tags=("dedup", "llm", "iterative", "similarity", "ann"),
+    doc="The 100 TB dedup-clustering route end-to-end (VERDICT r3 #1): "
+    "LSH candidate pairs (bucketed posting lists, never quadratic) → "
+    "exact-fold cosine rescore of candidates only → connected "
+    "components → min-id keeper. Same output contract as the oracled "
+    "embedding_dedup_clusters, which stays registered as the exactness "
+    "anchor; this form replaces its O(n²) all-pairs kernel with the "
+    "sub-quadratic candidate path, so total FLOPs scale with candidate "
+    "count (bucket-density-bounded), not corpus².",
+)
+def ann_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.clustering import dedup_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = _ann_rescored_pairs(e).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_clusters(e, pairs, id_col="vec_id")
+
+
+@register(
+    "ann_keeper_by_quality",
+    oracle=None,  # approximate-by-design upstream → rows-only; keeper-set
+    # equality vs the oracled exact form pinned at test scale
+    tags=("dedup", "llm", "iterative", "similarity", "quality", "ann"),
+    doc="Quality-aware semantic dedup on the sub-quadratic path (VERDICT "
+    "r3 #1): LSH candidates → exact rescore → connected components → "
+    "keeper = highest-n_chars doc per cluster (ties to min doc_id). "
+    "Mirrors the oracled semantic_keeper_by_quality exactly except for "
+    "the pair stage, which is the bucketed candidate path instead of "
+    "the O(n²) block-matrix kernel.",
+)
+def ann_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = _ann_rescored_pairs(e).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return _keeper_by_quality(d, pairs)
+
+
+def _keeper_by_quality(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """components → quality keeper (max n_chars, ties min id) → membership."""
+    from hbacker_spark.operators.clustering import connected_components
+
+    comps = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    membership = d.join(comps, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    keepers = membership.groupBy("component").agg(
+        F.max_by("doc_id", F.struct(F.col("n_chars"), -F.col("doc_id"))).alias("keeper_id")
+    )
+    return membership.join(keepers, "component").select(
+        "doc_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
     )
 
 
@@ -1038,26 +1112,12 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-table join showcase for the dedup family.",
 )
 def semantic_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hbacker_spark.operators.clustering import connected_components
-
     e = load_table(spark, sf_dir, "embeddings")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     pairs = S.brute_force_pair_cosines(spark, e, threshold=NEAR_DUP_COS, dim=EMB_DIM).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    comps = connected_components(pairs).withColumnRenamed("node", "doc_id")
-    membership = d.join(comps, "doc_id", "left").withColumn(
-        "component", F.coalesce("component", F.col("doc_id"))
-    )
-    keepers = membership.groupBy("component").agg(
-        # argmax quality, ties to min id: lexicographic struct max
-        F.max_by("doc_id", F.struct(F.col("n_chars"), -F.col("doc_id"))).alias("keeper_id")
-    )
-    return membership.join(keepers, "component").select(
-        "doc_id",
-        "keeper_id",
-        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
-    )
+    return _keeper_by_quality(d, pairs)
 
 
 @register(
