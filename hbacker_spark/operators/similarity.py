@@ -131,6 +131,96 @@ def ann_topk(
     return top.withColumn("rnk", F.row_number().over(w))
 
 
+# Fixed-point scale for the k-means partial sums: element values are
+# rounded to this many fractional bits and summed as int64 — EXACT and
+# order-independent, so trained centroids are identical regardless of
+# partitioning/shuffle arrival order (the same determinism contract as
+# decimal PageRank). Headroom: |unit elem| <= 1, so int64 overflows only
+# past ~2^33 vectors per centroid — raise the scale-down before that at
+# true 100 TB corpus sizes.
+_KMEANS_FP_BITS = 30
+TRAIN_ITERS = 3
+
+
+def _seed_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed + 1)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = SEED,
+    n_iter: int = TRAIN_ITERS,
+) -> np.ndarray:
+    """Seeded mini k-means (spherical Lloyd) for IVF centroids.
+
+    Each iteration is ONE distributed pass: an Arrow-batched task
+    normalizes its vectors, assigns them to the nearest current
+    centroid (cosine argmax), and emits per-centroid partial sums as
+    fixed-point int64 components (exact, so the cross-partition
+    reduction is order-independent — floats would make centroids
+    drift run-to-run with shuffle arrival order). The grouped sum is
+    n_centroids·dim tiny rows; the driver collects just that,
+    renormalizes, and broadcasts the next round's centroids in the
+    task closure. Fixed seed + fixed iteration count + exact sums =
+    bit-identical centroids every run, same contract as the decimal
+    PageRank. Empty clusters keep their previous centroid.
+    """
+    import pandas as pd
+
+    cents = _seed_centroids(dim, n_centroids, seed)
+    vecs = df.select(F.col(vec_col).alias("_v"))
+    scale = float(1 << _KMEANS_FP_BITS)
+    for _ in range(n_iter):
+        frozen = cents.copy()
+
+        def partials(it, _c=frozen):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["_v"].to_numpy()).astype("float64")
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                u = m / np.where(norms == 0, 1, norms)
+                a = (u @ _c.T).argmax(axis=1)
+                fp = np.rint(u * scale).astype("int64")
+                out_c, out_i, out_s, out_n = [], [], [], []
+                for cid in np.unique(a):
+                    rows = fp[a == cid]
+                    s = rows.sum(axis=0)  # int64, exact
+                    out_c.extend([int(cid)] * len(s))
+                    out_i.extend(range(len(s)))
+                    out_s.extend(int(x) for x in s)
+                    out_n.extend([len(rows)] * len(s))
+                yield pd.DataFrame(
+                    {"cid": out_c, "idx": out_i, "s": out_s, "n": out_n}
+                )
+
+        agg = (
+            vecs.mapInPandas(partials, "cid int, idx int, s long, n long")
+            .groupBy("cid", "idx")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new = frozen.copy()
+        counts = np.zeros(n_centroids, dtype="int64")
+        sums = np.zeros((n_centroids, dim), dtype="float64")
+        for r in agg:
+            sums[r["cid"], r["idx"]] = r["s"] / scale
+            counts[r["cid"]] = r["n"]
+        for cid in range(n_centroids):
+            if counts[cid] > 0:
+                v = sums[cid]
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    new[cid] = v / nrm
+        cents = new
+    return cents
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
@@ -138,32 +228,44 @@ def ivf_assign(
     vec_col: str = "embedding",
     seed: int = SEED,
     dim: int | None = None,
+    train_iters: int = 0,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF (inverted-file) partitioning: assign every vector to its
-    nearest of ``n_centroids`` random unit centroids (deterministic seed).
-    Returns ((id, centroid_id) rows, centroid matrix). One Arrow-batched
-    numpy pass; at scale this is the list-building step done once at
-    ingest, and queries probe a few lists instead of the corpus.
+    nearest of ``n_centroids`` centroids. Returns ((id, centroid_id)
+    rows, centroid matrix). One Arrow-batched numpy pass; at scale this
+    is the list-building step done once at ingest, and queries probe a
+    few lists instead of the corpus.
 
-    Real IVF trains centroids with k-means; random unit centroids keep
-    determinism here and swap out cleanly (the assignment/probe plumbing
-    is identical).
+    ``train_iters=0`` uses seeded random unit centroids (pure function
+    of (seed, dim, n_centroids) — zero jobs). ``train_iters>0`` runs
+    that many deterministic Lloyd iterations (:func:`train_ivf_centroids`,
+    one bounded pass each) — real IVF quality with the same bit-stable
+    determinism contract.
     """
     import pandas as pd
 
-    def unit_centroids(dim: int) -> np.ndarray:
-        rng = np.random.RandomState(seed + 1)
-        c = rng.standard_normal((n_centroids, dim))
-        return c / np.linalg.norm(c, axis=1, keepdims=True)
+    # The centroid matrix must be derivable driver-side for query
+    # probing WITHOUT a driver job over the corpus (a .first() probe is
+    # a full scan stage at 100 TB). Require dim explicitly; array
+    # columns carry no length in the schema.
+    if dim is None:
+        raise ValueError(
+            "ivf_assign requires dim= (embedding dimensionality): the "
+            "probe-side centroid matrix is derived driver-side and "
+            "inferring dim would cost a driver job over the corpus"
+        )
+    if train_iters > 0:
+        cents = train_ivf_centroids(
+            df, dim, n_centroids, vec_col, seed, n_iter=train_iters
+        )
+    else:
+        cents = _seed_centroids(dim, n_centroids, seed)
 
     def batches(it):
-        cents = None
         for pdf in it:
             if not len(pdf):
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            if cents is None:
-                cents = unit_centroids(m.shape[1])
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             sims = (m / np.where(norms == 0, 1, norms)) @ cents.T
             yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "centroid_id": sims.argmax(axis=1)})
@@ -171,20 +273,7 @@ def ivf_assign(
     assigned = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
         batches, schema="vec_id long, centroid_id int"
     )
-    # The centroid matrix is a pure function of (seed, dim, n_centroids)
-    # and is re-derived driver-side for query probing — so dim must be
-    # known WITHOUT running a driver job (a .first() probe is a full
-    # scan stage at 100 TB). Require it explicitly; array columns carry
-    # no length in the schema.
-    if dim is None:
-        raise ValueError(
-            "ivf_assign requires dim= (embedding dimensionality): the "
-            "probe-side centroid matrix is derived driver-side and "
-            "inferring dim would cost a driver job over the corpus"
-        )
-    rng = np.random.RandomState(seed + 1)
-    c = rng.standard_normal((n_centroids, dim))
-    return assigned, c / np.linalg.norm(c, axis=1, keepdims=True)
+    return assigned, cents
 
 
 def ivf_topk(
@@ -197,16 +286,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
+    train_iters: int = TRAIN_ITERS,
 ) -> DataFrame:
     """IVF search: score the query against the centroids, probe the
     ``nprobe`` nearest lists, exact-rerank only those lists' vectors.
     Expected candidate fraction ≈ nprobe/n_centroids of the corpus.
+    Centroids are k-means-trained by default (deterministic Lloyd,
+    :func:`train_ivf_centroids`); pass ``train_iters=0`` for the
+    seeded-random untrained form.
     """
     from pyspark.sql import Window
 
     from hbacker_spark.functions.similarity import cosine
 
-    assigned, cents = ivf_assign(df, n_centroids, id_col, vec_col, seed, dim=len(query_vec))
+    assigned, cents = ivf_assign(
+        df, n_centroids, id_col, vec_col, seed, dim=len(query_vec), train_iters=train_iters
+    )
     q = np.asarray(query_vec, dtype="float64")
     qn = q / np.linalg.norm(q)
     probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
