@@ -48,12 +48,19 @@ FEATURE_DIM = 16
 
 
 def _try_real_decoder():
-    try:  # real decoders are not in this container; gate behind import-try
-        import PIL.Image  # noqa: F401
+    """Real decode is an EXPLICIT opt-in (env SPARK_GRAFT_REAL_DECODE=pil),
+    not import detection (ADVICE r3): merely installing PIL must not
+    silently change every multimodal feature value — determinism across
+    environments is a suite-wide invariant, so pinned artifacts stay
+    comparable unless the operator asked for real decoding. The import
+    is still verified so a mis-set env var fails loudly at dispatch."""
+    import os
 
-        return "pil"
-    except ImportError:
+    if os.environ.get("SPARK_GRAFT_REAL_DECODE", "").lower() != "pil":
         return None
+    import PIL.Image  # noqa: F401  (raises if opted in without PIL)
+
+    return "pil"
 
 
 def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> list[float]:

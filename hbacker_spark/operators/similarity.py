@@ -40,8 +40,12 @@ def lsh_signatures(
     """(id, table_idx, bucket) rows: per hash table, the sign-pattern of
     the vector against that table's hyperplanes packed into an int.
     One Arrow-batched numpy pass; fan-out = n_tables rows per vector.
+    The id column keeps its incoming type (ADVICE r3: a hardcoded long
+    schema silently corrupted non-long ids).
     """
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def batches(it):
         planes = None
@@ -59,7 +63,7 @@ def lsh_signatures(
                 yield pd.DataFrame({"vec_id": ids, "table_idx": t, "bucket": buckets})
 
     return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
-        batches, schema="vec_id long, table_idx int, bucket long"
+        batches, schema=f"vec_id {id_type}, table_idx int, bucket long"
     )
 
 
@@ -115,9 +119,11 @@ def ann_topk(
                 yield pd.DataFrame({"vec_id": ids[hit]})
 
     # no distinct needed: each input vector emits at most one row (the
-    # per-table matches are OR-folded before emit), saving a shuffle
+    # per-table matches are OR-folded before emit), saving a shuffle.
+    # Schema follows the incoming id type (ADVICE r3).
+    id_type = df.schema[id_col].dataType.simpleString()
     candidate_ids = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
-        candidate_batches, schema="vec_id long"
+        candidate_batches, schema=f"vec_id {id_type}"
     )
 
     candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
@@ -332,12 +338,18 @@ def ann_candidate_pairs(
     (vec_a, vec_b, n_shared_buckets), vec_a < vec_b.
 
     Hot-bucket bound: a bucket with more than ``max_bucket`` members is
-    DROPPED before pair expansion — without it one dense region (or an
-    adversarial all-identical corpus) makes the expansion quadratic in
-    that bucket's population. The cap bounds per-bucket fan-out at
-    max_bucket²/2 pairs, and true near-dups inside a dropped bucket
-    almost always co-occur in another table's smaller bucket (n_tables
-    independent hash tables). One shuffle builds the postings; pairs
+    SAMPLED down to ``max_bucket`` members before pair expansion
+    (deterministic: members ranked by xxhash64(id, seed), so the kept
+    subset is a pseudo-random but run-stable draw). Without a cap one
+    dense region (or an adversarial all-identical corpus) makes the
+    expansion quadratic in that bucket's population; with sampling
+    (ADVICE r3 — the previous outright DROP silently lost every
+    candidate in a region dense enough to be hot across all n_tables)
+    per-bucket fan-out stays <= max_bucket²/2 pairs while dense
+    near-dup regions still emit candidates. Residual recall loss from
+    capping is bounded by the n_tables independent chances each pair
+    gets; :func:`ann_bucket_stats` reports how many buckets were
+    capped (no silent caps). One shuffle builds the postings; pairs
     explode JVM-side from the sorted lists (no self-join, no second
     scan of the signatures).
     """
@@ -348,7 +360,19 @@ def ann_candidate_pairs(
             F.count(F.lit(1)).alias("_n"),
             F.sort_array(F.collect_list("vec_id")).alias("ds"),
         )
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .filter(F.col("_n") >= 2)
+        .withColumn(
+            "ds",
+            F.when(F.col("_n") <= max_bucket, F.col("ds")).otherwise(
+                # hash-ranked deterministic sample, re-sorted by id so
+                # the pair explode keeps vec_a < vec_b
+                F.expr(
+                    f"array_sort(transform(slice(array_sort("
+                    f"transform(ds, x -> struct(xxhash64(x, {int(seed)}) AS h, x AS v))"
+                    f"), 1, {int(max_bucket)}), s -> s.v))"
+                )
+            ),
+        )
     )
     pairs = posts.select(
         F.explode(
@@ -363,4 +387,35 @@ def ann_candidate_pairs(
         pairs.select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
         .groupBy("vec_a", "vec_b")
         .agg(F.count(F.lit(1)).alias("n_shared_buckets"))
+    )
+
+
+def ann_bucket_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Per-table posting-list accounting for :func:`ann_candidate_pairs`
+    — the 'no silent caps' companion (ADVICE r3). One row per hash
+    table: bucket count, max/mean bucket size, and how many buckets
+    exceeded ``max_bucket`` (i.e. were hash-sampled down before pair
+    expansion). Run it alongside a production dedup job to see whether
+    the cap is actually biting at the current corpus density."""
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed)
+    sizes = sigs.groupBy("table_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        sizes.groupBy("table_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_n").alias("max_bucket_size"),
+            F.round(F.avg("_n"), 2).alias("mean_bucket_size"),
+            F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_capped_buckets"),
+        )
+        .orderBy("table_idx")
     )

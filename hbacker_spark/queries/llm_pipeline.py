@@ -476,6 +476,23 @@ def ann_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_bucket_stats",
+    oracle=None,  # LSH bucket contents are engine-internal → rows-only
+    tags=("similarity", "llm", "ann", "observability"),
+    doc="Posting-list accounting for the ANN candidate path ('no silent "
+    "caps'): per hash table, bucket count, max/mean bucket size, and "
+    "how many buckets exceeded the hot-bucket cap and were hash-sampled "
+    "down before pair expansion. The observability companion a 100 TB "
+    "dedup run consults to know whether the cap is biting.",
+)
+def ann_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.similarity import ann_bucket_stats
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_bucket_stats(e)
+
+
+@register(
     "ann_near_dup_pairs",
     oracle=None,  # approximate-by-design (LSH recall < 1 in the worst
     # case) → rows-only; recall vs the exact kernel is pinned in

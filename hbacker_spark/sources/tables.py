@@ -63,6 +63,10 @@ def ts_epoch_us(df: DataFrame, colname: str = "ts"):
       via ``to_utc_timestamp(col, 'UTC')`` — session-timezone-independent,
       and identical to DuckDB's ``epoch_us`` on its naive TIMESTAMP.
     - TIMESTAMP (engine-written parquet): plain ``unix_micros``.
+    - DATE: ``unix_date * 86_400e6`` — midnight UTC, explicitly, because
+      the implicit DATE→TIMESTAMP cast inside ``unix_micros`` is
+      session-timezone-dependent (correct only under a UTC session;
+      ADVICE r3).
     - LONG (legacy nanosAsLong read): nanos DIV 1000.
 
     All branches resolve JVM-side inside whole-stage codegen; schema
@@ -75,6 +79,8 @@ def ts_epoch_us(df: DataFrame, colname: str = "ts"):
         return F.expr(f"{colname} DIV 1000")
     if isinstance(dt, T.TimestampNTZType):
         return F.unix_micros(F.to_utc_timestamp(F.col(colname), "UTC"))
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(colname)).cast("long") * F.lit(86_400_000_000).cast("long")
     return F.unix_micros(F.col(colname))
 
 

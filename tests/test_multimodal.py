@@ -80,17 +80,28 @@ def test_pil_decode_branch_via_stub(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", stub_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", stub_image)
 
-    # decodable bytes → stub pixel pipeline, dim floats in [0,1)
+    # PIL importable but NOT opted in → fake stays active (ADVICE r3:
+    # installing a library must not silently change feature values)
+    monkeypatch.delenv("SPARK_GRAFT_REAL_DECODE", raising=False)
+    assert MM._decode_bytes(b"IMG123", dim=4) == MM._fake_decode(b"IMG123", dim=4)
+
+    # explicit opt-in → stub pixel pipeline, dim floats in [0,1)
+    monkeypatch.setenv("SPARK_GRAFT_REAL_DECODE", "pil")
     got = MM._decode_bytes(b"IMG" + bytes(range(8)), dim=MM.FEATURE_DIM)
     assert len(got) == MM.FEATURE_DIM
     assert got[:8] == [x / 256.0 for x in range(8)]
     # undecodable bytes → deterministic fake fallback, never an exception
     junk = MM._decode_bytes(b"not-an-image", dim=MM.FEATURE_DIM)
     assert junk == MM._fake_decode(b"not-an-image", dim=MM.FEATURE_DIM)
-    # without the stub, dispatch stays on the fake (container has no PIL)
+    # opted in without an importable PIL (container has none once the
+    # stub is removed) → loud ImportError, not a silent fake (a mis-set
+    # env var must be diagnosable)
+    import pytest as _pytest
+
     monkeypatch.delitem(sys.modules, "PIL")
     monkeypatch.delitem(sys.modules, "PIL.Image")
-    assert MM._decode_bytes(b"IMG123", dim=4) == MM._fake_decode(b"IMG123", dim=4)
+    with _pytest.raises(ImportError):
+        MM._decode_bytes(b"IMG123", dim=4)
 
 
 def test_frame_sampling_bounded_fanout(spark, sf_dir):

@@ -437,3 +437,24 @@ def test_ivf_kmeans_training_is_deterministic_and_improves(spark, embeddings):
         return tot / nq
 
     assert mean_recall(c1) > mean_recall(c0), "training should not hurt recall"
+
+
+def test_hot_bucket_sampled_not_dropped(spark):
+    """ADVICE r3: a bucket over max_bucket must be hash-SAMPLED down,
+    not discarded — an all-identical corpus (every bucket hot in every
+    table) previously emitted ZERO candidates. Now it emits capped
+    pairs, deterministically, and the stats probe reports the cap."""
+    from hbacker_spark.operators.similarity import ann_bucket_stats
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = ann_candidate_pairs(df, max_bucket=8)
+    got = cand.collect()
+    assert 0 < len(got) <= 8 * 7 // 2 * 8  # <= tables * capped-bucket pairs
+    again = sorted(map(tuple, ann_candidate_pairs(df, max_bucket=8).collect()))
+    assert sorted(map(tuple, got)) == again  # deterministic draw
+    stats = {r["table_idx"]: r for r in ann_bucket_stats(df, max_bucket=8).collect()}
+    assert all(s["n_capped_buckets"] >= 1 for s in stats.values())
+    # uncapped: identical vectors share one bucket per table -> full pairs
+    full = ann_candidate_pairs(df, max_bucket=1024).count()
+    assert full == 40 * 39 // 2
