@@ -92,6 +92,8 @@ HEADLINE = (
     "fingerprint_containment_pairs",
     "copurchase_triangle_count",
     "copurchase_bfs_reachable",
+    "copurchase_pagerank",
+    "ann_dedup_clusters",
     "snapshot_fingerprint_by_nation",
 )
 
@@ -141,6 +143,17 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "reps": reps,
+        # Bench honesty (VERDICT r3 #8): alternating identical
+        # mini-benches on this VM show ±25% run-to-run variance even
+        # with min-of-reps; treat cross-round deltas under ~1.3x as
+        # environment noise — only structural plan changes (shuffles /
+        # broadcasts / scans / checkpoints) are reliably measurable.
+        "variance_note": (
+            "per-query value = min of {} passes; single-VM run-to-run "
+            "variance is +/-25%, so round-over-round deltas < ~1.3x are "
+            "noise, not regressions".format(reps)
+        ),
     }
     (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
 
