@@ -105,9 +105,24 @@ def brute_force_pair_cosines(
     kernel derives dim per block). Returns (vec_a, vec_b, cos_sim)
     with vec_a < vec_b — each unordered pair lands in exactly one
     combo (its blocks' (min,max)), so no dedup pass is needed.
+
+    Block sizing: when ``n_blocks`` is not given it derives from the
+    CORPUS SIZE, not the core count — nblk = clamp(ceil(n/2048), 4,
+    2048). Replication (and thus shuffle volume) is n·(nblk+1) rows
+    and per-task Arrow overhead is per-combo, so an over-split corpus
+    pays real cost: at n=5k, nblk=32 (528 combos) measured 6.5s vs
+    0.76s at nblk=4 (10 combos) — 8.5x for identical FLOPs. ~2048-row
+    blocks keep per-combo dgemm ≥ ~0.25 GFLOP (amortizing task+Arrow
+    overhead) with per-task memory ≤ ~2·2048·d·8B. The sizing count is
+    one job — footer-only on a parquet scan, and negligible against
+    the O(n²) work it right-sizes. Pairs are independent of nblk, so
+    the choice affects only performance, never results.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    nblk = n_blocks or par
+    if n_blocks is not None:
+        nblk = n_blocks
+    else:
+        n = df.count()
+        nblk = max(4, min(2048, -(-n // 2048)))
     id_type = df.schema[id_col].dataType.simpleString()
     rows = df.select(
         F.col(id_col).alias("_id"),
