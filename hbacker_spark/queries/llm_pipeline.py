@@ -1554,3 +1554,132 @@ def md5_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 10
     return d.filter(bucket == 0).select("doc_id", "source", "lang")
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_raw
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(w_raw AS DOUBLE) / CAST(SUM(w_raw) OVER () AS DOUBLE), 6) AS weight
+    FROM w
+    """,
+    tags=("llm", "mixture", "aggregation"),
+    doc="Temperature-scaled mixture weights (alpha=0.5): per-source "
+    "sampling weight ∝ n_tokens^0.5, the standard upweighting of small "
+    "sources in multi-source training mixes (cf. multilingual LM "
+    "sampling). Determinism discipline for the oracle: the per-source "
+    "sqrt is rounded into a DECIMAL(18,6) BEFORE the cross-source sum, "
+    "so the normalizing total is integer-exact regardless of row order; "
+    "only the final division is float (both engines divide the same two "
+    "exact values). One shuffle on source; the normalize step is a "
+    "window over a handful of source rows.",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.n_tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w_raw", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast("decimal(18,6)")
+    )
+    total = F.sum("w_raw").over(Window.partitionBy())
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("w_raw").cast("double") / total.cast("double"), 6).alias("weight"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}'))) AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))), 6) AS fertility
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text", "aggregation"),
+    doc="Tokenizer fertility per language: tokens-per-word ratio under "
+    "the BPE-ish token regex — the standard measure of how hard a "
+    "tokenizer fragments each language (fertility >> 1 means the vocab "
+    "under-serves that language; drives per-language token budgeting). "
+    "Integer token/word sums (exact, order-independent), one float "
+    "division at the end. One shuffle on lang.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.n_words("text")).cast("bigint").alias("n_words"),
+        F.sum(TX.n_tokens("text")).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(TX.n_tokens("text")).cast("double") / F.sum(TX.n_words("text")),
+            6,
+        ).alias("fertility"),
+    )
+
+
+@register(
+    "quality_softsign_gate",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+             CAST({TX.sql_stopword_count('text')} AS DOUBLE) AS sw,
+             CAST(n_chars AS DOUBLE) AS nc
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             round(0.002 * nc + 2.0 * (sw / w) - 0.01 * w - 1.0, 6) AS z
+      FROM f
+    )
+    SELECT doc_id, z,
+           round(z / (1 + abs(z)), 6) AS quality_score,
+           (z / (1 + abs(z)) > 0.2) AS keep
+    FROM z
+    """,
+    tags=("llm", "text", "quality"),
+    doc="Linear quality gate with a SOFTSIGN link (z/(1+|z|)) instead of "
+    "a sigmoid: the score is a fixed linear model over cheap features "
+    "(doc length, stopword ratio, word count). Softsign is chosen "
+    "deliberately for cross-engine exactness — it uses only +,*,/,abs "
+    "(IEEE-exact, bit-identical in Spark and DuckDB), where exp() in a "
+    "sigmoid carries no cross-platform rounding guarantee. The shape "
+    "production quality filters take (fasttext-style linear scorer over "
+    "handcrafted features), fully codegen, zero shuffles.",
+)
+def quality_softsign_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = TX.n_words("text").cast("double")
+    sw = TX.stopword_count("text").cast("double")
+    z = F.round(
+        F.lit(0.002) * F.col("n_chars").cast("double")
+        + F.lit(2.0) * (sw / w)
+        - F.lit(0.01) * w
+        - F.lit(1.0),
+        6,
+    )
+    score = z / (F.lit(1.0) + F.abs(z))
+    return d.select(
+        "doc_id",
+        z.alias("z"),
+        F.round(score, 6).alias("quality_score"),
+        (score > 0.2).alias("keep"),
+    )
