@@ -1683,3 +1683,26 @@ def quality_softsign_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         (score > 0.2).alias("keep"),
     )
+
+
+@register(
+    "embedding_pca_projection",
+    oracle=None,  # power-iteration eigenvectors + fixed-point partial
+    # sums are not SQL-expressible; determinism + numpy subspace parity
+    # pinned in tests/test_pca.py
+    tags=("similarity", "llm", "iterative", "statistics"),
+    doc="PCA projection of the embedding corpus onto its top-2 principal "
+    "components: one exact fixed-point pass for the covariance "
+    "sufficient statistics (order-independent int64 partials — the "
+    "k-means/PageRank determinism contract), a driver-side seeded "
+    "power iteration on the tiny d x d matrix, and a codegen fold "
+    "projection pass. The dim-reduction step a training pipeline runs "
+    "before visualization / whitening / cheap ANN. Two corpus scans "
+    "total, driver work independent of corpus size.",
+)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.pca import project, top_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comps, _ = top_components(e, EMB_DIM, k=2)
+    return project(e, comps)
