@@ -305,3 +305,60 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(50)
     )
+
+
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 20
+
+
+@register(
+    "copurchase_kcore",
+    oracle=None,  # iterated peeling (aggregate inside the recursion) is
+    # not expressible in the oracle's recursive-CTE dialect; equality
+    # with a single-node reference peeler is pinned in
+    # tests/test_graph_iterative.py
+    tags=("graph", "iterative"),
+    doc=f"{KCORE_K}-core of the co-purchase graph: repeatedly peel nodes "
+    f"with degree < {KCORE_K} until fixpoint; returns surviving nodes "
+    "with their within-core degree. The peeling loop is the same "
+    "checkpointed iterative shape as PageRank/CC: the symmetric edge "
+    "set materializes once, each round is one degree aggregation + two "
+    "semi-joins filtering both endpoints, re-checkpointed so no "
+    "round's plan nests the previous round's joins. Convergence is a "
+    "1-row count probe (surviving-node count is strictly decreasing "
+    "until fixpoint). Rounds are bounded by the peeling depth, "
+    "O(max-degree) worst case but small on power-law graphs.",
+)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir).select("u", "v")
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .localCheckpoint(eager=True)
+    )
+    prev_nodes = -1
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("u").localCheckpoint(eager=True)
+        n_nodes = keep.count()
+        if n_nodes == prev_nodes:
+            break
+        prev_nodes = n_nodes
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("u").alias("node"), "core_degree")
+    )

@@ -52,3 +52,30 @@ def test_pagerank_deterministic_and_mass_conserving(spark):
     p90_deg = deg.agg(F.expr("percentile(count, 0.9)")).first()[0]
     assert top_deg >= p90_deg, (top_deg, p90_deg)
     assert n_nodes >= 50
+
+
+def test_kcore_matches_reference_peeler(spark, sf_dir):
+    """The distributed peeling loop must equal a single-node reference
+    implementation of the same k-core definition (repeated removal of
+    degree<k nodes to fixpoint), including per-node within-core degree."""
+    from collections import defaultdict
+
+    from hbacker_spark.queries.graph import KCORE_K, _copurchase_pairs, copurchase_kcore
+
+    edges = [(r["u"], r["v"]) for r in _copurchase_pairs(spark, sf_dir).select("u", "v").collect()]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for node in list(adj):
+            if len(adj[node]) < KCORE_K:
+                for nb in adj.pop(node):
+                    adj[nb].discard(node)
+                changed = True
+    want = {node: len(nbs) for node, nbs in adj.items() if nbs}
+    got = {r["node"]: r["core_degree"] for r in copurchase_kcore(spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) > 0  # the sf0.001 graph does have a 2-core
