@@ -1706,3 +1706,129 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     comps, _ = top_components(e, EMB_DIM, k=2)
     return project(e, comps)
+
+
+# Expected sample size for the PPS weighted sampler.
+PPS_TARGET = 100
+
+
+@register(
+    "weighted_sample_pps",
+    oracle=f"""
+    WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_tot FROM documents),
+    p AS (
+      SELECT doc_id, source, n_chars,
+             LEAST(1.0, {PPS_TARGET}.0 * CAST(n_chars AS DOUBLE) / CAST(w_tot AS DOUBLE)) AS p_raw,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM documents, tot
+    )
+    SELECT doc_id, source, n_chars,
+           round(p_raw, 6) AS p_include,
+           round(1.0 / p_raw, 6) AS ht_weight
+    FROM p WHERE u < p_raw
+    """,
+    tags=("sampling", "llm", "deterministic"),
+    doc="Weighted (probability-proportional-to-size) Bernoulli sample: "
+    "each doc is kept with p = min(1, k*w/W), weight = n_chars, so "
+    "long documents — i.e. token mass — are sampled preferentially and "
+    "sum(ht_weight * any_stat) over the sample is an unbiased "
+    "Horvitz-Thompson estimate of the corpus total. The inclusion draw "
+    "u is 32 bits of md5(doc_id) (portable, run-stable); every "
+    "arithmetic step (int sum W, k*w, /W, u<p) is IEEE-exact-rounded "
+    "from exact integers, so Spark and DuckDB agree BIT-FOR-BIT — "
+    "unlike an Efraimidis-Spirakis exp-race key, whose ln() differs "
+    "between Java and libm in the last ulp (measured 32/500 rows) and "
+    "so cannot be hash-oracled. Scale: W is one tiny agg broadcast "
+    "into a stateless filter — no shuffle of the corpus, no driver "
+    "loop; expected sample size k regardless of corpus size.",
+)
+def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.agg(F.sum("n_chars").cast("bigint").alias("_w_tot"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(PPS_TARGET)) * F.col("n_chars").cast("double") / F.col("_w_tot").cast("double"),
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .filter(u < p)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(p, 6).alias("p_include"),
+            F.round(F.lit(1.0) / p, 6).alias("ht_weight"),
+        )
+    )
+
+
+# Exact duplicated-span census: window width in words.
+SPAN_W = 8
+
+
+@register(
+    "duplicated_span_census",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {SPAN_W - 1}),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + {SPAN_W - 1}), ' ')
+             )) AS span
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {SPAN_W}
+    )
+    SELECT CAST(('0x' || substr(md5(span), 1, 15)) AS BIGINT) AS span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           min(span) AS sample_span
+    FROM spans
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, span_hash
+    LIMIT 50
+    """,
+    tags=("llm", "dedup", "text"),
+    doc=f"Exact duplicated-span census (the ExactSubstr-style "
+    f"memorization audit, cf. dedup literature on repeated training "
+    f"spans): every {SPAN_W}-word window is hashed (60 bits of md5 — "
+    f"engine-portable) and counted; spans appearing in >=2 distinct "
+    f"docs are ranked by spread. Unlike the pairwise dedup family this "
+    f"never expands pairs — hot spans just increment counters — so a "
+    f"viral boilerplate span costs O(df), not O(df^2). Plan: one "
+    f"explode (~n_words rows per doc, linear), one hash-shuffle on "
+    f"span_hash with partial aggregation map-side, top-50 via "
+    f"TakeOrderedAndProject. The within-doc repeat count is kept "
+    f"(n_occurrences counts occurrences, not docs) because "
+    f"self-repetition is part of the memorization-risk signal.",
+)
+def duplicated_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    # sequence(1, n) with n < 1 would generate a DESCENDING range in
+    # Spark — guard short docs to an empty span list instead.
+    idx = F.when(
+        F.size(w) >= SPAN_W, F.sequence(F.lit(1), F.size(w) - F.lit(SPAN_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, SPAN_W)))
+    exploded = d.select("doc_id", F.explode(spans).alias("span"))
+    return (
+        exploded.groupBy(
+            F.conv(F.substring(F.md5(F.col("span")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("span_hash")
+        )
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("span").alias("sample_span"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span_hash")
+        .limit(50)
+    )

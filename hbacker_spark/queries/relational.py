@@ -2044,3 +2044,84 @@ def pareto_customers_for_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).cast("double") / F.any_value("n_customers")).alias("frac_customers"),
         )
     )
+
+
+# EWMA decay: s_i = (1-alpha)*s_{i-1} + alpha*x_i, seeded with the first
+# in-frame value. 0.2 parses to the same IEEE double on both engines.
+EWMA_ALPHA = 0.2
+EWMA_LOOKBACK = 10  # trailing frame length in rows
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(list_reduce(l, (acc, x) -> acc * {1.0 - EWMA_ALPHA} + x * {EWMA_ALPHA}), 6)
+             AS ewma_value
+    FROM (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    """,
+    tags=("window", "timeseries", "fold"),
+    doc=f"Per-user exponentially weighted moving average of event value "
+    f"over a trailing {EWMA_LOOKBACK}-row frame: the classic recursive "
+    f"smoother s = (1-a)*s + a*x re-expressed as a LEFT FOLD over the "
+    f"frame's ordered value list, which makes an inherently sequential "
+    f"recurrence windowable (per-row cost is the bounded frame length, "
+    f"not history). Both engines fold the identical value sequence "
+    f"with identical IEEE mul/add, so the result is bit-exact — the "
+    f"same portability contract as the dot-product fold. One shuffle "
+    f"on user_id; frame order is the window sort (ts, event_id), so "
+    f"collect_list/list() see rows in frame order by construction.",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), Window.currentRow)
+    )
+    lst = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(lst, F.lit(2), F.size(lst) - F.lit(1)),
+        F.element_at(lst, 1),
+        lambda acc, x: acc * F.lit(1.0 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return e.select(
+        "event_id", "user_id", F.round(ewma, 6).alias("ewma_value")
+    )
+
+
+@register(
+    "hll_distinct_users",
+    oracle=None,  # Apache DataSketches HLL binary sketches are
+    # engine-specific; accuracy + merge-consistency pinned in
+    # tests/test_sampling.py
+    tags=("aggregation", "approx", "sketch"),
+    doc="Mergeable-sketch distinct counting: per event_type an Apache "
+    "DataSketches HLL sketch of user_id (hll_sketch_agg), plus an "
+    "'__all__' row whose sketch is the UNION of the per-type sketches "
+    "(hll_union_agg) — demonstrating the associative-merge property "
+    "that makes sketches the 100 TB distinct-count tool: partials "
+    "combine map-side, the shuffle carries kilobyte sketches instead "
+    "of raw id sets, and already-computed per-group sketches roll up "
+    "to any coarser grouping WITHOUT rescanning the facts (the exact "
+    "count_distinct twin, salted_event_type_stats, must re-shuffle "
+    "raw pairs per grouping). lgConfigK=12 default => ~2.3% rel. "
+    "error; accuracy vs exact pinned in tests.",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    per_type = per.select(
+        "event_type",
+        F.hll_sketch_estimate("_sk").cast("bigint").alias("approx_users"),
+    )
+    rollup = per.agg(F.hll_union_agg("_sk").alias("_sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("_sk").cast("bigint").alias("approx_users"),
+    )
+    return per_type.unionByName(rollup).orderBy("event_type")

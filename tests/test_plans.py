@@ -327,6 +327,7 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     "q11_revenue_concentration",
     "q22_idle_rich_customers",
     "tfidf_top_terms",
+    "weighted_sample_pps",  # 1-row corpus-total aggregate broadcast
 }
 
 

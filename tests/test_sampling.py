@@ -41,3 +41,51 @@ def test_stratified_sample_seed_deterministic(spark, sf_dir):
     # only requested strata appear
     langs = {t[1] for t in a}
     assert langs <= {"en", "es", "de", "fr", "zh"}
+
+
+def test_weighted_sample_pps_unbiased_and_sized(spark, sf_dir):
+    """Expected size ~= PPS_TARGET and the Horvitz-Thompson estimator
+    of total chars reconstructs the true corpus total within the
+    sampler's design variance."""
+    from hbacker_spark.queries.llm_pipeline import PPS_TARGET
+    from hbacker_spark.sources.tables import load_table
+
+    out = SPECS["weighted_sample_pps"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    true_total = d.agg(F.sum("n_chars")).first()[0]
+    n_docs = d.count()
+    # sample size concentrates around the target (Poisson binomial;
+    # generous 40% band — the draw is deterministic, not flaky)
+    assert 0.6 * PPS_TARGET <= len(out) <= 1.4 * PPS_TARGET
+    # HT estimate: sum over sample of w_i / p_i
+    ht = sum(r["n_chars"] * r["ht_weight"] for r in out)
+    assert abs(ht - true_total) / true_total < 0.25
+    # inclusion probability must be proportional to weight (or capped)
+    k = PPS_TARGET
+    for r in out:
+        expect = min(1.0, k * r["n_chars"] / true_total)
+        assert abs(r["p_include"] - expect) < 1e-6
+    assert len(out) < n_docs  # it is actually a sample
+
+
+def test_hll_distinct_users_accuracy_and_merge(spark, sf_dir):
+    """HLL estimates land within sketch error of exact counts, and the
+    '__all__' row (union of per-type sketches) matches the exact global
+    distinct — the mergeability contract that makes sketches the scale
+    path for distinct counting."""
+    from hbacker_spark.sources.tables import load_table
+
+    rows = {r["event_type"]: r["approx_users"] for r in SPECS["hll_distinct_users"].fn(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["__all__"] = e.agg(F.count_distinct("user_id")).first()[0]
+    assert set(rows) == set(exact)
+    for et, est in rows.items():
+        # lgConfigK=12 => ~2.3% standard error; 3 sigma
+        assert abs(est - exact[et]) / exact[et] < 0.07, (et, est, exact[et])
+    # determinism: sketches are deterministic aggregates, not samples
+    again = {r["event_type"]: r["approx_users"] for r in SPECS["hll_distinct_users"].fn(spark, sf_dir).collect()}
+    assert again == rows
