@@ -362,3 +362,75 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .select(F.col("u").alias("node"), "core_degree")
     )
+
+
+SSSP_SEED = 0
+SSSP_HOPS = 4
+# Integer edge weight: strong co-purchase = short distance. support >= 2
+# (the edge filter), so weights land in [1, 8] — integer, hence every
+# path cost is exact and min() is engine-independent.
+_SQL_W = "GREATEST(1, 10 - support)"
+
+
+@register(
+    "copurchase_sssp",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_PAIRS}),
+    edges AS (
+      SELECT u, v, {_SQL_W} AS w FROM pairs
+      UNION ALL
+      SELECT v AS u, u AS v, {_SQL_W} AS w FROM pairs),
+    walk(node, dist, hops) AS (
+      SELECT CAST({SSSP_SEED} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+      UNION
+      SELECT e.v AS node, w.dist + e.w AS dist, w.hops + 1 AS hops
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.hops < {SSSP_HOPS})
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative"),
+    doc=f"Weighted single-source shortest paths (Bellman-Ford, "
+    f"{SSSP_HOPS} relaxation rounds) from part {SSSP_SEED}: edge cost "
+    f"falls with co-purchase support (w = max(1, 10-support), integer "
+    f"so path costs are exact on both engines), result = cheapest "
+    f"path cost within {SSSP_HOPS} hops. The MIN-aggregation in the "
+    f"loop makes this the semiring sibling of BFS (set union) and "
+    f"PageRank (sum): each round joins the reached-set to the "
+    f"checkpointed edge list and re-minimizes per node — one join + "
+    f"one agg per round over the REACHED set, never the full graph; "
+    f"state and edges are localCheckpointed so no round re-executes "
+    f"the pair build (the r3 BFS lineage lesson). The oracle is the "
+    f"hop-bounded recursive-CTE walk with the same min fold.",
+)
+def copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir)
+    w = F.greatest(F.lit(1), F.lit(10) - F.col("support")).cast("long")
+    edges = (
+        pairs.select("u", "v", w.alias("w"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v"), F.col("w").alias("w")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w").alias("w")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v", "_e.w")
+        .localCheckpoint(eager=True)
+    )
+    state = spark.range(1).select(
+        F.lit(SSSP_SEED).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(SSSP_HOPS):
+        relaxed = state.join(edges, state.node == edges.u).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        state = (
+            state.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return state

@@ -1708,6 +1708,75 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project(e, comps)
 
 
+# Fixed-point scale for label-centroid sums: float32 inputs scaled by
+# 2^30 are already integers (24-bit mantissa), so round() is exact and
+# the int64 per-component sums are order-independent on both engines.
+CENT_SCALE = 1 << 30
+OUTLIER_COS = 0.0
+
+
+@register(
+    "label_centroid_outliers",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, idx,
+             SUM(CAST(round(CAST(embedding[idx] AS DOUBLE) * {float(CENT_SCALE)}, 0) AS BIGINT)) AS s
+      FROM embeddings CROSS JOIN generate_series(1, {{EMB_DIM}}) AS g(idx)
+      GROUP BY label, idx
+    ),
+    cent AS (SELECT label, list(s ORDER BY idx) AS cvec FROM comp GROUP BY label)
+    SELECT e.vec_id, e.label,
+           round({{COS}}, 6) AS cos_centroid,
+           round({{COS}}, 6) < {OUTLIER_COS} AS is_outlier
+    FROM embeddings e JOIN cent c USING (label)
+    """.replace("{EMB_DIM}", str(EMB_DIM)).replace(
+        "{COS}",
+        f"({S.sql_dot('e.embedding', 'c.cvec')} / "
+        f"(sqrt({S.sql_dot('e.embedding', 'e.embedding')}) * sqrt({S.sql_dot('c.cvec', 'c.cvec')})))",
+    ),
+    tags=("similarity", "llm", "statistics"),
+    doc="Mislabeled-point detection: each vector's cosine to its own "
+    "label's centroid, flagging vectors pointing away from their class "
+    "(the standard training-data QA pass for noisy labels). The "
+    "centroid is the UNNORMALIZED per-label sum — cosine is scale-"
+    "invariant, so dividing by n is skipped and the sum can stay "
+    "integer-exact: float32 components scaled by 2^30 are already "
+    "integers, summed as int64 (order-independent, both engines "
+    "bit-identical — float centroids would drift with shuffle order). "
+    "Plan: posexplode + groupBy(label, idx) with map-side partial "
+    "aggregation (the explode collapses to n_labels*dim rows per map "
+    "task before the shuffle), tiny centroid table broadcast back, "
+    "cosine as the codegen fold. Two corpus scans, one broadcast "
+    "join, no Python.",
+)
+def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("idx", "x"))
+        .groupBy("label", "idx")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * F.lit(float(CENT_SCALE)), 0).cast("long")
+            ).alias("s")
+        )
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "s"))), lambda t: t["s"]
+        ).alias("cvec")
+    )
+    joined = e.join(F.broadcast(cent), "label")
+    cos = F.round(
+        S.dot("embedding", "cvec") / (S.norm("embedding") * S.norm("cvec")), 6
+    )
+    return joined.select(
+        "vec_id",
+        "label",
+        cos.alias("cos_centroid"),
+        (cos < F.lit(OUTLIER_COS)).alias("is_outlier"),
+    )
+
+
 # Expected sample size for the PPS weighted sampler.
 PPS_TARGET = 100
 
