@@ -43,6 +43,22 @@ _SQL_PAIRS = f"""
 """
 
 
+def _hub_seed(edges: DataFrame) -> DataFrame:
+    """1-row (node) DataFrame: the max-degree node, ties by id — the
+    deterministic data-dependent seed for the frontier walks. Stays
+    in-plan (top-1 over a tiny degree aggregate compiles to
+    TakeOrderedAndProject); checkpointed so each walk round doesn't
+    re-derive it."""
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .orderBy(F.desc("_d"), "u")
+        .limit(1)
+        .select(F.col("u").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (u < v) co-purchase edges with their support counts."""
     e = (
@@ -176,8 +192,18 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-BFS_SEED = 0
 BFS_DEPTH = 3
+
+# Seed = the highest-degree hub (ties by id), picked IN-PLAN on both
+# engines. A fixed part id goes isolated as SF grows (the support>=2
+# graph gets relatively sparser: part 0 has degree 29 at sf0.001, 3 at
+# sf0.01, zero at sf0.1) — a data-dependent deterministic seed keeps
+# the frontier loop exercising real work at every scale.
+_SQL_BFS_SEED = """
+      SELECT u AS node FROM (
+        SELECT u, COUNT(*) AS d FROM edges GROUP BY u
+      ) ORDER BY d DESC, node LIMIT 1
+"""
 
 
 @register(
@@ -186,7 +212,7 @@ BFS_DEPTH = 3
     WITH RECURSIVE pairs AS ({_SQL_PAIRS}),
     edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
     walk(node, hops) AS (
-      SELECT CAST({BFS_SEED} AS BIGINT) AS node, 0 AS hops
+      SELECT node, 0 AS hops FROM ({_SQL_BFS_SEED})
       UNION
       SELECT e.v AS node, w.hops + 1 AS hops
       FROM walk w JOIN edges e ON e.u = w.node
@@ -196,7 +222,8 @@ BFS_DEPTH = 3
     """,
     tags=("graph", "iterative"),
     doc=f"BFS reachability: parts within {BFS_DEPTH} co-purchase hops of "
-    f"part {BFS_SEED}, with minimum hop count. The oracle is DuckDB's "
+    "the max-degree hub (deterministic in-plan seed pick, ties by id), "
+    "with minimum hop count. The oracle is DuckDB's "
     "recursive CTE (UNION-distinct recursion, so the working set is "
     "(node,hops) pairs, not paths); Spark has no recursive SQL, so the "
     "engine form is the frontier loop every distributed BFS uses — "
@@ -227,8 +254,8 @@ def copurchase_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_e.u", "_e.v")
         .localCheckpoint(eager=True)
     )
-    seed = spark.range(1).select(
-        F.lit(BFS_SEED).cast("long").alias("node"), F.lit(0).cast("int").alias("hops")
+    seed = _hub_seed(edges).select(
+        "node", F.lit(0).cast("int").alias("hops")
     )
     visited = seed
     frontier = seed
@@ -364,7 +391,6 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SSSP_SEED = 0
 SSSP_HOPS = 4
 # Integer edge weight: strong co-purchase = short distance. support >= 2
 # (the edge filter), so weights land in [1, 8] — integer, hence every
@@ -381,7 +407,7 @@ _SQL_W = "GREATEST(1, 10 - support)"
       UNION ALL
       SELECT v AS u, u AS v, {_SQL_W} AS w FROM pairs),
     walk(node, dist, hops) AS (
-      SELECT CAST({SSSP_SEED} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+      SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM ({_SQL_BFS_SEED})
       UNION
       SELECT e.v AS node, w.dist + e.w AS dist, w.hops + 1 AS hops
       FROM walk w JOIN edges e ON e.u = w.node
@@ -391,7 +417,8 @@ _SQL_W = "GREATEST(1, 10 - support)"
     """,
     tags=("graph", "iterative"),
     doc=f"Weighted single-source shortest paths (Bellman-Ford, "
-    f"{SSSP_HOPS} relaxation rounds) from part {SSSP_SEED}: edge cost "
+    f"{SSSP_HOPS} relaxation rounds) from the max-degree hub "
+    f"(deterministic in-plan seed, ties by id): edge cost "
     f"falls with co-purchase support (w = max(1, 10-support), integer "
     f"so path costs are exact on both engines), result = cheapest "
     f"path cost within {SSSP_HOPS} hops. The MIN-aggregation in the "
@@ -419,9 +446,8 @@ def copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_e.u", "_e.v", "_e.w")
         .localCheckpoint(eager=True)
     )
-    state = spark.range(1).select(
-        F.lit(SSSP_SEED).cast("long").alias("node"),
-        F.lit(0).cast("long").alias("dist"),
+    state = _hub_seed(edges).select(
+        "node", F.lit(0).cast("long").alias("dist")
     )
     for _ in range(SSSP_HOPS):
         relaxed = state.join(edges, state.node == edges.u).select(
