@@ -93,6 +93,37 @@ def write_clustered(
     part.sortWithinPartitions(*cluster_by).write.mode("errorifexists").parquet(path)
 
 
+def zorder_key(x: str, y: str, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer expressions — the multi-dimensional clustering
+    key for data skipping. ``write_clustered(df, path, [zorder_key(a,
+    b)])`` lays files along the Z-curve, so parquet min/max stats stay
+    tight on BOTH dimensions and a box filter (a-range AND b-range)
+    prunes files; 1-dim range clustering can only serve one of the two.
+    Pure codegen fold (shift/mask inside ``aggregate``), no Python;
+    bit-identical cross-engine (the DuckDB mirror is the same integer
+    fold), so layout decisions are reproducible anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc "
+        f"+ shiftleft(shiftright(CAST({x} AS BIGINT), i) & CAST(1 AS BIGINT), 2*i) "
+        f"+ shiftleft(shiftright(CAST({y} AS BIGINT), i) & CAST(1 AS BIGINT), 2*i+1))"
+    )
+
+
+def sql_zorder_key(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB mirror of :func:`zorder_key` (same integer fold)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, {bits - 1})), "
+        f"(acc, i) -> acc "
+        f"+ (((CAST({x} AS BIGINT) >> i) & 1) << (2*i)) "
+        f"+ (((CAST({y} AS BIGINT) >> i) & 1) << (2*i+1)))"
+    )
+
+
 def scrub_snapshot(
     spark: SparkSession, path: str, forget_keys: DataFrame, key_col: str
 ) -> tuple[int, int]:

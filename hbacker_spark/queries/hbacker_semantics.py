@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hbacker_spark.registry import register
-from hbacker_spark.sources.tables import load_table
+from hbacker_spark.sources.tables import load_table, ts_epoch_us
 
 RANGE_START = "2024-01-05 00:00:00"
 RANGE_END = "2024-01-20 00:00:00"
@@ -255,4 +255,54 @@ def snapshot_diff_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_type"),
         )
         .filter((F.col("v1_status").isNull()) | (F.col("v1_status") != F.col("v2_status")))
+    )
+
+
+ZORDER_BITS = 16
+
+
+def _zorder_oracle() -> str:
+    from hbacker_spark.operators.maintenance import sql_zorder_key
+
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT) AS day
+      FROM orders)
+    SELECT o_orderkey, o_custkey, day,
+           {sql_zorder_key('o_custkey', 'day', ZORDER_BITS)} AS zkey
+    FROM base
+    ORDER BY zkey, o_orderkey
+    LIMIT 100
+    """
+
+
+@register(
+    "zorder_key_orders",
+    oracle=_zorder_oracle(),
+    tags=("maintenance", "layout", "deterministic"),
+    doc="Morton (Z-order) clustering key over (customer, order-day): "
+    "the multi-dimensional layout tool for 100 TB data skipping. "
+    "Feeding this key to write_clustered lays files along the Z-curve "
+    "so parquet min/max stats stay tight on BOTH dimensions and a box "
+    "filter (customer range AND date range) prunes files — 1-dim range "
+    "clustering can only serve one dimension (pruning advantage "
+    "asserted in test_maintenance.py). The interleave is a pure "
+    "codegen shift/mask fold, integer-exact and engine-portable, so "
+    "layout decisions reproduce anywhere. The query surfaces the first "
+    "100 rows of the curve (deterministic: zkey then key tiebreak).",
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.maintenance import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(ts_epoch_us(o, "o_orderdate") / F.lit(86_400_000_000)).cast("long").alias("day"),
+    )
+    return (
+        base.withColumn("zkey", zorder_key("o_custkey", "day", ZORDER_BITS))
+        .orderBy("zkey", "o_orderkey")
+        .limit(100)
     )

@@ -67,6 +67,49 @@ def test_clustered_write_prunes_files_on_key_filter(spark, tmp_path):
     assert files_touched(rr) == 8
 
 
+def test_zorder_clustered_write_prunes_box_filters_on_both_dims(spark, tmp_path):
+    """Z-order layout serves box filters on BOTH dimensions; 1-dim range
+    clustering on x spreads any y-range across every file."""
+    from hbacker_spark.operators.maintenance import zorder_key
+
+    n = 64_000
+    df = spark.range(n).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+
+    def files_touched(p, lo_x, hi_x, lo_y, hi_y):
+        return (
+            spark.read.parquet(p)
+            .filter(
+                (F.col("x") >= lo_x) & (F.col("x") <= hi_x)
+                & (F.col("y") >= lo_y) & (F.col("y") <= hi_y)
+            )
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    zp = str(tmp_path / "zordered")
+    write_clustered(df.withColumn("zk", zorder_key("x", "y", 8)), zp, ["zk"], n_partitions=16)
+    xp = str(tmp_path / "x_only")
+    write_clustered(df, xp, ["x"], n_partitions=16)
+
+    # box filter: 1/8 of each dimension
+    z_files = files_touched(zp, 0, 31, 0, 31)
+    x_files = files_touched(xp, 0, 31, 0, 31)
+    # x-clustering helps the x half of the box but every x-file spans
+    # all y; the z-curve confines a 1/64-area box to a few curve spans
+    assert z_files < x_files
+    assert z_files <= 4
+    # and the key fold is exact/portable: spot-check the interleave
+    row = spark.range(1).select(
+        F.lit(0b1010).alias("x"), F.lit(0b0110).alias("y")
+    ).select(zorder_key("x", "y", 8).alias("zk")).first()
+    # x bits -> even positions, y bits -> odd: 1010 & 0110 -> 01101100
+    assert row["zk"] == 0b01101100
+
+
 def test_scrub_removes_only_forgotten_keys(spark, tmp_path):
     path = str(tmp_path / "scrub_snap")
     df = spark.range(1_000).select(
