@@ -1708,6 +1708,53 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project(e, comps)
 
 
+@register(
+    "nucleus_docs_per_source",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(cum AS BIGINT) AS cum_chars
+    FROM m
+    WHERE (cum - n_chars) * 10 < total * 8
+    """,
+    tags=("llm", "mixture", "window"),
+    doc="Per-source nucleus (top-p mass) curation: within each source, "
+    "keep the smallest prefix of docs (largest first, id tiebreak) "
+    "covering 80% of that source's character mass — the grouped "
+    "analog of nucleus sampling, used to cap long-tail noise per "
+    "source without a fixed length cutoff. The boundary test is "
+    "integer cross-multiplication ((cum-m)*10 < total*8), so no "
+    "floating threshold can flip boundary rows between engines. One "
+    "shuffle on source; both window sums share the same sort, and the "
+    "per-partition total is a frame-free window over the same "
+    "exchange — no second shuffle, no driver state.",
+)
+def nucleus_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wo = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    m = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(wo).alias("cum"),
+        F.sum("n_chars").over(wall).alias("total"),
+    )
+    return m.filter(
+        (F.col("cum") - F.col("n_chars")) * 10 < F.col("total") * 8
+    ).select("doc_id", "source", "n_chars", F.col("cum").cast("bigint").alias("cum_chars"))
+
+
 # Fixed-point scale for label-centroid sums: float32 inputs scaled by
 # 2^30 are already integers (24-bit mantissa), so round() is exact and
 # the int64 per-component sums are order-independent on both engines.
