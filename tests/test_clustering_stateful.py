@@ -77,3 +77,132 @@ def test_stateful_running_spend_stream(spark, tmp_path):
     assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 15.5
     assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 2.0
     assert all(r["status"] == "active" for r in rows.values())
+
+
+def test_transform_with_state_ewma_matches_batch_fold(spark, tmp_path):
+    """Streaming EWMA (transformWithStateInPandas) across two
+    micro-batches + a checkpointed restart equals the single batch fold
+    over the full history — the stream==batch contract. Runtime needs
+    protobuf (Spark's transformWithState state protocol); skipped where
+    absent (this container) — the processor logic itself is also pinned
+    protobuf-free below."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from hbacker_spark.streaming.transform_state import EWMA_ALPHA, streaming_ewma
+    from hbacker_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, fname):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain(name):
+        stream = spark.readStream.format("parquet").schema(EVENTS_STREAM_SCHEMA).load(src)
+        q = (
+            streaming_ewma(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 10.0, "{}"),
+            (2, "2024-01-01 10:01:00", 1, "click", 4.0, "{}"),
+            (3, "2024-01-01 10:00:30", 2, "view", 7.0, "{}"),
+        ],
+        "b1",
+    )
+    drain("ewma_out1")
+    # second batch after a restart: state must carry the fold forward
+    write_batch(
+        [
+            (4, "2024-01-01 10:05:00", 1, "purchase", 20.0, "{}"),
+            (5, "2024-01-01 10:06:00", 1, "click", 1.0, "{}"),
+        ],
+        "b2",
+    )
+    drain("ewma_out2")
+
+    out1 = {r["user_id"]: r for r in spark.sql("SELECT * FROM ewma_out1").collect()}
+    out2 = {r["user_id"]: r for r in spark.sql("SELECT * FROM ewma_out2").collect()}
+
+    def batch_fold(values):
+        s = None
+        for x in values:
+            s = x if s is None else (1.0 - EWMA_ALPHA) * s + EWMA_ALPHA * x
+        return round(s, 6)
+
+    assert out1[1]["n_events"] == 2 and out1[1]["ewma_value"] == batch_fold([10.0, 4.0])
+    assert out1[2]["n_events"] == 1 and out1[2]["ewma_value"] == 7.0
+    # restart resumed from checkpointed state: 4-event fold, only batch-2
+    # users emitted (update semantics)
+    assert out2[1]["n_events"] == 4
+    assert out2[1]["ewma_value"] == batch_fold([10.0, 4.0, 20.0, 1.0])
+    assert 2 not in out2
+
+
+def test_transform_with_state_processor_logic_protobuf_free():
+    """The EwmaProcessor's fold/state contract, pinned without the
+    protobuf runtime: in-batch (ts, event_id) sort order, state carry
+    across calls, and the exact smoother arithmetic."""
+    import pandas as pd
+
+    from hbacker_spark.streaming.transform_state import EWMA_ALPHA, EwmaProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = t
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema, ttl_ms=None):
+            return self.state
+
+    p = EwmaProcessor()
+    h = FakeHandle()
+    p.init(h)
+    # batch 1: rows arrive out of order — fold must follow (ts, event_id)
+    out1 = list(
+        p.handleInputRows(
+            (1,),
+            iter([pd.DataFrame({"ts": [2, 1], "event_id": [2, 1], "value": [4.0, 10.0]})]),
+            None,
+        )
+    )[0]
+    s1 = (1 - EWMA_ALPHA) * 10.0 + EWMA_ALPHA * 4.0
+    assert out1.iloc[0]["n_events"] == 2
+    assert out1.iloc[0]["ewma_value"] == round(s1, 6)
+    # batch 2: state carries the fold forward
+    out2 = list(
+        p.handleInputRows(
+            (1,),
+            iter([pd.DataFrame({"ts": [3], "event_id": [3], "value": [20.0]})]),
+            None,
+        )
+    )[0]
+    assert out2.iloc[0]["n_events"] == 3
+    assert out2.iloc[0]["ewma_value"] == round((1 - EWMA_ALPHA) * s1 + EWMA_ALPHA * 20.0, 6)
+    assert h.state.v == (3, (1 - EWMA_ALPHA) * s1 + EWMA_ALPHA * 20.0)
