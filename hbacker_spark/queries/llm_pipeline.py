@@ -1714,6 +1714,41 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_groups_incremental",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup", "incremental"),
+    doc="Incremental dedup-state maintenance, proved in the gate: the "
+    "corpus is split into two deterministic ingest batches (md5 "
+    "bucket), each batch builds its own (text_hash, keeper_id, "
+    "n_copies) state, and the states are MERGED (operators/"
+    "incremental.py) — the oracle is the plain full-corpus dedup, so "
+    "the hash match IS the proof that fold-of-batches == full "
+    "recompute. At 100 TB this is the difference between rescanning "
+    "history per snapshot session and one state build over the new "
+    "batch + one merge shuffle over (stored state ∪ batch state); "
+    "min/sum are associative+commutative, so any ingest order agrees "
+    "bit-for-bit. 3-way random-split invariance pinned in "
+    "tests/test_merge_properties.py.",
+)
+def dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.incremental import dedup_state, merge_dedup_state
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 2
+    )
+    batch0 = d.filter(bucket == 0)
+    batch1 = d.filter(bucket == 1)
+    return merge_dedup_state(dedup_state(batch0), dedup_state(batch1))
+
+
+@register(
     "nucleus_docs_per_source",
     oracle="""
     WITH m AS (

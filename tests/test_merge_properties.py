@@ -102,3 +102,29 @@ def test_upsert_then_delete_roundtrip(spark):
     merged = merge_upsert(t, s, ["k"])
     back = merge_delete(merged, F.col("k").isin(7, 8))
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, t.collect()))
+
+
+def test_incremental_dedup_state_split_invariant(spark, sf_dir):
+    """state(A ∪ B ∪ C) == fold of per-batch states, in every fold
+    order — the associativity/commutativity contract that makes
+    incremental ingest exact."""
+    from hbacker_spark.operators.incremental import dedup_state, merge_dedup_state
+    from hbacker_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(3))
+    parts = [d.filter(bucket == i) for i in range(3)]
+    full = sorted(map(tuple, dedup_state(d).collect()))
+
+    s0, s1, s2 = (dedup_state(p) for p in parts)
+    left_fold = sorted(map(tuple, merge_dedup_state(merge_dedup_state(s0, s1), s2).collect()))
+    right_fold = sorted(map(tuple, merge_dedup_state(s0, merge_dedup_state(s1, s2)).collect()))
+    swapped = sorted(map(tuple, merge_dedup_state(merge_dedup_state(s2, s0), s1).collect()))
+    assert left_fold == full
+    assert right_fold == full
+    assert swapped == full
+    # merging an EMPTY increment is the identity (idle ingest ticks)
+    empty = dedup_state(d.filter(F.lit(False)))
+    assert sorted(map(tuple, merge_dedup_state(s0, empty).collect())) == sorted(
+        map(tuple, s0.collect())
+    )
