@@ -307,15 +307,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = sym.join(deg, "src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     state = nodes.withColumn("score", F.lit(1).cast(PR_SCALE)).localCheckpoint(eager=True)
-    for _ in range(PR_ITER):
-        contrib = (
-            edges.join(state, edges.src == state.node)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("score") / F.col("deg")).cast(PR_SCALE).alias("c"),
-            )
+
+    def step(st):
+        contrib = edges.join(st, edges.src == st.node).select(
+            F.col("dst").alias("node"),
+            (F.col("score") / F.col("deg")).cast(PR_SCALE).alias("c"),
         )
-        state = (
+        return (
             contrib.groupBy("node")
             .agg(F.sum("c").alias("_in"))
             .select(
@@ -325,8 +323,16 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + (F.lit(0.85).cast("decimal(3,2)") * F.col("_in")).cast(PR_SCALE)
                 ).alias("score"),
             )
-            .localCheckpoint(eager=True)
         )
+
+    # Two power iterations per materialization cycle (the CC 2-step
+    # batching trick, clustering.py): the un-checkpointed plan nests
+    # only 2 join+agg rounds — bounded — while halving the number of
+    # eager materializations, which at 8 fixed iterations is the
+    # dominant per-round cost. Results are bit-identical to 1-step
+    # checkpointing (decimal arithmetic is exact either way).
+    for _ in range(PR_ITER // 2):
+        state = step(step(state)).localCheckpoint(eager=True)
     return (
         state.select("node", F.col("score").cast("double").alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "node")
@@ -449,14 +455,16 @@ def copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _hub_seed(edges).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
-    for _ in range(SSSP_HOPS):
-        relaxed = state.join(edges, state.node == edges.u).select(
+
+    def relax(st):
+        relaxed = st.join(edges, st.node == edges.u).select(
             F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        state = (
-            state.unionAll(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+        return st.unionAll(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+
+    # Two relaxation rounds per materialization (same 2-step batching as
+    # PageRank/CC): lineage stays 2 join+agg rounds deep, half the
+    # eager checkpoints; min() is exact so results are identical.
+    for _ in range(SSSP_HOPS // 2):
+        state = relax(relax(state)).localCheckpoint(eager=True)
     return state
