@@ -64,3 +64,21 @@ def merge_dedup_state(a: DataFrame, b: DataFrame) -> DataFrame:
             F.sum("n_copies").cast("bigint").alias("n_copies"),
         )
     )
+
+
+def hll_state(df: DataFrame, group_col: str, distinct_col: str) -> DataFrame:
+    """Per-group HLL sketch state — the decomposable form of grouped
+    count-distinct. Same incremental algebra as the dedup state: the
+    sketch's registers are element-wise maxima, so union-of-batch-
+    sketches equals the sketch of the union (insertion order and batch
+    split are irrelevant). State rows are (group, ~KB binary)."""
+    return df.groupBy(group_col).agg(F.hll_sketch_agg(distinct_col).alias("hll_sketch"))
+
+
+def merge_hll_state(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Merge two per-group HLL states (register-maxima union)."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col)
+        .agg(F.hll_union_agg("hll_sketch").alias("hll_sketch"))
+    )

@@ -128,3 +128,25 @@ def test_incremental_dedup_state_split_invariant(spark, sf_dir):
     assert sorted(map(tuple, merge_dedup_state(s0, empty).collect())) == sorted(
         map(tuple, s0.collect())
     )
+
+
+def test_incremental_hll_state_fold_equals_full_build(spark, sf_dir):
+    """Union of per-batch HLL sketches estimates EXACTLY like the
+    sketch built over the full data — the register-maxima algebra that
+    lets distinct-count state fold incrementally like the dedup state."""
+    from pyspark.sql import functions as SF
+
+    from hbacker_spark.operators.incremental import hll_state, merge_hll_state
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(2))
+    s0 = hll_state(e.filter(bucket == 0), "event_type", "user_id")
+    s1 = hll_state(e.filter(bucket == 1), "event_type", "user_id")
+    folded = merge_hll_state(s0, s1, "event_type").select(
+        "event_type", SF.hll_sketch_estimate("hll_sketch").alias("est")
+    )
+    full = hll_state(e, "event_type", "user_id").select(
+        "event_type", SF.hll_sketch_estimate("hll_sketch").alias("est")
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, full.collect()))
