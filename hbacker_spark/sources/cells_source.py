@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -146,6 +147,52 @@ class CellsReader(DataSourceReader):
                     yield (c["row_key"], c["cf"], c["qualifier"], c["ts"], c["value"])
 
 
+class CellsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the cells store — the WAL/incremental-ingest
+    shape: each micro-batch emits exactly the cells with ts beyond the
+    committed offset, so new snapshot sessions (new region files +
+    meta) surface as deltas without re-reading history.
+
+    Offset = {"ts": high-water mark} — resilient to regions appearing
+    between batches because cells carry their own monotone version
+    timestamps (the same watermark contract as the incremental export
+    chain, operators/snapshots.py). ``readBetweenOffsets`` re-derives
+    any (start, end] slice for exactly-once replay after restart.
+
+    Scale note, stated honestly: Spark's SIMPLE stream-reader API runs
+    on the driver (the engine buffers and redistributes each batch) —
+    right for a control-plane tail of bounded per-batch deltas; a bulk
+    backfill should use the batch reader (1 partition per region,
+    pushdown) and start the stream from the backfill's high-water mark.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.root = options.get("path") or options.get("root") or ""
+        if not self.root:
+            raise ValueError("hbacker_cells stream requires option path=<region dir>")
+
+    def initialOffset(self) -> dict:
+        return {"ts": -1}
+
+    def _cells_between(self, lo: int, hi: int | None) -> Iterator[tuple]:
+        for r in _load_meta(self.root):
+            with open(os.path.join(self.root, r["file"])) as f:
+                for line in f:
+                    c = json.loads(line)
+                    if c["ts"] > lo and (hi is None or c["ts"] <= hi):
+                        yield (c["row_key"], c["cf"], c["qualifier"], c["ts"], c["value"])
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows = list(self._cells_between(start["ts"], None))
+        if not rows:
+            return iter([]), start
+        hi = max(r[3] for r in rows)
+        return iter(rows), {"ts": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._cells_between(start["ts"], end["ts"])
+
+
 class CellsWriter(DataSourceWriter):
     def __init__(self, options: dict) -> None:
         self.root = options["path"]
@@ -207,3 +254,6 @@ class HBaseCellsDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> CellsWriter:
         return CellsWriter(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> CellsStreamReader:
+        return CellsStreamReader(self.options)

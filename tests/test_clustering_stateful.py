@@ -103,18 +103,23 @@ def test_transform_with_state_ewma_matches_batch_fold(spark, tmp_path):
             "append"
         ).parquet(src)
 
-    def drain(name):
+    collected = []
+
+    def drain():
+        # foreachBatch sink: supports checkpoint recovery (memory sink
+        # does not), and update-mode rows append to `collected`
+        before = len(collected)
         stream = spark.readStream.format("parquet").schema(EVENTS_STREAM_SCHEMA).load(src)
         q = (
             streaming_ewma(stream)
             .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
+            .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        return {r["user_id"]: r for r in collected[before:]}
 
     write_batch(
         [
@@ -124,7 +129,7 @@ def test_transform_with_state_ewma_matches_batch_fold(spark, tmp_path):
         ],
         "b1",
     )
-    drain("ewma_out1")
+    out1 = drain()
     # second batch after a restart: state must carry the fold forward
     write_batch(
         [
@@ -133,10 +138,7 @@ def test_transform_with_state_ewma_matches_batch_fold(spark, tmp_path):
         ],
         "b2",
     )
-    drain("ewma_out2")
-
-    out1 = {r["user_id"]: r for r in spark.sql("SELECT * FROM ewma_out1").collect()}
-    out2 = {r["user_id"]: r for r in spark.sql("SELECT * FROM ewma_out2").collect()}
+    out2 = drain()
 
     def batch_fold(values):
         s = None
