@@ -376,20 +376,26 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_e.u", "_e.v")
         .localCheckpoint(eager=True)
     )
-    prev_nodes = -1
+    # ONE materialization per peel round: keep is left lazy (recomputed
+    # inside both semi-joins of the same job — two aggregations over
+    # the already-materialized edge set, cheaper than a second eager
+    # checkpoint + count job per round), and convergence probes the
+    # just-materialized edge count, which is free. Edge-count fixpoint
+    # ⟺ node fixpoint: every peeled node removes at least one edge.
+    prev_edges = -1
     for _ in range(KCORE_MAX_ROUNDS):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= KCORE_K).select("u").localCheckpoint(eager=True)
-        n_nodes = keep.count()
-        if n_nodes == prev_nodes:
-            break
-        prev_nodes = n_nodes
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("u")
         edges = (
             edges.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        n_edges = edges.count()
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
     return (
         edges.groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
