@@ -110,6 +110,33 @@ def test_zorder_clustered_write_prunes_box_filters_on_both_dims(spark, tmp_path)
     assert row["zk"] == 0b01101100
 
 
+def test_zorder_key_matches_python_reference(spark):
+    """The SQL shift/mask fold equals a bit-twiddling Python reference
+    on a random grid, and the interleave is injective on the bounded
+    domain (what makes it a usable clustering KEY)."""
+    import random
+
+    from hbacker_spark.operators.maintenance import zorder_key
+
+    random.seed(7)
+    pts = list({(random.randrange(256), random.randrange(256)) for _ in range(500)})
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["zk"]
+        for r in df.select("x", "y", zorder_key("x", "y", 8).alias("zk")).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert all(got[(x, y)] == ref(x, y) for x, y in pts)
+    assert len(set(got.values())) == len(pts)  # injective
+
+
 def test_scrub_removes_only_forgotten_keys(spark, tmp_path):
     path = str(tmp_path / "scrub_snap")
     df = spark.range(1_000).select(
