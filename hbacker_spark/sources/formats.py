@@ -43,3 +43,31 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode:
     """Hive-style partitioned parquet: readers filtering on
     ``partition_cols`` scan only matching directories."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None, max_bytes: int | None = None
+) -> DataFrame:
+    """Raw-file ingest via Spark's ``binaryFile`` source — the first
+    step of a multimodal pipeline: files become (path, modificationTime,
+    length, content binary) rows, which ``functions/multimodal``
+    decode/feature passes consume directly. The source is
+    split-per-file (a file never splits across tasks — binary blobs
+    aren't splittable), so task parallelism = file count; at 100 TB of
+    small media files, compact first (many small files = driver listing
+    pain, same issue compact_snapshot exists for) or ingest once into
+    parquet with this reader and serve all downstream passes from the
+    columnar copy. ``glob`` filters by pathGlobFilter at listing time
+    (never reads non-matching files); ``max_bytes`` pushes a length
+    predicate into the file index, skipping oversized blobs before any
+    byte is read.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -49,3 +49,39 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
 
     dirs = [d for d in os.listdir(path) if d.startswith("o_orderpriority=")]
     assert len(dirs) == 5
+
+
+def test_binary_file_ingest_feeds_multimodal_features(spark, tmp_path):
+    """binaryFile source → multimodal feature pass end-to-end: raw
+    files become (path, content) rows, the glob filters at listing
+    time, the length cap skips oversized blobs pre-read, and the
+    decoded feature vectors are deterministic functions of bytes."""
+    from hbacker_spark.functions.multimodal import FEATURE_DIM, _decode_bytes
+    from hbacker_spark.sources import formats
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"alpha-bytes")
+    (d / "b.img").write_bytes(b"beta")
+    (d / "big.img").write_bytes(b"x" * 1000)
+    (d / "notes.txt").write_bytes(b"not media")
+
+    df = formats.read_binary_files(spark, str(d), glob="*.img", max_bytes=100)
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}  # txt globbed out, big capped out
+    assert rows["a.img"] == b"alpha-bytes"
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _feats(content):
+        return content.apply(lambda b: _decode_bytes(bytes(b)))
+
+    feats = F.pandas_udf(_feats, "array<float>")
+
+    out = {r["p"].rsplit("/", 1)[-1]: r["f"] for r in
+           df.select(F.col("path").alias("p"), feats("content").alias("f")).collect()}
+    assert len(out["a.img"]) == FEATURE_DIM
+    # deterministic function of bytes
+    import numpy as np
+    assert np.allclose(out["a.img"], _decode_bytes(b"alpha-bytes"), atol=1e-6)
