@@ -2046,6 +2046,149 @@ def pareto_customers_for_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEEK_US = 7 * 86_400_000_000
+
+
+@register(
+    "user_retention_cohorts",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(us) AS first_us FROM base GROUP BY user_id
+    )
+    SELECT CAST(f.first_us // {WEEK_US} AS BIGINT) AS cohort_week,
+           CAST(b.us // {WEEK_US} - f.first_us // {WEEK_US} AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_active_users
+    FROM base b JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "aggregation", "analytics"),
+    doc="Cohort retention matrix: users bucket into their first-seen "
+    "week, and each (cohort_week, week_offset) cell counts users still "
+    "active that many weeks later — the standard retention triangle. "
+    "Integer epoch-week division is exact on both engines. Plan: one "
+    "shuffle on user_id for the first-seen min, the join back "
+    "co-locates on the same key (no second shuffle of the fact rows), "
+    "then one count-distinct agg; at 100 TB the first-seen relation is "
+    "users-sized and broadcastable per executor-memory budget.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", ts_epoch_us(e).alias("_us"))
+    first = base.groupBy("user_id").agg(F.min("_us").alias("_first_us"))
+    j = base.join(first, "user_id")
+    cohort = F.expr(f"_first_us div {WEEK_US}")
+    offset = F.expr(f"_us div {WEEK_US}") - cohort
+    return (
+        j.groupBy(cohort.alias("cohort_week"), offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active_users"))
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(epoch_us(o_orderdate)) AS recency_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, frequency, monetary,
+           CAST(r AS INT) AS r_quartile, CAST(f AS INT) AS f_quartile, CAST(m AS INT) AS m_quartile,
+           CAST(r * 100 + f * 10 + m AS INT) AS rfm_segment
+    FROM (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_us DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm
+    )
+    """,
+    tags=("window", "aggregation", "analytics"),
+    doc="RFM customer segmentation: recency/frequency/monetary "
+    "quartiles (ntile with unique-key tiebreaks, so bucket boundaries "
+    "are deterministic on both engines), combined into the classic "
+    "3-digit segment code. The windows rank the per-customer AGGREGATE "
+    "(customers-sized, not orders-sized); a global ntile is a single-"
+    "partition sort by construction — at 100 TB swap it for a "
+    "percentile-threshold join (the winsorize pattern) if the customer "
+    "dimension itself outgrows one reducer; the decimal-exact monetary "
+    "sum is what makes the quartile boundaries reproducible.",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(ts_epoch_us(o, "o_orderdate")).alias("_recency_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round("o_totalprice", 2).cast(MONEY)).cast("double").alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("_recency_us"), "o_custkey"))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+    return rfm.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        r.cast("int").alias("r_quartile"),
+        f.cast("int").alias("f_quartile"),
+        m.cast("int").alias("m_quartile"),
+        (r * 100 + f * 10 + m).cast("int").alias("rfm_segment"),
+    )
+
+
+@register(
+    "events_anomaly_3sigma",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value, 2) AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(round(value, 2) AS DECIMAL(12,2))
+                  * CAST(round(value, 2) AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(round(e.value, 2) AS DECIMAL(12,2)) AS v
+    FROM events e JOIN m USING (event_type)
+    WHERE (CAST(round(e.value, 2) AS DOUBLE) - m.sx / m.n)
+          * (CAST(round(e.value, 2) AS DOUBLE) - m.sx / m.n)
+          * (m.n * (m.n - 1))
+          > 9.0 * (m.n * m.sxx - m.sx * m.sx)
+    """,
+    tags=("statistics", "analytics", "quality"),
+    doc="3-sigma outlier flags per event_type from exact decimal moment "
+    "sums (the stats_exact_moments machinery turned into a filter): "
+    "variance never takes a square root — the test cross-multiplies "
+    "(x-mean)^2 * n(n-1) > 9 * (n*sxx - sx^2), every operand an IEEE "
+    "double derived from exact integers, so both engines flag the "
+    "identical row set (no sqrt rounding at the boundary). Plan: one "
+    "tiny per-type moment aggregate broadcast back onto the fact scan "
+    "— flagging is a stateless filter, no second shuffle.",
+)
+def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.round("value", 2).cast(MONEY)
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(25,4)")).cast("double").alias("sxx"),
+    )
+    j = e.join(F.broadcast(m), "event_type")
+    x = F.round("value", 2).cast(MONEY).cast("double")
+    dev = x - F.col("sx") / F.col("n")
+    flagged = j.filter(
+        dev * dev * (F.col("n") * (F.col("n") - 1))
+        > F.lit(9.0) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return flagged.select(
+        "event_id", "event_type", F.round("value", 2).cast(MONEY).alias("v")
+    )
+
+
 # EWMA decay: s_i = (1-alpha)*s_{i-1} + alpha*x_i, seeded with the first
 # in-frame value. 0.2 parses to the same IEEE double on both engines.
 EWMA_ALPHA = 0.2
