@@ -68,6 +68,66 @@ def test_weighted_sample_pps_unbiased_and_sized(spark, sf_dir):
     assert len(out) < n_docs  # it is actually a sample
 
 
+def test_weighted_sample_pps_stable_under_repartitioning(spark, sf_dir):
+    """The PPS draw is a pure function of (doc_id, corpus total), so
+    the selected set must not change with input partitioning — the
+    property rand()-based samplers lack."""
+    from pyspark.sql import functions as SF
+
+    from hbacker_spark.queries.llm_pipeline import PPS_TARGET
+    from hbacker_spark.sources.tables import load_table
+
+    base = sorted(r["doc_id"] for r in SPECS["weighted_sample_pps"].fn(spark, sf_dir).collect())
+    d = load_table(spark, sf_dir, "documents").repartition(13)
+    tot = d.agg(SF.sum("n_chars").cast("bigint").alias("_w_tot"))
+    u = (
+        SF.conv(SF.substring(SF.md5(SF.col("doc_id").cast("string")), 1, 8), 16, 10).cast("double")
+        + SF.lit(0.5)
+    ) / SF.lit(4294967296.0)
+    p = SF.least(
+        SF.lit(1.0),
+        SF.lit(float(PPS_TARGET)) * SF.col("n_chars").cast("double") / SF.col("_w_tot").cast("double"),
+    )
+    again = sorted(
+        r["doc_id"]
+        for r in d.crossJoin(SF.broadcast(tot)).filter(u < p).select("doc_id").collect()
+    )
+    assert again == base
+
+
+def test_ewma_stays_within_frame_bounds(spark, sf_dir):
+    """EWMA is a convex combination of in-frame values, so every output
+    must lie within [min(frame), max(frame)] — a shape property that
+    catches fold-order/seed bugs independent of the oracle."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    out = SPECS["ewma_user_value"].fn(spark, sf_dir)
+    from hbacker_spark.queries.relational import EWMA_LOOKBACK
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), W.currentRow)
+    )
+    bounds = e.select(
+        "event_id",
+        SF.min("value").over(w).alias("lo"),
+        SF.max("value").over(w).alias("hi"),
+    )
+    viol = (
+        out.join(bounds, "event_id")
+        .filter(
+            (SF.col("ewma_value") < SF.round(SF.col("lo"), 6) - 1e-6)
+            | (SF.col("ewma_value") > SF.round(SF.col("hi"), 6) + 1e-6)
+        )
+        .count()
+    )
+    assert viol == 0
+
+
 def test_hll_distinct_users_accuracy_and_merge(spark, sf_dir):
     """HLL estimates land within sketch error of exact counts, and the
     '__all__' row (union of per-type sketches) matches the exact global
