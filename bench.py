@@ -125,8 +125,17 @@ def main() -> None:
     # 105s whole-run totals on identical code); the min is the
     # reproducible steady-state cost of the plan.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Iteration aid: SPARK_GRAFT_BENCH_ONLY="a,b,c" times just those
+    # queries (substring match allowed) without touching the committed
+    # BENCH_FULL.json contract — the full artifact is only written for
+    # unfiltered runs, so a targeted loop can't masquerade as a round
+    # artifact.
+    only = [s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s]
+    names = sorted(
+        n for n in specs if not only or any(o in n for o in only)
+    )
     timings: dict[str, float] = {}
-    for name in sorted(specs):
+    for name in names:
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -155,7 +164,10 @@ def main() -> None:
             "noise, not regressions".format(reps)
         ),
     }
-    (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
+    if not only:  # targeted runs never overwrite the round artifact
+        (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
+            json.dumps(full, indent=1) + "\n"
+        )
 
     line = {
         "metric": "total_query_wall_sec",
