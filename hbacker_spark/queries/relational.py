@@ -2088,6 +2088,52 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_conversion_rate",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(MIN(epoch_us(ts)) // {WEEK_US} AS BIGINT) AS cohort_week,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM per_user GROUP BY cohort_week
+    """,
+    tags=("aggregation", "analytics", "timeseries"),
+    doc="Conversion rate by acquisition cohort: each user's first-seen "
+    "week and ever-purchased flag collapse in ONE user_id shuffle "
+    "(min and max are the same grouped pass), then a cohorts-sized "
+    "aggregate — the funnel x cohort composite product analytics runs "
+    "daily. The rate divides two exact integers, so the rounded double "
+    "is bit-identical cross-engine.",
+)
+def cohort_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.select(
+            "user_id",
+            ts_epoch_us(e).alias("_us"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("_c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(f"min(_us) div {WEEK_US}").alias("cohort_week"),
+            F.max("_c").alias("converted"),
+        )
+    )
+    return per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
     "orders_rfm_segments",
     oracle="""
     WITH rfm AS (
