@@ -331,6 +331,80 @@ def unigram_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_cond_freq_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS bg_cnt FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(bg_cnt) AS ctx_cnt FROM c2 GROUP BY w1),
+    vocab AS (SELECT c2.w1, c2.w2, c2.bg_cnt, c1.ctx_cnt
+              FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(v.bg_cnt) AS BIGINT) AS sum_bigram_df,
+           CAST(MIN(v.bg_cnt) AS BIGINT) AS rarest_bigram_df,
+           round(CAST(SUM(v.bg_cnt) AS DOUBLE) / SUM(v.ctx_cnt), 6) AS pooled_cond_p,
+           round(MIN(CAST(v.bg_cnt AS DOUBLE) / v.ctx_cnt), 6) AS min_cond_p
+    FROM bg JOIN vocab v ON bg.w1 = v.w1 AND bg.w2 = v.w2
+    GROUP BY bg.doc_id
+    """,
+    tags=("llm", "text", "quality", "aggregation"),
+    doc="Bigram-LM fluency scoring (the conditional step up from "
+    "unigram_rarity_scores): each doc scored by corpus-wide bigram "
+    "statistics — P(w2|w1) = C(w1 w2)/C(w1 ·) per bigram, reported as "
+    "the pooled ratio-of-sums and the per-doc minimum. Log-free by "
+    "design (log-space perplexity hash-drifts across libm builds; "
+    "integer count sums and single IEEE divisions cannot), and "
+    "ratio-of-sums instead of mean-of-ratios so no double is ever "
+    "accumulated (double SUM is addition-order-dependent across "
+    "partitionings; BIGINT sums are not). Bigrams come from "
+    "arrays_zip(slice, slice) on the split array — no window, no "
+    "per-doc shuffle. Scale shape: one shuffle for bigram counts, "
+    "context counts folded from the already-aggregated c2 (partial-agg "
+    "sized, not corpus sized), one vocab-side enrichment join "
+    "(broadcasts while the bigram vocab is small; hash join on w1,w2 "
+    "beyond that), one per-doc rollup. Low min_cond_p flags docs with "
+    "never-seen-in-context transitions (garbled or TOCed text); high "
+    "pooled_cond_p flags boilerplate.",
+)
+def bigram_cond_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks)-1)").alias("w1"),
+                F.expr("slice(toks, 2, size(toks)-1)").alias("w2"),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bg_cnt"))
+    c1 = c2.groupBy("w1").agg(F.sum("bg_cnt").alias("ctx_cnt"))
+    vocab = c2.join(c1, "w1").select("w1", "w2", "bg_cnt", "ctx_cnt")
+    return (
+        bg.join(vocab, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bg_cnt").cast("bigint").alias("sum_bigram_df"),
+            F.min("bg_cnt").cast("bigint").alias("rarest_bigram_df"),
+            F.round(
+                F.sum("bg_cnt").cast("double") / F.sum("ctx_cnt"), 6
+            ).alias("pooled_cond_p"),
+            F.round(
+                F.min(F.col("bg_cnt").cast("double") / F.col("ctx_cnt")), 6
+            ).alias("min_cond_p"),
+        )
+    )
+
+
+@register(
     "minhash_lsh_candidates",
     oracle=None,  # murmur3/xxhash64 signatures are Spark-specific → rows-only
     tags=("dedup", "llm", "lsh"),
