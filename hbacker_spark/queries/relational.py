@@ -2314,3 +2314,102 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("_sk").cast("bigint").alias("approx_users"),
     )
     return per_type.unionByName(rollup).orderBy("event_type")
+
+
+# Count-min sketch geometry (cms_heavy_hitters): depth x width counters
+# regardless of key cardinality. md5-derived row hashes so BOTH engines
+# build the bit-identical grid (xxhash64 is Spark-only; Spark's
+# count_min_sketch_agg emits an opaque binary — neither is oracle-able).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (SELECT user_id FROM events),
+    grid AS (
+      SELECT g.i AS seed,
+             CAST(('0x' || substr(md5(g.i || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {CMS_WIDTH} AS bucket,
+             COUNT(*) AS cnt
+      FROM keyed CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS g(i)
+      GROUP BY 1, 2
+    ),
+    truec AS (SELECT user_id, COUNT(*) AS true_cnt FROM keyed GROUP BY user_id),
+    probes AS (
+      SELECT t.user_id, t.true_cnt, g.i AS seed,
+             CAST(('0x' || substr(md5(g.i || ':' || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {CMS_WIDTH} AS bucket
+      FROM truec t CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS g(i)
+    ),
+    est AS (
+      SELECT p.user_id, p.true_cnt, MIN(gr.cnt) AS est_cnt
+      FROM probes p JOIN grid gr ON p.seed = gr.seed AND p.bucket = gr.bucket
+      GROUP BY p.user_id, p.true_cnt
+    )
+    SELECT user_id, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS over_err,
+           CAST(rn AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY est_cnt DESC, user_id) AS rn FROM est)
+    WHERE rn <= {CMS_TOPK}
+    """,
+    tags=("aggregation", "approx", "sketch", "topk"),
+    doc="Count-min-sketch frequency estimation, fully oracled: a "
+    f"{CMS_DEPTH}x{CMS_WIDTH} counter grid over md5 row-hashes of "
+    "user_id (portable, so DuckDB rebuilds the bit-identical grid), "
+    "probed for every key and reporting the top-20 by estimated count "
+    "with the per-key overestimation error (CMS never underestimates: "
+    "est >= true always, over_err <= 2N/width w.h.p.). The 100 TB "
+    "story is the grid's shape: depth*width counters TOTAL regardless "
+    "of key cardinality, built by one map-side-combining shuffle of "
+    "depth*n hashed rows, and MERGEABLE (grids from partitions, days, "
+    "or streams sum counter-wise — same associativity as the HLL "
+    "rollup above), so heavy-hitter detection over 100 TB of events "
+    "costs kilobytes of state where exact top-k needs a full "
+    "key-cardinality shuffle. The probe side joins the 1024-row grid "
+    "broadcast; top-k compiles to TakeOrderedAndProject. Here the "
+    "probe set is every distinct key (to also report true_cnt and the "
+    "error, which doubles as the accuracy test); in production the "
+    "probe set is the candidate stream only.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    seeds = F.explode(F.array([F.lit(i) for i in range(CMS_DEPTH)])).alias("seed")
+
+    def bucket(seed_col, key_col):
+        h = F.md5(
+            F.concat(
+                seed_col.cast("string"), F.lit(":"), key_col.cast("string")
+            ).cast("binary")
+        )
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+        ).alias("bucket")
+
+    grid = (
+        e.select("user_id", seeds)
+        .select("seed", bucket(F.col("seed"), F.col("user_id")))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truec = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = truec.select("user_id", "true_cnt", seeds).select(
+        "user_id", "true_cnt", "seed", bucket(F.col("seed"), F.col("user_id"))
+    )
+    est = (
+        probes.join(F.broadcast(grid), ["seed", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    top = est.orderBy(F.col("est_cnt").desc(), F.col("user_id")).limit(CMS_TOPK)
+    w = Window.orderBy(F.col("est_cnt").desc(), F.col("user_id"))  # k rows only
+    return top.select(
+        "user_id",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("over_err"),
+        F.row_number().over(w).alias("rnk"),
+    )
