@@ -1076,6 +1076,122 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom-filter geometry (bloom_decontamination_probe). 32 usable bits
+# per BIGINT word: DuckDB's `<<` overflows at bit 63 and signed-bit
+# parity is fragile, so the bitset packs 32 bits/word — the word count
+# doubles, the semantics stay engine-exact. m sizes with the EVAL set
+# (benchmarks are ~MBs even when the corpus is 100 TB); at k=3 the FPR
+# is ~(1-e^{-3n/m})^3, pinned against the exact join in
+# tests/test_sampling.py.
+BLOOM_WORDS = 8192  # -> m = 262144 bits
+BLOOM_K = 3
+
+
+@register(
+    "bloom_decontamination_probe",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest({D.sql_word_shingles('text')}) AS shingle
+      FROM documents
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    evh AS (
+      SELECT CAST(('0x' || substr(md5(g.j || ':' || shingle), 1, 8)) AS BIGINT)
+               % {BLOOM_WORDS * 32} AS idx
+      FROM ev CROSS JOIN generate_series(0, {BLOOM_K - 1}) AS g(j)
+    ),
+    bitset AS (
+      SELECT idx // 32 AS word,
+             bit_or(1::BIGINT << CAST(idx % 32 AS INT)) AS bits
+      FROM evh GROUP BY 1
+    ),
+    probes AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(g.j || ':' || shingle), 1, 8)) AS BIGINT)
+               % {BLOOM_WORDS * 32} AS idx
+      FROM sh CROSS JOIN generate_series(0, {BLOOM_K - 1}) AS g(j)
+      WHERE source <> 'src0'
+    ),
+    shingle_hits AS (
+      SELECT doc_id, shingle,
+             MIN(CASE WHEN b.bits IS NOT NULL
+                       AND ((b.bits >> CAST(p.idx % 32 AS INT)) & 1) = 1
+                 THEN 1 ELSE 0 END) AS maybe
+      FROM probes p LEFT JOIN bitset b ON p.idx // 32 = b.word
+      GROUP BY doc_id, shingle
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe_hits,
+           (SUM(maybe) * 20 >= COUNT(*)) AS flagged
+    FROM shingle_hits
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "contamination", "sketch"),
+    doc="Bloom-filter decontamination: the constant-state twin of "
+    "contamination_ngram_overlap. The eval set's shingle vocabulary is "
+    "folded into a 262144-bit Bloom bitset (k=3 md5-derived probes, "
+    "bit_or-aggregated BIGINT words — portable, so DuckDB rebuilds the "
+    "bit-identical filter), and every corpus shingle probes the bitset "
+    "instead of joining the vocabulary. Never a false negative (every "
+    "exact hit is a bloom hit — superset property pinned in tests), "
+    "small bounded FPR. The 100 TB story: the broadcast is <= "
+    "8192 rows (~100 KB) REGARDLESS of eval vocabulary size, the "
+    "filter is mergeable (bit_or of bitsets = bitset of the union, "
+    "same associativity as the HLL/CMS rollups), and the probe side "
+    "is one broadcast join on the word index + two doc-local "
+    "aggregations — the eval set itself never ships to the executors, "
+    "which also matters when benchmark text must not co-locate with "
+    "training data. Flag threshold is the same integer-exact >=5% "
+    "rule as the exact twin.",
+)
+def bloom_decontamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = BLOOM_WORDS * 32
+    d = widen(load_table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", "source", F.explode(D.word_shingles("text")).alias("shingle"))
+    seeds = F.explode(F.array([F.lit(j) for j in range(BLOOM_K)])).alias("j")
+
+    def bit_idx():
+        h = F.md5(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle")).cast("binary")
+        )
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m).alias("idx")
+
+    ev = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    bitset = (
+        ev.select("shingle", seeds)
+        .select(bit_idx())
+        .select(
+            F.expr("idx div 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias("_b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+    probes = (
+        sh.filter(F.col("source") != "src0")
+        .select("doc_id", "shingle", seeds)
+        .select("doc_id", "shingle", bit_idx())
+        .withColumn("word", F.expr("idx div 32"))
+    )
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (F.expr("(bits >> CAST(idx % 32 AS INT)) & 1") == 1),
+        1,
+    ).otherwise(0)
+    shingle_hits = (
+        probes.join(F.broadcast(bitset), "word", "left")
+        .select("doc_id", "shingle", hit.alias("_hit"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.min("_hit").alias("maybe"))
+    )
+    return shingle_hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("maybe").cast("bigint").alias("n_maybe_hits"),
+        (F.sum("maybe") * 20 >= F.count(F.lit(1))).alias("flagged"),
+    )
+
+
 @register(
     "bigram_next_words",
     oracle="""

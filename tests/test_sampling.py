@@ -149,3 +149,28 @@ def test_hll_distinct_users_accuracy_and_merge(spark, sf_dir):
     # determinism: sketches are deterministic aggregates, not samples
     again = {r["event_type"]: r["approx_users"] for r in SPECS["hll_distinct_users"].fn(spark, sf_dir).collect()}
     assert again == rows
+
+
+def test_bloom_probe_superset_of_exact_contamination(spark, sf_dir):
+    """Bloom membership can never miss a true hit: per doc,
+    n_maybe_hits >= the exact twin's n_eval_hits, and the
+    false-positive mass stays under 2% of clean shingles at this
+    filter load (m=262144, k=3)."""
+    exact = {
+        r["doc_id"]: (r["n_shingles"], r["n_eval_hits"])
+        for r in SPECS["contamination_ngram_overlap"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_shingles"], r["n_maybe_hits"])
+        for r in SPECS["bloom_decontamination_probe"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)
+    fp = clean = 0
+    for doc_id, (n_sh, n_exact) in exact.items():
+        n_sh_b, n_maybe = bloom[doc_id]
+        assert n_sh_b == n_sh
+        assert n_maybe >= n_exact, f"false negative on doc {doc_id}"
+        fp += n_maybe - n_exact
+        clean += n_sh - n_exact
+    assert clean > 0
+    assert fp <= 0.02 * clean, f"FPR {fp}/{clean} exceeds 2%"
