@@ -82,3 +82,61 @@ def merge_hll_state(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
         .groupBy(group_col)
         .agg(F.hll_union_agg("hll_sketch").alias("hll_sketch"))
     )
+
+
+def _md5_mod(prefix_col, key_col, mod: int):
+    """Portable row hash: first 8 md5 hex chars of "seed:key" as a
+    positive long, mod ``mod`` — the same construction the oracled
+    cms_heavy_hitters / bloom_decontamination_probe queries use, so
+    incremental states fold bit-identically with their full builds."""
+    h = F.md5(F.concat(prefix_col.cast("string"), F.lit(":"), key_col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
+
+
+def cms_state(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """(seed, bucket, cnt) count-min grid of one batch — depth*width
+    counters total, one map-side-combining shuffle of depth*n rows."""
+    seeds = F.explode(F.array([F.lit(i) for i in range(depth)])).alias("seed")
+    return (
+        df.select(F.col(key_col).alias("_k"), seeds)
+        .select("seed", _md5_mod(F.col("seed"), F.col("_k"), width).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_cms_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter-wise sum: grid(A ∪ B) == merge(grid(A), grid(B)) exactly
+    (integer sums are associative/commutative), so per-day or per-batch
+    grids roll up without rescanning events. The merge shuffles at most
+    2*depth*width counter rows — constant, independent of data volume."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def bloom_state(df: DataFrame, item_col: str, words: int = 8192, k: int = 3) -> DataFrame:
+    """(word, bits) Bloom bitset of one batch's item set (32 bits per
+    BIGINT word — the engine-portable packing of the oracled probe)."""
+    m = words * 32
+    seeds = F.explode(F.array([F.lit(j) for j in range(k)])).alias("seed")
+    return (
+        df.select(F.col(item_col).alias("_it"), seeds)
+        .select(_md5_mod(F.col("seed"), F.col("_it"), m).alias("idx"))
+        .select(
+            F.expr("idx div 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias("_b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def merge_bloom_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """bit_or of bitsets == bitset of the set union (idempotent as well
+    as associative/commutative — re-ingesting the same eval shard is a
+    no-op). State stays <= ``words`` rows forever; a growing eval set
+    only flips more bits."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))

@@ -150,3 +150,38 @@ def test_incremental_hll_state_fold_equals_full_build(spark, sf_dir):
         "event_type", SF.hll_sketch_estimate("hll_sketch").alias("est")
     )
     assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_incremental_cms_state_fold_equals_full_build(spark, sf_dir):
+    """Counter-wise sum of per-batch count-min grids is bit-identical
+    to the grid built over the full data — integer-sum algebra, no
+    approximation in the MERGE itself."""
+    from hbacker_spark.operators.incremental import cms_state, merge_cms_state
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(F.xxhash64("event_id", F.lit(5)), F.lit(3))
+    s0, s1, s2 = (cms_state(e.filter(bucket == i), "user_id") for i in range(3))
+    full = sorted(map(tuple, cms_state(e, "user_id").collect()))
+    left = sorted(map(tuple, merge_cms_state(merge_cms_state(s0, s1), s2).collect()))
+    right = sorted(map(tuple, merge_cms_state(s0, merge_cms_state(s1, s2)).collect()))
+    assert left == full
+    assert right == full
+
+
+def test_incremental_bloom_state_fold_equals_full_and_idempotent(spark, sf_dir):
+    """bit_or fold of per-batch Bloom bitsets equals the full-build
+    bitset, and re-merging the same batch is a no-op (idempotence —
+    safe replay of an ingest shard)."""
+    from hbacker_spark.operators.incremental import bloom_state, merge_bloom_state
+    from hbacker_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(11)), F.lit(2))
+    s0 = bloom_state(d.filter(bucket == 0), "text")
+    s1 = bloom_state(d.filter(bucket == 1), "text")
+    full = sorted(map(tuple, bloom_state(d, "text").collect()))
+    folded = sorted(map(tuple, merge_bloom_state(s0, s1).collect()))
+    assert folded == full
+    replay = sorted(map(tuple, merge_bloom_state(merge_bloom_state(s0, s1), s1).collect()))
+    assert replay == full
