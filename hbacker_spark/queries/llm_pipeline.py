@@ -1002,6 +1002,122 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_pretraining_corpus",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+             CAST({TX.sql_stopword_count('text')} AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS dup_rank
+      FROM documents
+      WHERE source <> 'src0'
+    ),
+    gated AS (
+      SELECT * FROM stats
+      WHERE lang IN ('en', 'es', 'de')
+        AND dup_rank = 1
+        AND n_words BETWEEN 10 AND 500
+        AND n_chars >= 50
+        AND stopword_ratio >= 0.05
+    ),
+    ev AS (
+      SELECT DISTINCT unnest({D.sql_word_shingles('text')}) AS shingle
+      FROM documents WHERE source = 'src0'
+    ),
+    contam AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_eval_hits
+      FROM (SELECT doc_id, unnest({D.sql_word_shingles('text')}) AS shingle FROM gated) g
+      LEFT JOIN ev ON g.shingle = ev.shingle
+      GROUP BY g.doc_id
+    )
+    SELECT g.doc_id, g.lang, g.source, g.n_tokens,
+           round(g.stopword_ratio, 6) AS stopword_ratio,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT)
+                     % 100 < 95
+                THEN 'train' ELSE 'val' END AS split
+    FROM gated g JOIN contam c ON g.doc_id = c.doc_id
+    WHERE c.n_eval_hits * 20 < c.n_shingles
+    """,
+    tags=("llm", "pipeline", "text", "dedup", "contamination", "sampling"),
+    doc="The full pretraining-corpus build as ONE declarative plan — the "
+    "'switch to this engine' capstone composing the stage queries: "
+    "language allowlist -> exact-dedup keeper (first-wins window) -> "
+    "length/char/stopword quality gates -> benchmark decontamination "
+    "(drop docs with >=5% eval-shingle overlap vs the src0 eval set, "
+    "same integer-exact rule as contamination_ngram_overlap) -> "
+    "deterministic md5 train/val split (95/5, engine- and "
+    "partitioning-stable like md5_deterministic_sample). Catalyst "
+    "fuses the scalar gates into the scan; the plan's shuffles are "
+    "exactly the three the semantics require (dedup window on text, "
+    "per-doc contamination rollup, none for the split), and the eval "
+    "vocabulary joins broadcast. The n_words >= 10 gate guarantees "
+    "every surviving doc has shingles, so the contamination rollup's "
+    "inner join back to gated docs drops nothing spuriously.",
+)
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    stats = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        TX.n_words().alias("n_words"),
+        TX.n_tokens().alias("n_tokens"),
+        (TX.stopword_count().cast("double") / TX.n_words()).alias("stopword_ratio"),
+        F.row_number().over(w).alias("dup_rank"),
+    )
+    gated = stats.filter(
+        F.col("lang").isin("en", "es", "de")
+        & (F.col("dup_rank") == 1)
+        & F.col("n_words").between(10, 500)
+        & (F.col("n_chars") >= 50)
+        & (F.col("stopword_ratio") >= 0.05)
+    )
+    ev = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode(D.word_shingles("text")).alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    g_sh = gated.select("doc_id", F.explode(D.word_shingles("text")).alias("shingle"))
+    contam = (
+        g_sh.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias("n_eval_hits"),
+        )
+    )
+    split_bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        gated.join(contam, "doc_id")
+        .filter(F.col("n_eval_hits") * 20 < F.col("n_shingles"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.when(split_bucket < 95, "train").otherwise("val").alias("split"),
+        )
+    )
+
+
+@register(
     "corpus_lang_profile",
     oracle=f"""
     SELECT lang, source,
