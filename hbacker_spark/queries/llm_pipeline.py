@@ -1030,7 +1030,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.doc_id,
              COUNT(*) AS n_shingles,
              SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_eval_hits
-      FROM (SELECT doc_id, unnest({D.sql_word_shingles('text')}) AS shingle FROM gated) g
+      FROM (SELECT doc_id, unnest({D.sql_word_shingles('text')}) AS shingle
+            FROM documents WHERE source <> 'src0') g
       LEFT JOIN ev ON g.shingle = ev.shingle
       GROUP BY g.doc_id
     )
@@ -1054,9 +1055,15 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuses the scalar gates into the scan; the plan's shuffles are "
     "exactly the three the semantics require (dedup window on text, "
     "per-doc contamination rollup, none for the split), and the eval "
-    "vocabulary joins broadcast. The n_words >= 10 gate guarantees "
-    "every surviving doc has shingles, so the contamination rollup's "
-    "inner join back to gated docs drops nothing spuriously.",
+    "vocabulary joins broadcast. The contamination rollup is derived "
+    "from the RAW corpus, not from the gated relation: per-doc overlap "
+    "doesn't depend on gating, and deriving it from gated would "
+    "replicate the dedup-window subplan (different column pruning per "
+    "branch defeats exchange reuse), shuffling the corpus text twice. "
+    "This shape keeps one window shuffle + one rollup shuffle, each "
+    "over a single scan. The n_words >= 10 gate guarantees every "
+    "surviving doc has shingles, so the final inner join drops "
+    "nothing spuriously.",
 )
 def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1086,7 +1093,7 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    g_sh = gated.select("doc_id", F.explode(D.word_shingles("text")).alias("shingle"))
+    g_sh = corpus.select("doc_id", F.explode(D.word_shingles("text")).alias("shingle"))
     contam = (
         g_sh.join(F.broadcast(ev), "shingle", "left")
         .groupBy("doc_id")
