@@ -5,6 +5,13 @@
     python -m hbacker_spark import --source-root DIR --export-session S [--tables t1 t2]
     python -m hbacker_spark db [--mode export] [--session-name-pattern P] [--table-name-pattern P]
 
+Analytics surface (no catalog needed — the query registry IS the engine's
+user API; every name here is driver-verified against a DuckDB oracle):
+
+    python -m hbacker_spark queries [--tag dedup]
+    python -m hbacker_spark run --name dedup_exact_groups --sf-dir DIR [--out P --format parquet]
+    python -m hbacker_spark explain --name q6_forecast_revenue --sf-dir DIR
+
 Differences from the reference, on purpose: no beanstalkd/worker/Stargate
 wiring (cli.rb:329-389's setup of queue + REST + MySQL collapses into one
 SparkSession + a catalog dir); `db` prints the nested session→table
@@ -22,7 +29,11 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hbacker_spark", description=__doc__)
-    p.add_argument("--catalog-root", required=True, help="catalog tables directory")
+    p.add_argument(
+        "--catalog-root",
+        default=None,
+        help="catalog tables directory (required for export/import/compact/db)",
+    )
     p.add_argument("--cluster-name", default="local-cluster")
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -60,6 +71,20 @@ def build_parser() -> argparse.ArgumentParser:
     cpt.add_argument("--table", required=True)
     cpt.add_argument("--target-file-mb", type=int, default=128)
 
+    qls = sub.add_parser("queries", help="list the analytics query registry")
+    qls.add_argument("--tag", default=None, help="filter by tag (e.g. dedup, tpch, ann)")
+
+    run = sub.add_parser("run", help="run a registered analytics query")
+    run.add_argument("--name", required=True, help="registry name (see `queries`)")
+    run.add_argument("--sf-dir", required=True, help="dir of the input parquet tables")
+    run.add_argument("--out", default=None, help="write results here instead of printing")
+    run.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "orc"])
+    run.add_argument("--limit", type=int, default=20, help="rows to print when no --out")
+
+    exq = sub.add_parser("explain", help="print a registered query's physical plan")
+    exq.add_argument("--name", required=True)
+    exq.add_argument("--sf-dir", required=True)
+
     db = sub.add_parser("db", help="catalog report (C9/C10; cli.rb:287-322)")
     db.add_argument("--mode", default="export", choices=["export", "import"])
     db.add_argument("--session-name-pattern", default=None, help="SQL LIKE pattern")
@@ -79,6 +104,41 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("hbacker_spark_cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command in ("queries", "run", "explain"):
+        from hbacker_spark.registry import load_all_queries
+
+        specs = load_all_queries()
+        if args.command == "queries":
+            for name in sorted(specs):
+                spec = specs[name]
+                if args.tag is not None and args.tag not in spec.tags:
+                    continue
+                print(json.dumps({
+                    "name": name,
+                    "tags": sorted(spec.tags),
+                    "oracled": spec.oracle is not None,
+                }))
+            return 0
+        if args.name not in specs:
+            print(json.dumps({"error": f"unknown query {args.name!r}; see `queries`"}))
+            return 2
+        df = specs[args.name].fn(spark, args.sf_dir)
+        if args.command == "explain":
+            df.explain("formatted")
+            return 0
+        if args.out is not None:
+            df.write.mode("overwrite").format(args.format).save(args.out)
+            print(json.dumps({"name": args.name, "out": args.out, "format": args.format}))
+        else:
+            enc = lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else str(v)  # noqa: E731
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(recursive=True), default=enc))
+        return 0
+
+    if args.catalog_root is None:
+        print(json.dumps({"error": f"--catalog-root is required for {args.command}"}))
+        return 2
     catalog = Catalog(spark, args.catalog_root)
     store = SnapshotStore(spark, catalog, canonical_cluster_name(args.cluster_name))
 

@@ -133,3 +133,30 @@ def test_cli_export_import_db_roundtrip(spark, tmp_path):
     assert info["files_before"] == n_before and info["files_after"] == 1
     restored_again = spark.read.parquet(snap)
     assert restored_again.count() > 0
+
+
+@pytest.mark.slow
+def test_cli_query_surface(tmp_path):
+    """`queries` lists the registry without a catalog root; `run` executes
+    a registered query and writes parquet; `explain` prints a plan; an
+    unknown name exits 2. One subprocess for the listing + one combined
+    run (fresh JVM per subprocess is the cost ceiling here)."""
+    ls = run_cli("queries", "--tag", "dedup")
+    names = [json.loads(line)["name"] for line in ls.stdout.splitlines() if line.strip()]
+    assert "dedup_exact_groups" in names
+    assert all(json.loads(line).keys() == {"name", "tags", "oracled"}
+               for line in ls.stdout.splitlines() if line.strip())
+
+    out = str(tmp_path / "res")
+    r = run_cli(
+        "run", "--name", "dedup_exact_groups",
+        "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+    )
+    assert json.loads(r.stdout.splitlines()[-1])["out"] == out
+    assert any(f.endswith(".parquet") for f in os.listdir(out))
+
+    bad = run_cli("run", "--name", "nope", "--sf-dir", "/root/testdata/sf0.001", check=False)
+    assert bad.returncode == 2
+
+    ex = run_cli("explain", "--name", "q6_forecast_revenue", "--sf-dir", "/root/testdata/sf0.001")
+    assert "PushedFilters" in ex.stdout or "Physical Plan" in ex.stdout
