@@ -2062,6 +2062,38 @@ def dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_percent_rank_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id), 6) AS quality_pct
+    FROM documents
+    """,
+    tags=("llm", "quality", "window", "sampling"),
+    doc="Cross-source score calibration: raw quality proxies (here "
+    "n_chars) are not comparable across sources with different length "
+    "distributions, so mixing pipelines rank-normalize per source — "
+    "percent_rank within each source maps every doc onto [0,1] with a "
+    "distribution-free, engine-exact definition ((rank-1)/(n-1), ties "
+    "broken by doc_id so both engines agree bit-for-bit). Downstream "
+    "'keep top 30% of EACH source' gates then cut the same quantile "
+    "everywhere regardless of source scale. One window shuffle "
+    "partitioned by source — scale-safe (no global ordering; a "
+    "corpus-wide percent_rank would serialize onto one task, which is "
+    "why the global variant is deliberately absent).",
+)
+def quality_percent_rank_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("quality_pct"),
+    )
+
+
+@register(
     "nucleus_docs_per_source",
     oracle="""
     WITH m AS (
