@@ -2316,6 +2316,44 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(rollup).orderBy("event_type")
 
 
+@register(
+    "user_event_mix_impurity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(SUM(cnt) * SUM(cnt) - SUM(cnt * cnt) AS DOUBLE)
+                 / (SUM(cnt) * SUM(cnt)), 6) AS gini_impurity
+    FROM c
+    GROUP BY user_id
+    """,
+    tags=("aggregation", "statistics", "behavior"),
+    doc="Behavioral diversity per user: Gini impurity of the event-type "
+    "mix, 1 - sum(p_i^2) computed as (n^2 - sum(c_i^2)) / n^2 — the "
+    "log-free twin of Shannon entropy (entropy's ln() hash-drifts "
+    "across libm builds; integer count squares cannot). 0 = "
+    "single-behavior user, ->1 = uniform mix over many types. Two "
+    "map-side-combining shuffles, both on user-prefixed keys, second "
+    "input already aggregate-sized. Squares stay in BIGINT: counts "
+    "per (user,type) would overflow only past ~3B events per user.",
+)
+def user_event_mix_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt")
+    return c.groupBy("user_id").agg(
+        n.cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round((n * n - F.sum(F.col("cnt") * F.col("cnt"))).cast("double") / (n * n), 6).alias(
+            "gini_impurity"
+        ),
+    )
+
+
 # Count-min sketch geometry (cms_heavy_hitters): depth x width counters
 # regardless of key cardinality. md5-derived row hashes so BOTH engines
 # build the bit-identical grid (xxhash64 is Spark-only; Spark's
