@@ -2317,6 +2317,44 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_audience_overlap",
+    oracle=None,  # DataSketches binaries are engine-specific → rows-only;
+    # estimate accuracy vs the exact intersection is pinned in
+    # tests/test_sampling.py::test_hll_audience_overlap_accuracy
+    tags=("aggregation", "approx", "sketch", "join"),
+    doc="Sketch set algebra: estimated size of the USER-audience "
+    "intersection for every event-type pair via inclusion-exclusion "
+    "over HLL sketches — |A∩B| ≈ est(A) + est(B) - est(A∪B), where "
+    "the union is hll_union of the two sketches (register maxima, no "
+    "data rescan). The exact version is a self-join of (type,user) "
+    "pairs — a second full shuffle of the fact table per analysis; "
+    "this form computes ALL pairwise overlaps from the one set of "
+    "per-type sketches (kilobytes), so at 100 TB audience-overlap "
+    "matrices come from sketch state, not fact rescans. Estimates are "
+    "deterministic (same hashing, same registers) but "
+    "difference-of-estimates noise grows for small intersections — "
+    "the accuracy pytest bounds relative error on the testdata "
+    "distribution.",
+)
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    a = per.select(F.col("event_type").alias("type_a"), F.col("_sk").alias("_ska"))
+    b = per.select(F.col("event_type").alias("type_b"), F.col("_sk").alias("_skb"))
+    est = F.hll_sketch_estimate
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            (
+                est("_ska") + est("_skb") - est(F.hll_union("_ska", "_skb"))
+            ).cast("bigint").alias("approx_common_users"),
+        )
+    )
+
+
+@register(
     "user_event_mix_impurity",
     oracle="""
     WITH c AS (

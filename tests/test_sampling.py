@@ -174,3 +174,31 @@ def test_bloom_probe_superset_of_exact_contamination(spark, sf_dir):
         clean += n_sh - n_exact
     assert clean > 0
     assert fp <= 0.02 * clean, f"FPR {fp}/{clean} exceeds 2%"
+
+
+def test_hll_audience_overlap_accuracy(spark, sf_dir):
+    """Inclusion-exclusion over HLL sketches tracks the exact pairwise
+    audience intersections (lgConfigK=12 => ~2.3% per-estimate error;
+    the difference compounds, so the bound here is 10% relative or a
+    small absolute slack for tiny intersections)."""
+    from hbacker_spark.sources.tables import load_table
+
+    approx = {
+        (r["type_a"], r["type_b"]): r["approx_common_users"]
+        for r in SPECS["hll_audience_overlap"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    a = e.toDF("type_a", "user_id")
+    b = e.toDF("type_b", "user_id")
+    exact = {
+        (r["type_a"], r["type_b"]): r["n"]
+        for r in a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for pair, n_exact in exact.items():
+        err = abs(approx[pair] - n_exact)
+        assert err <= max(0.10 * n_exact, 25), f"{pair}: est {approx[pair]} vs exact {n_exact}"
