@@ -1265,8 +1265,15 @@ BLOOM_K = 3
     "is one broadcast join on the word index + two doc-local "
     "aggregations — the eval set itself never ships to the executors, "
     "which also matters when benchmark text must not co-locate with "
-    "training data. Flag threshold is the same integer-exact >=5% "
-    "rule as the exact twin.",
+    "training data. The k-seed explode does NOT triple the shuffle: "
+    "partial aggregation collapses the k rows per (doc, shingle) "
+    "map-side before the exchange (same task, same key). The "
+    "alternative — k probe positions as columns through k aliased "
+    "broadcast joins — measured ~1.6x SLOWER at sf0.1 AND at 10x "
+    "(aliasing defeats exchange reuse, so the k broadcasts rebuild "
+    "the bitset subplan, and wider rows buy nothing the combiner "
+    "wasn't already providing). Flag threshold is the same "
+    "integer-exact >=5% rule as the exact twin.",
 )
 def bloom_decontamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = BLOOM_WORDS * 32
