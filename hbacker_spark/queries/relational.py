@@ -2134,6 +2134,70 @@ def cohort_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_to_convert_by_cohort",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    su AS (
+      SELECT user_id, MIN(us) AS signup_us FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(e.us) AS conv_us
+      FROM ev e JOIN su USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us >= su.signup_us
+      GROUP BY e.user_id
+    )
+    SELECT CAST(signup_us // {WEEK_US} AS BIGINT) AS cohort_week,
+           COUNT(*) AS n_signups,
+           CAST(COUNT(conv_us) AS BIGINT) AS n_converted,
+           quantile_cont(CAST(conv_us - signup_us AS DOUBLE) / 1000000, 0.5) AS p50_convert_sec,
+           quantile_cont(CAST(conv_us - signup_us AS DOUBLE) / 1000000, 0.9) AS p90_convert_sec
+    FROM su LEFT JOIN pu USING (user_id)
+    GROUP BY 1
+    """,
+    tags=("timeseries", "analytics", "percentile", "join"),
+    doc="Conversion LATENCY by acquisition cohort: per signup-week "
+    "cohort, the median and p90 seconds from a user's first signup to "
+    "their first subsequent purchase (non-converters counted in "
+    "n_signups, excluded from the latency quantiles — percentile() "
+    "and quantile_cont() both skip NULLs). The companion to "
+    "cohort_conversion_rate: rate says HOW MANY convert, this says "
+    "HOW FAST. All three aggregations shuffle on user_id, so the "
+    "signup-min, the conditional purchase-min, and the left join "
+    "co-locate on one partitioning; the final rollup is "
+    "cohorts-sized. Exact interpolated percentiles match bit-for-bit "
+    "per the r1-established percentile/quantile_cont equivalence; "
+    "epoch math NTZ-safe via ts_epoch_us.",
+)
+def time_to_convert_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_type", ts_epoch_us(e).alias("us"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("conv_us"))
+    )
+    gap_sec = (F.col("conv_us") - F.col("signup_us")).cast("double") / 1000000
+    return (
+        su.join(pu, "user_id", "left")
+        .groupBy(F.expr(f"CAST(signup_us div {WEEK_US} AS BIGINT)").alias("cohort_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("conv_us").cast("bigint").alias("n_converted"),
+            F.percentile(gap_sec, F.lit(0.5)).alias("p50_convert_sec"),
+            F.percentile(gap_sec, F.lit(0.9)).alias("p90_convert_sec"),
+        )
+    )
+
+
+@register(
     "orders_rfm_segments",
     oracle="""
     WITH rfm AS (
