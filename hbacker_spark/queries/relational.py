@@ -2381,6 +2381,151 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wide_orders_denormalized",
+    oracle=f"""
+    WITH lr AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           c.c_name, c.c_mktsegment, n.n_name AS nation, r.r_name AS region,
+           lr.n_lines, lr.total_qty, lr.revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN lr ON lr.l_orderkey = o.o_orderkey
+    """,
+    tags=("join", "aggregation", "etl", "star-schema"),
+    doc="Denormalized wide-table build — the ETL staple that turns the "
+    "normalized star schema into the single flat table BI/feature "
+    "pipelines scan: orders enriched with the full customer→nation→"
+    "region dimension path plus a per-order lineitem rollup "
+    "(decimal-exact qty/revenue). Plan shape is the one that survives "
+    "100x: the lineitem rollup is the only fact-sized shuffle (on "
+    "l_orderkey, map-side partial agg), the rollup joins orders on "
+    "the SAME key, and all three dimensions broadcast — so the build "
+    "costs one shuffle of each fact table regardless of dimension "
+    "count. Written partitioned by o_orderdate month, this is the "
+    "materialization feeding the dashboard queries above.",
+)
+def wide_orders_denormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+    lr = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(money("l_quantity")).cast("double").alias("total_qty"),
+        F.sum(disc_price()).cast("double").alias("revenue"),
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(lr, o.o_orderkey == lr.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "n_lines",
+            "total_qty",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "dq_audit_report",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_priority',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST((SELECT COUNT(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_chars_mismatch',
+           CAST((SELECT COUNT(*) FROM documents WHERE n_chars <> len(text)) AS BIGINT)
+    """,
+    tags=("quality", "aggregation", "join", "audit"),
+    doc="Data-quality audit as one result set (the Deequ/dbt-tests "
+    "capability): referential integrity via anti joins (orphan "
+    "lineitems/orders), domain constraints (non-positive prices, "
+    "discount out of [0,1]), null-rate probes, and a derived-column "
+    "consistency check (n_chars == len(text)). Each check is a "
+    "COUNT over a filter or anti join — all map-side-combining "
+    "single-pass aggregates; the anti joins broadcast their key "
+    "side when it fits and AQE converts to shuffled otherwise. The "
+    "report unions 7 one-row aggregates, so the plan is 7 "
+    "independent subtrees a scheduler runs concurrently — at 100 "
+    "TB the audit costs one scan per fact table, not one per "
+    "check, once Spark's scan reuse kicks in (checks over the same "
+    "table share the cached scan in practice via FileScan reuse).",
+)
+def dq_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        one(
+            "orders_orphan_custkey",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        one("lineitem_nonpositive_price", li.filter(F.col("l_extendedprice") <= 0)),
+        one(
+            "lineitem_discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        one("orders_null_priority", o.filter(F.col("o_orderpriority").isNull())),
+        one("events_null_user", e.filter(F.col("user_id").isNull())),
+        one(
+            "documents_chars_mismatch",
+            d.filter(F.col("n_chars") != F.length("text")),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out
+
+
+@register(
     "hll_audience_overlap",
     oracle=None,  # DataSketches binaries are engine-specific → rows-only;
     # estimate accuracy vs the exact intersection is pinned in
