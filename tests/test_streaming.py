@@ -170,3 +170,30 @@ def test_stream_stream_join_matches_batch(spark, stream_src):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_stream_cms_state_foreachbatch_equals_batch_grid(spark, stream_src):
+    """Per-micro-batch count-min grids folded with merge_cms_state
+    reproduce the batch-built grid bit-for-bit — the incremental sketch
+    algebra IS the streaming-state story: a foreachBatch sink can
+    maintain heavy-hitter state across an unbounded stream with
+    depth*width counters, no raw-history rescan, restart-safe because
+    the merge is associative."""
+    from hbacker_spark.operators.incremental import cms_state, merge_cms_state
+    from hbacker_spark.streaming import windows as W
+
+    state = {"grid": None}
+
+    def fold(batch_df, _id):
+        g = cms_state(batch_df, "user_id")
+        state["grid"] = g if state["grid"] is None else merge_cms_state(state["grid"], g)
+        # keep the fold's lineage bounded across micro-batches
+        state["grid"] = state["grid"].localCheckpoint(eager=True)
+
+    stream = W.read_events_stream(spark, stream_src)
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    full = cms_state(spark.read.parquet(stream_src), "user_id")
+    assert state["grid"] is not None
+    assert sorted(map(tuple, state["grid"].collect())) == sorted(map(tuple, full.collect()))
