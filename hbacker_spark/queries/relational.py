@@ -2134,6 +2134,55 @@ def cohort_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (SELECT event_type, SUM(n) AS n_from FROM c GROUP BY event_type)
+    SELECT c.event_type AS from_type, c.next_type AS to_type,
+           CAST(c.n AS BIGINT) AS n_transitions,
+           round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p_transition
+    FROM c JOIN tot t ON c.event_type = t.event_type
+    """,
+    tags=("window", "aggregation", "behavior", "analytics"),
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() within (user, time) order pairs each event "
+    "with its successor, transition counts aggregate globally, and "
+    "P(next|current) divides two exact integers (one IEEE division, "
+    "no accumulated doubles — the event-stream sibling of "
+    "bigram_cond_freq_scores). Ordering ties break on event_id so "
+    "both engines see identical sequences. One user_id window "
+    "shuffle over the facts; everything after is "
+    "types²-sized. The matrix feeds next-action prediction "
+    "baselines and funnel-leak diagnosis (which states bleed to "
+    "'error'). Epoch math NTZ-safe via ts_epoch_us.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(ts_epoch_us(e), "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("n_from"))
+    return c.join(tot, "event_type").select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p_transition"),
+    )
+
+
+@register(
     "time_to_convert_by_cohort",
     oracle=f"""
     WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
