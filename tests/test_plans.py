@@ -328,6 +328,10 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     "q22_idle_rich_customers",
     "tfidf_top_terms",
     "weighted_sample_pps",  # 1-row corpus-total aggregate broadcast
+    # aggregate-sized, not single-row: both inputs of the pair join are
+    # per-event_type groupBy results, so the nested loop is bounded by
+    # group cardinality² (types²), never by data volume
+    "hll_audience_overlap",
 }
 
 
