@@ -2183,6 +2183,57 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_event_paths_3step",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path, COUNT(*) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_occurrences, CAST(rn AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rn FROM paths)
+    WHERE rn <= 10
+    """,
+    tags=("window", "aggregation", "behavior", "topk", "analytics"),
+    doc="Clickstream path mining: the 10 most common 3-step event "
+    "sequences across all users — two lead() offsets over the SAME "
+    "per-user window (one shuffle, one ordered pass; Spark compiles "
+    "same-frame leads into a single Window operator), path counts "
+    "aggregate with map-side combine onto a paths-cardinality-bounded "
+    "key space (<= types³), and the top-10 compiles to "
+    "TakeOrderedAndProject with the count/path tie broken "
+    "deterministically. The diagnosis view behind 'where do users go "
+    "after signup' — the sequence-n-gram sibling of "
+    "event_transition_matrix.",
+)
+def top_event_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(ts_epoch_us(e), "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = paths.orderBy(F.col("n").desc(), F.col("path")).limit(10)
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))  # 10 rows only
+    return top.select(
+        "path",
+        F.col("n").cast("bigint").alias("n_occurrences"),
+        F.row_number().over(wr).cast("int").alias("rnk"),
+    )
+
+
+@register(
     "time_to_convert_by_cohort",
     oracle=f"""
     WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
@@ -2243,6 +2294,70 @@ def time_to_convert_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(gap_sec, F.lit(0.5)).alias("p50_convert_sec"),
             F.percentile(gap_sec, F.lit(0.9)).alias("p90_convert_sec"),
         )
+    )
+
+
+@register(
+    "orders_open_backlog_monthly",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS placed_m,
+             CAST(date_trunc('month', MAX(l.l_shipdate)) AS DATE) AS closed_m
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT unnest([struct_pack(month := placed_m, d := 1),
+                     struct_pack(month := closed_m, d := -1)], recursive := true)
+      FROM spans
+    )
+    SELECT month, CAST(SUM(SUM(d)) OVER (ORDER BY month) AS BIGINT) AS open_backlog
+    FROM deltas GROUP BY month
+    """,
+    tags=("window", "aggregation", "timeseries", "analytics"),
+    doc="Concurrent-interval counting (the interval-stabbing staple: "
+    "open orders / active sessions / occupied beds over time): each "
+    "order contributes +1 at its placement month and -1 at its "
+    "fulfillment month (max lineitem shipdate), and the running sum "
+    "of monthly deltas IS the open backlog — O(n) events instead of "
+    "the quadratic month×order BETWEEN join the naive form writes. "
+    "One shuffle for the per-order close date (on the orderkey the "
+    "join already co-locates), a months-cardinality-bounded delta "
+    "aggregate, and the final cumulative window runs over ~tens of "
+    "month rows (a single-partition window over an already-aggregated "
+    "relation is fine; the same window over fact rows would not be). "
+    "Backlog at month m counts orders placed in or before m whose "
+    "last shipment lands after... i.e. strictly: placed<=m and not "
+    "yet closed before month-end, with close counted at its month "
+    "start — the convention both engines apply identically.",
+)
+def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.trunc("o_orderdate", "month").alias("placed_m"),
+            F.trunc("last_ship", "month").alias("closed_m"),
+        )
+    )
+    # one pass: explode the ±1 deltas instead of unioning two branches
+    # of the same join+agg subplan (which would compute it twice)
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("placed_m").alias("month"), F.lit(1).alias("d")),
+                F.struct(F.col("closed_m").alias("month"), F.lit(-1).alias("d")),
+            )
+        ).alias("z")
+    ).select("z.month", "z.d")
+    monthly = deltas.groupBy("month").agg(F.sum("d").alias("md"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "month", F.sum("md").over(w).cast("bigint").alias("open_backlog")
     )
 
 
