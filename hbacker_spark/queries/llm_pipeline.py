@@ -1724,6 +1724,65 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT pos, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+      FROM ex GROUP BY pos
+    ),
+    r AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats)
+    SELECT vec_id, label,
+           list_transform(range(1, len(embedding) + 1), i ->
+             CASE WHEN r.mxs[i] = r.mns[i] THEN 0
+                  ELSE CAST(round(((CAST(embedding[i] AS DOUBLE) - r.mns[i]) * 255)
+                                  / (r.mxs[i] - r.mns[i])) AS INT) END) AS codes
+    FROM embeddings CROSS JOIN r
+    """,
+    tags=("llm", "similarity", "array", "etl"),
+    doc="Int8 scalar quantization of the embedding column — the storage "
+    "step real 100 TB vector pipelines run before ANN serving (4x "
+    "smaller than float32, cache-resident codebooks). Per-dimension "
+    "min/max calibrate one [0,255] affine code per dim: one "
+    "posexplode aggregate (64·n rows, map-side combined into 64 "
+    "groups), the 2×64-value calibration row broadcasts, and encoding "
+    "is a codegen transform() — no second shuffle. Quantization "
+    "arithmetic is double-exact and written in the IDENTICAL "
+    "operation order in both engines ((x-mn)*255 then divide, then "
+    "round), so the int codes hash-match exactly; the degenerate "
+    "mx==mn dim maps to 0 identically. Codes are returned as "
+    "array<int> (parquet would store them as bytes; int keeps the "
+    "oracle comparison type-exact).",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "x"))
+    stats = ex.groupBy("pos").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    r = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
+    ).select(
+        F.expr("transform(s, t -> t.mn)").alias("mns"),
+        F.expr("transform(s, t -> t.mx)").alias("mxs"),
+    )
+    return e.crossJoin(F.broadcast(r)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN mxs[i] = mns[i] THEN 0 "
+            "ELSE CAST(round(((CAST(x AS DOUBLE) - mns[i]) * 255) / (mxs[i] - mns[i])) AS INT) END)"
+        ).alias("codes"),
+    )
+
+
+@register(
     "embedding_norm_stats",
     oracle=f"""
     SELECT label,
