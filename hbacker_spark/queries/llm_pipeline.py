@@ -1724,6 +1724,43 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT md5(text) AS h, source FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM st a JOIN st b ON a.h = b.h AND a.source < b.source
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_shared_texts
+    FROM pairs GROUP BY source_a, source_b
+    """,
+    tags=("dedup", "llm", "join", "analytics"),
+    doc="Duplication provenance: for every source pair, how many "
+    "distinct text contents appear in BOTH — the 'which feeds copy "
+    "from which' audit that decides crawl dedup order and licensing "
+    "review. One shuffle builds the distinct (content-hash, source) "
+    "set; the self-join explodes per-hash source pairs, bounded by "
+    "sources²/2 per hash (sources is small; a hash shared by all k "
+    "sources yields k(k-1)/2 pairs — per-key fan-out is capped by "
+    "source cardinality, never by copy count, because the DISTINCT "
+    "collapses per-source copies first). Output is sources²-sized.",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select(F.md5(F.col("text").cast("binary")).alias("h"), "source").distinct()
+    a = st.select(F.col("h"), F.col("source").alias("source_a"))
+    b = st.select(F.col("h"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+
+
+@register(
     "embedding_int8_quantize",
     oracle="""
     WITH ex AS (
@@ -1756,7 +1793,11 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round), so the int codes hash-match exactly; the degenerate "
     "mx==mn dim maps to 0 identically. Codes are returned as "
     "array<int> (parquet would store them as bytes; int keeps the "
-    "oracle comparison type-exact).",
+    "oracle comparison type-exact). Scoring contract: DEQUANTIZE "
+    "(mn + code·(mx-mn)/255) before cosine — raw codes keep the "
+    "affine min-offset and distort angles (measured: 5/10 recall on "
+    "raw codes vs 9+/10 dequantized; pinned in "
+    "test_similarity_util.py).",
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

@@ -458,3 +458,43 @@ def test_hot_bucket_sampled_not_dropped(spark):
     # uncapped: identical vectors share one bucket per table -> full pairs
     full = ann_candidate_pairs(df, max_bucket=1024).count()
     assert full == 40 * 39 // 2
+
+
+def test_int8_quantized_topk_recalls_exact_topk(spark, sf_dir):
+    """Quantization sanity: cosine top-10 over the DEQUANTIZED int8
+    codes (x̂ = mn + code·(mx-mn)/255 — how int8 storage is actually
+    scored; raw codes keep the affine min-offset and distort angles)
+    must recall >= 9 of the exact float top-10 for the vec_id=0 query
+    — the accuracy contract that makes the 4x storage cut usable."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hbacker_spark.registry import load_all_queries
+    from hbacker_spark.sources.tables import load_table
+
+    SPECS = load_all_queries()
+    exact = {r["vec_id"] for r in SPECS["knn_cosine_top10"].fn(spark, sf_dir).collect()}
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in SPECS["embedding_int8_quantize"].fn(spark, sf_dir).collect()
+    }
+    ex = load_table(spark, sf_dir, "embeddings").select(F.posexplode("embedding").alias("pos", "x"))
+    stats = sorted(
+        map(tuple, ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect())
+    )
+    mns = [mn for _, mn, _ in stats]
+    scales = [(mx - mn) / 255.0 for _, mn, mx in stats]
+    deq = {
+        v: [mns[i] + c * scales[i] for i, c in enumerate(cs)] for v, cs in codes.items()
+    }
+    q = deq[0]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    scored = sorted(deq, key=lambda v: (-cos(deq[v], q), v))[:10]
+    assert len(exact & set(scored)) >= 9, f"int8 recall too low: {exact & set(scored)}"
