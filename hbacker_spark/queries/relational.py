@@ -2134,6 +2134,49 @@ def cohort_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour_utc,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS n_total FROM h GROUP BY event_type)
+    SELECT h.event_type, h.hour_utc, CAST(h.n AS BIGINT) AS n_events,
+           round(CAST(h.n AS DOUBLE) / t.n_total, 6) AS hour_share
+    FROM h JOIN tot t ON h.event_type = t.event_type
+    """,
+    tags=("timeseries", "aggregation", "analytics"),
+    doc="Hour-of-day seasonality per event type: bucketing by "
+    "(epoch_us mod day) div hour keeps the hour derivation in exact "
+    "integer arithmetic on both engines (hour() of a timestamp would "
+    "hinge on each engine's session-timezone handling of the NTZ "
+    "column; epoch math goes through ts_epoch_us and stays "
+    "timezone-free). Shares divide two exact integers. One "
+    "map-side-combining shuffle onto a (types × 24)-bounded key "
+    "space; the totals fold from the already-aggregated buckets. "
+    "The load-shape profile capacity planning and anomaly baselines "
+    "start from.",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = ts_epoch_us(e)
+    h = (
+        e.select("event_type", ((us % 86_400_000_000) / 3_600_000_000).cast("bigint").alias("hour_utc"))
+        .groupBy("event_type", "hour_utc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    return h.join(tot, "event_type").select(
+        "event_type",
+        "hour_utc",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("hour_share"),
+    )
+
+
+@register(
     "event_transition_matrix",
     oracle="""
     WITH seq AS (
