@@ -1724,6 +1724,61 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS true_lang, {TX.sql_lang_guess('text')} AS pred_lang
+      FROM documents
+    ),
+    cm AS (
+      SELECT true_lang, pred_lang, COUNT(*) AS n
+      FROM pred GROUP BY true_lang, pred_lang
+    ),
+    row_tot AS (SELECT true_lang, SUM(n) AS n_true FROM cm GROUP BY true_lang),
+    col_tot AS (SELECT pred_lang, SUM(n) AS n_pred FROM cm GROUP BY pred_lang)
+    SELECT cm.true_lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n_docs,
+           round(CAST(cm.n AS DOUBLE) / r.n_true, 6) AS recall_share,
+           round(CAST(cm.n AS DOUBLE) / c.n_pred, 6) AS precision_share
+    FROM cm
+    JOIN row_tot r ON cm.true_lang = r.true_lang
+    JOIN col_tot c ON cm.pred_lang = c.pred_lang
+    """,
+    tags=("llm", "text", "aggregation", "analytics", "evaluation"),
+    doc="Classifier evaluation at corpus scale: the confusion matrix of "
+    "the heuristic language-ID against the labeled lang column, with "
+    "each cell carrying its row-share (recall decomposition: where do "
+    "true-X docs get classified) and column-share (precision "
+    "decomposition: what feeds the pred-X bucket). The eval pattern "
+    "any quality/toxicity/lang model deployed over 100 TB needs, as "
+    "one plan: a single map-side-combining shuffle onto a langs² key "
+    "space, totals folded from the already-aggregated matrix, shares "
+    "dividing exact integers. The heuristic itself is a codegen "
+    "expression (functions/text.py) — scoring costs a scan, not a "
+    "Python boundary.",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    cm = (
+        d.select(F.col("lang").alias("true_lang"), TX.lang_guess().alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    col_tot = cm.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    return (
+        cm.join(row_tot, "true_lang")
+        .join(col_tot, "pred_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias("recall_share"),
+            F.round(F.col("n").cast("double") / F.col("n_pred"), 6).alias("precision_share"),
+        )
+    )
+
+
+@register(
     "cross_source_dup_matrix",
     oracle="""
     WITH st AS (
