@@ -1724,6 +1724,42 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_redundant,
+           round(CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("dedup", "llm", "aggregation", "analytics"),
+    doc="Dedup yield report per source: how much of each feed is "
+    "redundant copy mass (docs minus distinct contents) — the number "
+    "that decides whether a crawl source is worth its storage bill, "
+    "and the before/after metric every dedup run reports. "
+    "COUNT(DISTINCT md5(text)) expands to a two-phase exact "
+    "distinct (partial per-partition dedup on the content hash, then "
+    "the merge) — the hash substitutes a 16-byte key for full text "
+    "in the shuffle. Within-source view of what "
+    "cross_source_dup_matrix shows across sources.",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    n = F.count(F.lit(1))
+    nd = F.count_distinct(h)
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        nd.cast("bigint").alias("n_unique_texts"),
+        (n - nd).cast("bigint").alias("n_redundant"),
+        F.round((n - nd).cast("double") / n, 6).alias("dup_rate"),
+    )
+
+
+@register(
     "langid_confusion_matrix",
     oracle=f"""
     WITH pred AS (
