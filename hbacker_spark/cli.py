@@ -93,6 +93,26 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def csv_safe(df):
+    """CSV can't hold array/map/struct/binary columns — stringify them
+    (JSON for containers, hex for binary) so `run --format csv` works
+    for every registered query instead of dying with an
+    AnalysisException on e.g. embedding_int8_quantize codes or
+    hll_distinct_users sketches (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t in ("array", "map", "struct"):
+            exprs.append(F.to_json(F.col(f.name)).alias(f.name))
+        elif t == "binary":
+            exprs.append(F.hex(F.col(f.name)).alias(f.name))
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -102,13 +122,12 @@ def main(argv: list[str] | None = None) -> int:
     from hbacker_spark.operators.snapshots import CELLS_SCHEMA, SnapshotStore
     from hbacker_spark.session import get_spark
 
-    spark = get_spark("hbacker_spark_cli")
-    spark.sparkContext.setLogLevel("ERROR")
-
     if args.command in ("queries", "run", "explain"):
         from hbacker_spark.registry import load_all_queries
 
         specs = load_all_queries()
+        # `queries` is a pure listing — don't pay JVM startup for it
+        # (the SparkSession is created lazily below, only for run/explain).
         if args.command == "queries":
             for name in sorted(specs):
                 spec = specs[name]
@@ -123,11 +142,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.name not in specs:
             print(json.dumps({"error": f"unknown query {args.name!r}; see `queries`"}))
             return 2
+        spark = get_spark("hbacker_spark_cli")
+        spark.sparkContext.setLogLevel("ERROR")
         df = specs[args.name].fn(spark, args.sf_dir)
         if args.command == "explain":
             df.explain("formatted")
             return 0
         if args.out is not None:
+            if args.format == "csv":
+                df = csv_safe(df)
             df.write.mode("overwrite").format(args.format).save(args.out)
             print(json.dumps({"name": args.name, "out": args.out, "format": args.format}))
         else:
@@ -139,6 +162,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.catalog_root is None:
         print(json.dumps({"error": f"--catalog-root is required for {args.command}"}))
         return 2
+    spark = get_spark("hbacker_spark_cli")
+    spark.sparkContext.setLogLevel("ERROR")
     catalog = Catalog(spark, args.catalog_root)
     store = SnapshotStore(spark, catalog, canonical_cluster_name(args.cluster_name))
 

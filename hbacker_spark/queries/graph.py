@@ -274,6 +274,10 @@ def copurchase_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PR_ITER = 8
+# The 2-step-batched loops below run range(N // 2) — an odd constant
+# would silently drop an iteration and diverge the engine from the
+# (fully-unrolled) oracles. Guard it at import time.
+assert PR_ITER % 2 == 0, "PR_ITER must be even (2-step batched loop)"
 PR_SCALE = "decimal(20,10)"
 
 
@@ -404,6 +408,7 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SSSP_HOPS = 4
+assert SSSP_HOPS % 2 == 0, "SSSP_HOPS must be even (2-step batched loop)"
 # Integer edge weight: strong co-purchase = short distance. support >= 2
 # (the edge filter), so weights land in [1, 8] — integer, hence every
 # path cost is exact and min() is engine-independent.

@@ -575,7 +575,7 @@ def ann_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_near_dup_pairs",
     oracle=None,  # approximate-by-design (LSH recall < 1 in the worst
     # case) → rows-only; recall vs the exact kernel is pinned in
-    # tests/test_similarity.py at test scale
+    # tests/test_similarity_util.py at test scale
     tags=("similarity", "llm", "ann", "dedup"),
     doc="Bucketed near-dup pairs: LSH candidate pairs → exact-fold cosine "
     "rescore of candidates only (JVM fold, same rounding as the oracled "
@@ -632,7 +632,7 @@ def _ann_rescored_pairs(e: DataFrame) -> DataFrame:
     oracle=None,  # approximate-by-design upstream (LSH recall < 1 in the
     # worst case) → rows-only; keeper-set equality vs the ORACLED exact
     # cluster query is pinned at test scale in
-    # tests/test_similarity.py::test_ann_clusters_match_exact_clusters
+    # tests/test_similarity_util.py::test_ann_clusters_match_exact_clusters
     tags=("dedup", "llm", "iterative", "similarity", "ann"),
     doc="The 100 TB dedup-clustering route end-to-end (VERDICT r3 #1): "
     "LSH candidate pairs (bucketed posting lists, never quadratic) → "

@@ -164,15 +164,30 @@ class CellsStreamReader(SimpleDataSourceStreamReader):
     right for a control-plane tail of bounded per-batch deltas; a bulk
     backfill should use the batch reader (1 partition per region,
     pushdown) and start the stream from the backfill's high-water mark.
+    Two options enforce that boundedness (ADVICE r4):
+
+    - ``startingTs``: first offset starts at this version timestamp
+      instead of -1, so a cold start on a large store tails from the
+      backfill watermark rather than replaying all history;
+    - ``maxCellsPerBatch``: caps each micro-batch at ~N cells by
+      advancing the offset only to the N-smallest pending ts (ties on
+      the boundary ts are kept together — the offset is a ts watermark,
+      so a version timestamp is never split across batches). Driver
+      memory per batch is O(cap), never O(pending delta).
     """
 
     def __init__(self, options: dict) -> None:
         self.root = options.get("path") or options.get("root") or ""
         if not self.root:
             raise ValueError("hbacker_cells stream requires option path=<region dir>")
+        self.starting_ts = int(options.get("startingTs", -1))
+        cap = options.get("maxCellsPerBatch")
+        self.max_cells = int(cap) if cap is not None else None
+        if self.max_cells is not None and self.max_cells < 1:
+            raise ValueError("maxCellsPerBatch must be >= 1")
 
     def initialOffset(self) -> dict:
-        return {"ts": -1}
+        return {"ts": self.starting_ts}
 
     def _cells_between(self, lo: int, hi: int | None) -> Iterator[tuple]:
         for r in _load_meta(self.root):
@@ -183,7 +198,24 @@ class CellsStreamReader(SimpleDataSourceStreamReader):
                         yield (c["row_key"], c["cf"], c["qualifier"], c["ts"], c["value"])
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        rows = list(self._cells_between(start["ts"], None))
+        lo = start["ts"]
+        if self.max_cells is not None:
+            # bounded-memory cutoff pass: keep only the cap-smallest
+            # pending ts in a heap of scalars, then re-scan for the
+            # (lo, cutoff] slice — O(cap) driver memory, two file scans.
+            import heapq
+
+            heap: list[int] = []  # max-heap via negation
+            for r in self._cells_between(lo, None):
+                if len(heap) < self.max_cells:
+                    heapq.heappush(heap, -r[3])
+                elif r[3] < -heap[0]:
+                    heapq.heapreplace(heap, -r[3])
+            if not heap:
+                return iter([]), start
+            cutoff = -heap[0]
+            return self._cells_between(lo, cutoff), {"ts": cutoff}
+        rows = list(self._cells_between(lo, None))
         if not rows:
             return iter([]), start
         hi = max(r[3] for r in rows)

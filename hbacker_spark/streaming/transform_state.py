@@ -77,10 +77,22 @@ def streaming_ewma(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
 
     ``ttl_ms`` sets a state TTL so idle users' state is evicted (the
     unbounded-stream memory bound); leave None for bounded drains.
+
+    Spark only honours state TTL when the time mode is ProcessingTime —
+    ``timeMode="None"`` with a TTL-configured state is rejected at
+    runtime — so the time mode is derived from whether a TTL was asked
+    for rather than hardcoded.
     """
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=EwmaProcessor(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode=_time_mode(ttl_ms),
     )
+
+
+def _time_mode(ttl_ms: int | None) -> str:
+    """TTL-configured state requires ProcessingTime mode (Spark rejects
+    TTL under timeMode="None"); without a TTL, NoTime keeps the query
+    free of timer bookkeeping."""
+    return "None" if ttl_ms is None else "ProcessingTime"

@@ -140,3 +140,47 @@ def test_stream_reader_tails_new_regions_as_deltas(spark, tmp_path):
     )
     # second drain of the same checkpoint appends ONLY the delta
     assert drain() == [("row000", 1000), ("row001", 1001), ("row002", 1002)]
+
+
+def test_stream_reader_bounded_batches_and_starting_ts(tmp_path):
+    """ADVICE r4: cold starts must be boundable. startingTs skips
+    history below the backfill watermark; maxCellsPerBatch advances the
+    ts offset only to the N-smallest pending versions per batch (ties
+    on the boundary ts stay together, O(cap) driver memory) — driven
+    directly against the reader, no Spark needed."""
+    from hbacker_spark.sources.cells_source import CellsStreamReader
+
+    root = str(tmp_path / "regions")
+    os.makedirs(root)
+    cells = [
+        {"row_key": f"row{i:03d}", "cf": "cf", "qualifier": "q", "ts": ts, "value": "v"}
+        for i, ts in enumerate([1000, 1001, 1001, 1002, 1003, 1004])
+    ]
+    with open(os.path.join(root, "region_00000.jsonl"), "w") as f:
+        for c in cells:
+            f.write(json.dumps(c) + "\n")
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump({"regions": [{"file": "region_00000.jsonl", "start": None, "end": None}]}, f)
+
+    r = CellsStreamReader({"path": root, "startingTs": "1000", "maxCellsPerBatch": "2"})
+    off = r.initialOffset()
+    assert off == {"ts": 1000}  # history at/below the backfill mark skipped
+
+    rows1, off1 = r.read(off)
+    rows1 = list(rows1)
+    # cap=2 but the boundary ts 1001 has two cells — kept together
+    assert [x[3] for x in rows1] == [1001, 1001] and off1 == {"ts": 1001}
+
+    rows2, off2 = r.read(off1)
+    assert [x[3] for x in rows2] == [1002, 1003] and off2 == {"ts": 1003}
+
+    rows3, off3 = r.read(off2)
+    assert [x[3] for x in rows3] == [1004] and off3 == {"ts": 1004}
+
+    rows4, off4 = r.read(off3)
+    assert list(rows4) == [] and off4 == {"ts": 1004}
+
+    # exactly-once replay slices are cap-independent
+    assert [x[3] for x in r.readBetweenOffsets({"ts": 1000}, {"ts": 1003})] == [
+        1001, 1001, 1002, 1003
+    ]

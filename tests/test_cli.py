@@ -160,3 +160,28 @@ def test_cli_query_surface(tmp_path):
 
     ex = run_cli("explain", "--name", "q6_forecast_revenue", "--sf-dir", "/root/testdata/sf0.001")
     assert "PushedFilters" in ex.stdout or "Physical Plan" in ex.stdout
+
+
+def test_csv_safe_stringifies_unwritable_columns(spark, tmp_path):
+    """`run --format csv` must work for queries with container/binary
+    columns (ADVICE r4): arrays/maps/structs become JSON, binary
+    becomes hex, scalars pass through untouched — and the result
+    actually CSV-writes."""
+    from pyspark.sql import functions as F
+
+    from hbacker_spark.cli import csv_safe
+
+    df = spark.range(1).select(
+        F.col("id"),
+        F.array(F.lit(1), F.lit(2)).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("a")).alias("st"),
+        F.lit(b"\x01\xff").alias("bin"),
+    )
+    safe = csv_safe(df)
+    assert [f.dataType.typeName() for f in safe.schema.fields] == ["long"] + ["string"] * 4
+    row = safe.collect()[0]
+    assert row["arr"] == "[1,2]" and row["m"] == '{"k":1}' and row["st"] == '{"a":1}'
+    assert row["bin"] == "01FF"
+    out = str(tmp_path / "csv_out")
+    safe.write.mode("overwrite").csv(out)  # would raise on the raw df

@@ -208,3 +208,45 @@ def test_transform_with_state_processor_logic_protobuf_free():
     assert out2.iloc[0]["n_events"] == 3
     assert out2.iloc[0]["ewma_value"] == round((1 - EWMA_ALPHA) * s1 + EWMA_ALPHA * 20.0, 6)
     assert h.state.v == (3, (1 - EWMA_ALPHA) * s1 + EWMA_ALPHA * 20.0)
+
+
+def test_transform_with_state_time_mode_matches_ttl():
+    """ADVICE r4: ttl_ms with timeMode="None" is rejected by Spark (TTL
+    needs ProcessingTime). The mode is derived from the TTL argument;
+    pinned protobuf-free here, and exercised live in the gated TTL test."""
+    from hbacker_spark.streaming.transform_state import _time_mode
+
+    assert _time_mode(None) == "None"
+    assert _time_mode(60_000) == "ProcessingTime"
+
+
+def test_transform_with_state_ttl_runs_processing_time(spark, tmp_path):
+    """Live coverage of the TTL path (protobuf-gated): a TTL-configured
+    drain must start and produce the same fold as the no-TTL path — the
+    r4 hardcoded timeMode="None" would have thrown here."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from hbacker_spark.streaming.transform_state import streaming_ewma
+    from hbacker_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 10.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+
+    collected = []
+    stream = spark.readStream.format("parquet").schema(EVENTS_STREAM_SCHEMA).load(src)
+    q = (
+        streaming_ewma(stream, ttl_ms=3_600_000)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: collected.extend(bdf.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["user_id"]: r for r in collected}
+    assert out[1]["n_events"] == 1 and out[1]["ewma_value"] == 10.0
