@@ -28,6 +28,7 @@ from hbacker_spark.queries._util import (
     money,
     rate,
 )
+from hbacker_spark.operators.rank import ntile_from_rank, with_global_order
 from hbacker_spark.registry import register
 from hbacker_spark.sources.tables import load_table, ts_epoch_us, widen
 
@@ -1971,20 +1972,19 @@ def mode_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carried in exact DECIMAL (i*rev products included) and ONE final "
     "conversion to double — aggregation order can't perturb it. Ranks "
     "tie-broken by partkey so both engines number identical orderings. "
-    "The rank window's input is the per-part AGGREGATE (dimension "
-    "cardinality, post-collapse), never the fact table — the same "
-    "post-agg-window discipline as nation_revenue_share.",
+    "The rank runs over the per-part AGGREGATE — but TPC-H dimensions "
+    "grow with SF, so even post-agg a global window is a single-reducer "
+    "sort at 100×; the rank therefore comes from the two-phase "
+    "distributed operator (operators/rank.py: range-partition + local "
+    "rank + P-row offset broadcast), VERDICT r4 #1. Oracle unchanged.",
 )
 def gini_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     r = l.groupBy("l_partkey").agg(
         F.sum(disc_price()).cast("decimal(28,4)").alias("rev")
     )
-    w = Window.orderBy("rev", "l_partkey")
-    ranked = r.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked = with_global_order(
+        r, [F.col("rev"), F.col("l_partkey")], rank_col="i", n_col="n"
     )
     A = F.sum((F.col("i") * F.col("rev")).cast("decimal(38,4)")).cast("double")
     S = F.sum("rev").cast("double")
@@ -2020,24 +2020,23 @@ def gini_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "motivates salting). A customer is in the covering set while the "
     "revenue BEFORE them is under the 80% line, stated decimal-exact "
     "as (cum - rev)*10 < total*8 — no floating threshold to flip "
-    "boundary rows. Windows run over the per-customer aggregate, not "
-    "the fact table.",
+    "boundary rows. The running sum over the per-customer aggregate "
+    "uses the two-phase distributed operator (operators/rank.py) — "
+    "range-partitioned local prefix sums + a P-row offset broadcast — "
+    "never a single-reducer global window (VERDICT r4 #1); the grand "
+    "total and customer count fall out of the same P-row relation.",
 )
 def pareto_customers_for_80pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("rev"))
-    wo = Window.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
-    ranked = r.select(
-        "rev",
-        F.sum("rev").over(wo).alias("cum"),
-        F.sum("rev").over(wall).alias("total"),
-        F.count(F.lit(1)).over(wall).alias("n_customers"),
+    ranked = with_global_order(
+        r,
+        [F.col("rev").desc(), F.col("o_custkey")],
+        sums=[(F.col("rev"), "cum")],
+        n_col="n_customers",
     )
     return (
-        ranked.filter((F.col("cum") - F.col("rev")) * 10 < F.col("total") * 8)
+        ranked.filter((F.col("cum") - F.col("rev")) * 10 < F.col("_total_cum") * 8)
         .agg(
             F.count(F.lit(1)).alias("n_top_customers"),
             F.any_value("n_customers").alias("n_customers"),
@@ -2429,12 +2428,13 @@ def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RFM customer segmentation: recency/frequency/monetary "
     "quartiles (ntile with unique-key tiebreaks, so bucket boundaries "
     "are deterministic on both engines), combined into the classic "
-    "3-digit segment code. The windows rank the per-customer AGGREGATE "
-    "(customers-sized, not orders-sized); a global ntile is a single-"
-    "partition sort by construction — at 100 TB swap it for a "
-    "percentile-threshold join (the winsorize pattern) if the customer "
-    "dimension itself outgrows one reducer; the decimal-exact monetary "
-    "sum is what makes the quartile boundaries reproducible.",
+    "3-digit segment code. The oracle states ntile(4) windows; the "
+    "engine computes each quartile from a two-phase DISTRIBUTED rank "
+    "(operators/rank.py) + the closed-form ntile arithmetic "
+    "(ntile_from_rank) — three range-partitioned shuffles of the "
+    "customers-sized aggregate, zero single-reducer sorts (VERDICT r4 "
+    "#1); the decimal-exact monetary sum is what makes the quartile "
+    "boundaries reproducible.",
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -2443,16 +2443,26 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round("o_totalprice", 2).cast(MONEY)).cast("double").alias("monetary"),
     )
-    r = F.ntile(4).over(Window.orderBy(F.desc("_recency_us"), "o_custkey"))
-    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-    return rfm.select(
+    ranked = with_global_order(
+        rfm, [F.desc("_recency_us"), F.col("o_custkey")], rank_col="_rr", n_col="_n"
+    )
+    ranked = with_global_order(
+        ranked, [F.desc("frequency"), F.col("o_custkey")], rank_col="_fr"
+    )
+    ranked = with_global_order(
+        ranked, [F.desc("monetary"), F.col("o_custkey")], rank_col="_mr"
+    )
+    n = F.col("_n")
+    r = ntile_from_rank(F.col("_rr"), n, 4)
+    f = ntile_from_rank(F.col("_fr"), n, 4)
+    m = ntile_from_rank(F.col("_mr"), n, 4)
+    return ranked.select(
         "o_custkey",
         "frequency",
         "monetary",
-        r.cast("int").alias("r_quartile"),
-        f.cast("int").alias("f_quartile"),
-        m.cast("int").alias("m_quartile"),
+        r.alias("r_quartile"),
+        f.alias("f_quartile"),
+        m.alias("m_quartile"),
         (r * 100 + f * 10 + m).cast("int").alias("rfm_segment"),
     )
 
@@ -2856,8 +2866,11 @@ CMS_TOPK = 20
     "with the per-key overestimation error (CMS never underestimates: "
     "est >= true always, over_err <= 2N/width w.h.p.). The 100 TB "
     "story is the grid's shape: depth*width counters TOTAL regardless "
-    "of key cardinality, built by one map-side-combining shuffle of "
-    "depth*n hashed rows, and MERGEABLE (grids from partitions, days, "
+    "of key cardinality, built here from the keys-sized exact-count "
+    "relation in ONE events shuffle (grid cell = sum of true_cnt over "
+    "keys hashing in — bit-identical to summing raw +1s, r4 #3; a "
+    "streaming builder still folds +1s), and MERGEABLE (grids from "
+    "partitions, days, "
     "or streams sum counter-wise — same associativity as the HLL "
     "rollup above), so heavy-hitter detection over 100 TB of events "
     "costs kilobytes of state where exact top-k needs a full "
@@ -2881,15 +2894,22 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
         ).alias("bucket")
 
-    grid = (
-        e.select("user_id", seeds)
-        .select("seed", bucket(F.col("seed"), F.col("user_id")))
-        .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # ONE events shuffle total (VERDICT r4 #3): the per-key exact counts
+    # are keys-sized << events-sized, and a grid cell's count is exactly
+    # the sum of true_cnt over keys hashing into it — so both the grid
+    # AND the probes derive from `truec`; each key is md5-hashed once
+    # per seed instead of once per EVENT ROW per seed, and the events
+    # relation is scanned once (the shared truec subplan reuses its
+    # shuffle exchange). Output is bit-identical to building the grid
+    # from the raw stream; in production the streaming form still sums
+    # +1s — the sketch is associative either way.
     truec = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
     probes = truec.select("user_id", "true_cnt", seeds).select(
         "user_id", "true_cnt", "seed", bucket(F.col("seed"), F.col("user_id"))
+    )
+    grid = (
+        probes.groupBy("seed", "bucket")
+        .agg(F.sum("true_cnt").alias("cnt"))
     )
     est = (
         probes.join(F.broadcast(grid), ["seed", "bucket"])

@@ -333,7 +333,60 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     # per-event_type groupBy results, so the nested loop is bounded by
     # group cardinality² (types²), never by data volume
     "hll_audience_overlap",
+    # 1-row broadcast of the sorted per-source count array (the
+    # closed-form interleave rank, VERDICT r4 #1 fix)
+    "mixture_interleave",
 }
+
+# Queries allowed to compile a Window with an EMPTY partition spec
+# (VERDICT r4 #2: an unpartitioned window is an Exchange SinglePartition
+# + sort — a single reducer — so every occurrence must be over a
+# relation whose size is CONSTANT in data volume, and justified here).
+# The distributed alternative for anything data- or dimension-sized is
+# operators/rank.py (range-partition + local rank + P-row offsets).
+_GLOBAL_WINDOW_ALLOWED = {
+    # rank-after-limit: the window input is the k-row top-k result
+    "ann_ivf_cosine_topk": "ranks the k-row top-k output",
+    "ann_lsh_cosine_topk": "ranks the k-row top-k output",
+    "knn_cosine_top10": "ranks the k-row top-k output",
+    "cms_heavy_hitters": "ranks the CMS_TOPK-row result",
+    # bounded-domain post-agg spines: cardinality is the key DOMAIN
+    # (hours/months/sources/event-type triples), not the data volume
+    "cumulative_new_users_hourly": "per-hour spine (~9k rows/year)",
+    "orders_open_backlog_monthly": "per-month spine",
+    "mixture_waterfill_allocation": "per-source caps (sources-sized)",
+    "top_event_paths_3step": "per-(type,type,type) path counts, domain^3",
+    # operators/rank.py offsets relation: <= spark.sql.shuffle.partitions
+    # rows by construction (the two-phase distributed rank)
+    "gini_part_revenue": "P-row bucket-offset relation",
+    "orders_rfm_segments": "P-row bucket-offset relation",
+    "pareto_customers_for_80pct": "P-row bucket-offset relation",
+}
+
+
+def _empty_partition_window_args(plan: str) -> list[str]:
+    """First arguments of windowspecdefinition(...) calls that start
+    with a SORT expression — i.e. windows with no partition columns."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i, depth, arg = m.end(), 0, ""
+        while i < len(plan):
+            ch = plan[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            arg += ch
+            i += 1
+        if " ASC NULLS" in arg or " DESC NULLS" in arg:
+            out.append(arg.strip())
+    return out
 
 
 def test_plan_gate_sweep_all_registered_queries(spark, sf_dir):
@@ -346,6 +399,8 @@ def test_plan_gate_sweep_all_registered_queries(spark, sf_dir):
       allowlist (scalar subqueries and 1-row query-vector literals);
     - no row-at-a-time Python (BatchEvalPython) outside the one
       deliberate U2 demo;
+    - no unpartitioned Window (a single-reducer global sort) outside
+      the justified constant-cardinality allowlist (VERDICT r4 #2);
     - no un-reused repeated base-table scan: a relation scanned >4
       times in one plan with zero exchange reuse means an iterative
       builder forgot to checkpoint (this catches the r3 BFS lineage
@@ -367,6 +422,11 @@ def test_plan_gate_sweep_all_registered_queries(spark, sf_dir):
             failures.append((name, "BroadcastNestedLoopJoin outside the single-row allowlist"))
         if "BatchEvalPython" in plan and name not in _ROW_UDF_ALLOWED:
             failures.append((name, "row-at-a-time Python UDF in plan"))
+        if name not in _GLOBAL_WINDOW_ALLOWED:
+            for arg in _empty_partition_window_args(plan):
+                failures.append(
+                    (name, f"unpartitioned Window (single-reducer sort) over [{arg[:60]}]")
+                )
         scans = re.findall(r"Scan parquet[^\n]*?([a-z_]+)\.parquet", plan)
         from collections import Counter
 

@@ -1,0 +1,79 @@
+"""Two-phase distributed rank vs the single-reducer global window.
+
+The operator must be bit-identical to ``row_number()/sum() OVER
+(ORDER BY ...)`` and ``ntile(k)`` for any tie-broken ordering,
+independent of bucket count — including buckets > rows (empty range
+partitions) and buckets = 1 (degenerate single bucket)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hbacker_spark.operators.rank import ntile_from_rank, with_global_order
+
+
+def _sample(spark, n=97):
+    # keys with heavy value ties so rank must lean on the tiebreak
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),
+        ((F.col("id") * 37) % 11).cast("decimal(12,2)").alias("amt"),
+    )
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 200])
+def test_global_rank_and_running_sum_match_window(spark, buckets):
+    df = _sample(spark)
+    order = [F.col("v").desc(), F.col("id")]
+    got = with_global_order(
+        df, order, sums=[(F.col("amt"), "cum_amt")], rank_col="rnk",
+        n_col="n", buckets=buckets,
+    )
+    w = Window.orderBy(F.col("v").desc(), "id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    exp = df.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("amt").over(wr).alias("cum_amt"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("amt").over(wall).alias("_total_cum_amt"),
+    )
+    g = {r["id"]: r for r in got.collect()}
+    for r in exp.collect():
+        q = g[r["id"]]
+        assert q["rnk"] == r["rnk"], (r["id"], q["rnk"], r["rnk"])
+        assert q["cum_amt"] == r["cum_amt"]
+        assert q["n"] == r["n"] and q["_total_cum_amt"] == r["_total_cum_amt"]
+
+
+@pytest.mark.parametrize("n,k", [(97, 4), (8, 4), (3, 4), (100, 7), (1, 3)])
+def test_ntile_closed_form_matches_window(spark, n, k):
+    df = spark.range(n).select(F.col("id"), ((F.col("id") * 13) % 29).alias("v"))
+    w = Window.orderBy("v", "id")
+    exp = df.select("id", F.ntile(k).over(w).alias("t"))
+    rank = F.row_number().over(w)  # window only to produce the rank input
+    got = df.select("id", ntile_from_rank(rank, F.lit(n), k).alias("t"))
+    assert {r["id"]: r["t"] for r in got.collect()} == {
+        r["id"]: r["t"] for r in exp.collect()
+    }
+
+
+def test_no_unpartitioned_window_over_data(spark):
+    """The only empty-partition Window in the compiled plan must be the
+    P-row offsets relation (child = the per-bucket aggregate)."""
+    df = _sample(spark, 50)
+    got = with_global_order(df, [F.col("id")], rank_col="rnk", buckets=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+    empty_part_windows = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bWindow \[", ln)
+        and "windowspecdefinition(_bkt" not in ln
+    ]
+    # every remaining global window line must be over the offsets agg
+    # (its expressions reference _bn / _bs_ columns only)
+    for ln in empty_part_windows:
+        assert "_bn" in ln or "_bs_" in ln, ln
