@@ -555,6 +555,43 @@ def ann_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_candidate_pairs_incremental",
+    oracle=None,  # LSH bucket geometry is engine-internal → rows-only;
+    # the fold==recompute proof is the pytest below + row-count gate
+    tags=("similarity", "llm", "ann", "dedup", "incremental"),
+    doc="Incremental ANN index maintenance (VERDICT r4 #5): the corpus "
+    "is split into two deterministic ingest batches (md5 bucket of "
+    "vec_id), batch 0 builds the stored (postings, pairs) state, and "
+    "batch 1 is FOLDED in via operators/incremental.py:ann_ingest_batch "
+    "— only batch 1's vectors are signature-hashed; stored history is "
+    "joined through its posting lists, never rebuilt. The result is "
+    "bit-identical to the full uncapped ann_candidate_pairs build "
+    "(pinned incl. 3-way split invariance in tests/"
+    "test_merge_properties.py). This closes the 100 TB ingest gap: "
+    "adding 1 TB of embeddings costs one batch signature pass + one "
+    "postings join, not a corpus-wide LSH rebuild; hot-bucket caps "
+    "apply per ingest batch with ann_bucket_stats accounting.",
+)
+def ann_candidate_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.incremental import (
+        ann_ingest_batch,
+        ann_pairs_state,
+        lsh_postings_state,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("long") % 2
+    )
+    batch0 = e.filter(bucket == 0)
+    batch1 = e.filter(bucket == 1)
+    postings0 = lsh_postings_state(batch0)
+    pairs0 = ann_pairs_state(batch0)
+    _, pairs = ann_ingest_batch(postings0, pairs0, batch1)
+    return pairs
+
+
+@register(
     "ann_bucket_stats",
     oracle=None,  # LSH bucket contents are engine-internal → rows-only
     tags=("similarity", "llm", "ann", "observability"),

@@ -185,3 +185,52 @@ def test_incremental_bloom_state_fold_equals_full_and_idempotent(spark, sf_dir):
     assert folded == full
     replay = sorted(map(tuple, merge_bloom_state(merge_bloom_state(s0, s1), s1).collect()))
     assert replay == full
+
+
+def test_incremental_ann_index_fold_equals_full_build(spark, sf_dir):
+    """ANN index ingest algebra (VERDICT r4 #5): folding batches into
+    the (postings, pairs) state — in any 3-way split and order — equals
+    the full uncapped build, bit-for-bit, for BOTH state relations; and
+    the pairs state equals ann_candidate_pairs over the full corpus
+    (no bucket is capped at this scale, asserted, so the comparison is
+    exact rather than vacuous)."""
+    from hbacker_spark.operators.incremental import (
+        ann_ingest_batch,
+        ann_pairs_state,
+        lsh_postings_state,
+    )
+    from hbacker_spark.operators.similarity import ann_bucket_stats, ann_candidate_pairs
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # no hot-bucket cap bites at test scale -> batch path is exact
+    assert (
+        ann_bucket_stats(e).agg(F.sum("n_capped_buckets")).collect()[0][0] == 0
+    )
+    full_pairs = sorted(map(tuple, ann_pairs_state(e).collect()))
+    assert full_pairs == sorted(map(tuple, ann_candidate_pairs(e).collect()))
+
+    bucket = F.pmod(F.xxhash64("vec_id", F.lit(11)), F.lit(3))
+    parts = [e.filter(bucket == i) for i in range(3)]
+
+    def fold(order):
+        posts = lsh_postings_state(parts[order[0]])
+        pairs = ann_pairs_state(parts[order[0]])
+        for i in order[1:]:
+            posts, pairs = ann_ingest_batch(posts, pairs, parts[i])
+        return posts, pairs
+
+    full_posts = sorted((r["table_idx"], r["bucket"], tuple(r["ds"]))
+                        for r in lsh_postings_state(e).collect())
+    for order in ([0, 1, 2], [2, 0, 1]):
+        posts, pairs = fold(order)
+        assert sorted(
+            (r["table_idx"], r["bucket"], tuple(r["ds"])) for r in posts.collect()
+        ) == full_posts, order
+        assert sorted(map(tuple, pairs.collect())) == full_pairs, order
+
+    # empty-batch ingest is the identity (idle ticks)
+    p0, q0 = lsh_postings_state(parts[0]), ann_pairs_state(parts[0])
+    pe, qe = ann_ingest_batch(p0, q0, e.filter(F.lit(False)))
+    assert sorted(map(tuple, qe.collect())) == sorted(map(tuple, q0.collect()))
+    assert pe.count() == p0.count()
