@@ -745,16 +745,21 @@ def events_trailing_30min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("aggregation", "skew", "statistics"),
-    doc="Hot-key-proof aggregation via two-phase salting (operators/"
-    "skew.py:salted_agg): events has only ~6 event_type groups, the "
-    "worst shape for a grouped agg at 100 TB (each group = one reducer "
-    "without salting; map-side partials help sums but a single final "
-    "reducer per group still bounds throughput). The salt spreads each "
-    "group over 16 reducers, recombining decomposable partials "
-    "(sum/count/min/max) exactly — decimal-exact so salted == plain == "
-    "oracle bit-for-bit. count(distinct) is not salt-decomposable, so "
-    "it runs as its own two-level exact pass (distinct pairs shuffle "
-    "on the compound key, which is inherently spread).",
+    doc="Two-phase salted aggregation (operators/skew.py:salted_agg) "
+    "over the ~6-key event_type domain, recombining decomposable "
+    "partials (sum/count/min/max) exactly — decimal-exact so salted == "
+    "plain == oracle bit-for-bit. Measured honestly at adversarial "
+    "skew (skew_smoke.py, r4 #7: one key at 50% mass): for THESE "
+    "decomposable aggregates plain groupBy is already skew-proof — "
+    "hash partial aggregation collapses each group to one row per map "
+    "task, salted/plain = 1.01x — so this query demonstrates the "
+    "mechanism and its equality; salting earns its keep when per-group "
+    "partial state doesn't collapse (collect_list/set, sort aggs). "
+    "The measured serializing hot-key shape is the unpartitioned-"
+    "domain WINDOW (2.27x worse than agg+broadcast-join — see "
+    "SCALE_NOTES round 5). count(distinct) is not salt-decomposable, "
+    "so it runs as its own two-level exact pass (distinct pairs "
+    "shuffle on the compound key, which is inherently spread).",
 )
 def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.skew import salted_agg
