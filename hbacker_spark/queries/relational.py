@@ -2930,3 +2930,83 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_cnt") - F.col("true_cnt")).alias("over_err"),
         F.row_number().over(w).alias("rnk"),
     )
+
+
+@register(
+    "orders_median_price_distributed",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS v,
+             row_number() OVER (ORDER BY CAST(round(o_totalprice, 2) AS DECIMAL(12,2)),
+                                o_orderkey) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM orders)
+    SELECT CAST(AVG(v) AS DOUBLE) AS median_price,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_orders
+    FROM r WHERE rnk IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+    tags=("statistics", "rank", "aggregation"),
+    doc="Exact global median over the FACT table (orders-sized, not a "
+    "post-agg), computed with the two-phase distributed rank "
+    "(operators/rank.py): range-partition on the value, local ranks, "
+    "P-row offsets — never a single-reducer sort and never the "
+    "value→count hashmap state Spark's exact percentile aggregate "
+    "carries per reducer (which is fine for low-distinct columns and "
+    "is what percentile_totalprice demonstrates; THIS form is the "
+    "general one for high-cardinality values at 100 TB). Median = avg "
+    "of the two middle ranks, decimal-exact; the oracle states the "
+    "same thing as a plain global window.",
+)
+def orders_median_price_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(money("o_totalprice").alias("v"), "o_orderkey")
+    ranked = with_global_order(
+        vals, [F.col("v"), F.col("o_orderkey")], rank_col="rnk", n_col="n"
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    return (
+        ranked.filter((F.col("rnk") == lo) | (F.col("rnk") == hi))
+        .agg(
+            F.avg("v").cast("double").alias("median_price"),
+            F.any_value("n").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "orders_price_decile_boundaries",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS v,
+             row_number() OVER (ORDER BY CAST(round(o_totalprice, 2) AS DECIMAL(12,2)),
+                                o_orderkey) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM orders)
+    SELECT CAST(d.d AS INT) AS decile, CAST(r.v AS DOUBLE) AS boundary
+    FROM r JOIN generate_series(1, 9) AS d(d) ON r.rnk = (r.n * d.d + 9) // 10
+    """,
+    tags=("statistics", "rank"),
+    doc="Exact decile boundaries of order prices — all nine at once "
+    "from ONE distributed-rank pass over the fact table (operators/"
+    "rank.py), then a 9-row broadcast join picking rank ceil(n*d/10) "
+    "per decile ((n*d+9) div 10, integer-exact on both engines). The "
+    "quantile-sweep shape for threshold tables / winsorize bounds / "
+    "bucketing layouts at 100 TB: one range shuffle, nine answers, no "
+    "single-reducer sort. The 9-row broadcast nested loop is "
+    "plan-gate-allowlisted like the other constant-side scalar joins.",
+)
+def orders_price_decile_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(money("o_totalprice").alias("v"), "o_orderkey")
+    ranked = with_global_order(
+        vals, [F.col("v"), F.col("o_orderkey")], rank_col="rnk", n_col="n"
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    return (
+        ranked.join(
+            F.broadcast(deciles),
+            F.col("rnk") == F.expr("(n * decile + 9) div 10"),
+        )
+        .select("decile", F.col("v").cast("double").alias("boundary"))
+    )

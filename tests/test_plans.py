@@ -341,6 +341,8 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     # 1-row broadcast of the sorted per-source count array (the
     # closed-form interleave rank, VERDICT r4 #1 fix)
     "mixture_interleave",
+    # 9-row decile-position broadcast against the distributed rank
+    "orders_price_decile_boundaries",
 }
 
 # Queries allowed to compile a Window with an EMPTY partition spec
@@ -366,6 +368,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "gini_part_revenue": "P-row bucket-offset relation",
     "orders_rfm_segments": "P-row bucket-offset relation",
     "pareto_customers_for_80pct": "P-row bucket-offset relation",
+    "orders_median_price_distributed": "P-row bucket-offset relation",
+    "orders_price_decile_boundaries": "P-row bucket-offset relation",
+    "nucleus_docs_global": "P-row bucket-offset relation",
 }
 
 
