@@ -2339,9 +2339,10 @@ def dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broken by doc_id so both engines agree bit-for-bit). Downstream "
     "'keep top 30% of EACH source' gates then cut the same quantile "
     "everywhere regardless of source scale. One window shuffle "
-    "partitioned by source — scale-safe (no global ordering; a "
-    "corpus-wide percent_rank would serialize onto one task, which is "
-    "why the global variant is deliberately absent).",
+    "partitioned by source — scale-safe. The corpus-wide variant used "
+    "to be deliberately absent (a global window serializes onto one "
+    "task); it now exists as quality_percent_rank_global via the "
+    "two-phase distributed rank.",
 )
 def quality_percent_rank_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -2638,3 +2639,42 @@ def nucleus_docs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         (F.col("cum") - F.col("n_chars")) * 10 < F.col("_total_cum") * 8
     ).select("doc_id", "source", "n_chars", F.col("cum").cast("bigint").alias("cum_chars"))
+
+
+@register(
+    "quality_percent_rank_global",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS quality_pct
+    FROM documents
+    """,
+    tags=("llm", "quality", "rank", "sampling"),
+    doc="CORPUS-GLOBAL rank normalization: percent_rank over every "
+    "document — the cross-source calibration quality_percent_rank_per_"
+    "source deliberately avoided while a global ordering meant a "
+    "single-reducer sort. With the two-phase distributed rank "
+    "(operators/rank.py) it exists scale-safely: percent_rank == "
+    "(rank-1)/(n-1) for a tie-broken ordering, computed from the "
+    "range-partitioned rank + the P-row total — the oracle states the "
+    "plain window, the engine never runs one over the corpus. Use "
+    "when one global 'keep top X% of ALL data' gate is wanted instead "
+    "of per-source quantile cuts.",
+)
+def quality_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.rank import with_global_order
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = with_global_order(
+        d.select("doc_id", "source", "n_chars"),
+        [F.col("n_chars"), F.col("doc_id")],
+        rank_col="_rnk",
+        n_col="_n",
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(
+            (F.col("_rnk") - 1).cast("double") / (F.col("_n") - 1).cast("double"), 6
+        ).alias("quality_pct"),
+    )

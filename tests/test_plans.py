@@ -371,6 +371,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "orders_median_price_distributed": "P-row bucket-offset relation",
     "orders_price_decile_boundaries": "P-row bucket-offset relation",
     "nucleus_docs_global": "P-row bucket-offset relation",
+    "quality_percent_rank_global": "P-row bucket-offset relation",
 }
 
 

@@ -77,3 +77,46 @@ def test_no_unpartitioned_window_over_data(spark):
     # (its expressions reference _bn / _bs_ columns only)
     for ln in empty_part_windows:
         assert "_bn" in ln or "_bs_" in ln, ln
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=60),
+    buckets=st.integers(min_value=1, max_value=9),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_rank_operator_properties(spark, vals, buckets, k):
+    """Property pin: for ANY value multiset (heavy ties by construction),
+    bucket count, and tile count — global rank, inclusive running sum,
+    total count, and closed-form ntile all equal the single-reducer
+    window forms."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = with_global_order(
+        df,
+        [F.col("v").desc(), F.col("id")],
+        sums=[(F.col("v"), "cum")],
+        rank_col="rnk",
+        n_col="n",
+        buckets=buckets,
+    )
+    got = got.withColumn("t", ntile_from_rank(F.col("rnk"), F.col("n"), k))
+    w = Window.orderBy(F.col("v").desc(), "id")
+    exp = df.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.ntile(k).over(w).alias("t"),
+    )
+    g = {r["id"]: (r["rnk"], r["cum"], r["n"], r["t"]) for r in got.collect()}
+    e = {r["id"]: (r["rnk"], r["cum"], r["n"], r["t"]) for r in exp.collect()}
+    assert g == e
