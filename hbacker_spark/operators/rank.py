@@ -31,6 +31,20 @@ is the same lineage-pinning move the iterative graph operators use.
 
 ntile is derived arithmetically from (rank, n): with q = n div k and
 r = n mod k, the first r tiles carry q+1 rows — no extra pass.
+
+Skewed sort keys: because callers must pass a TIE-BROKEN total order
+(required for determinism anyway), the range partitioner samples the
+full tuple — a tie-class holding 50% of all rows (say one n_chars
+value) still splits across buckets on the tiebreak column, so no
+bucket inherits the tie mass. Never call this with a non-unique order.
+
+Block lifecycle: the lazy checkpoint pins the range-partitioned
+relation (memory-and-disk) for the lifetime of the session's reference
+to it; it is the result's own lineage root, so it cannot be freed
+mid-query (unlike the superseded per-round blocks the CC loop
+releases). Long-lived sessions re-running rank queries on large inputs
+should unpersist via the SparkContext block manager between runs, or
+accept disk-spilled blocks as the cost of bucket-identity safety.
 """
 
 from __future__ import annotations
