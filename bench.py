@@ -131,7 +131,15 @@ def main() -> None:
     # and the compiled plan is still the 5-way broadcast star (now also
     # pinned in tests/test_plans.py). More reps let the min converge to
     # the steady state the plan actually costs.
-    extra_reps = {"q5_local_supplier_volume": max(reps, 5)}
+    extra_reps = {
+        "q5_local_supplier_volume": max(reps, 5),
+        # same first-pass-warmup variance class, measured in r5:
+        # bloom isolated reps [9.93, 2.16, 1.85, 1.82] (plan unchanged
+        # vs r4 per PLANS.md); cluster resolution [6.12, 3.97, 3.32,
+        # 3.38]. More reps converge min() to the steady state.
+        "bloom_decontamination_probe": max(reps, 4),
+        "dedup_cluster_resolution": max(reps, 4),
+    }
     # Iteration aid: SPARK_GRAFT_BENCH_ONLY="a,b,c" times just those
     # queries (substring match allowed) without touching the committed
     # BENCH_FULL.json contract — the full artifact is only written for
@@ -168,9 +176,11 @@ def main() -> None:
         "variance_note": (
             "per-query value = min of {} passes; single-VM run-to-run "
             "variance is +/-25%, so round-over-round deltas < ~1.3x are "
-            "noise, not regressions. q5_local_supplier_volume runs {} "
-            "passes: its r4 2.4x blip was first-pass broadcast warmup "
-            "(isolated reps 2.32->1.01s, plan unchanged)".format(
+            "noise, not regressions. q5_local_supplier_volume, "
+            "bloom_decontamination_probe and dedup_cluster_resolution "
+            "run {} passes: their blips were first-pass warmup "
+            "(q5 isolated reps 2.32->1.01s; bloom 9.93->1.82s), plans "
+            "unchanged per PLANS.md".format(
                 reps, extra_reps["q5_local_supplier_volume"]
             )
         ),
