@@ -95,6 +95,11 @@ HEADLINE = (
     "copurchase_pagerank",
     "ann_dedup_clusters",
     "snapshot_fingerprint_by_nation",
+    # round-5 signatures: the single-pass CMS rewrite and the
+    # distributed-rank family's fact-scale demonstrations
+    "cms_heavy_hitters",
+    "orders_median_price_distributed",
+    "nucleus_docs_global",
 )
 
 
