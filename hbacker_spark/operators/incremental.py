@@ -266,3 +266,52 @@ def ann_ingest_batch(
         .agg(F.sum("n_shared_buckets").cast("bigint").alias("n_shared_buckets"))
     )
     return merge_postings_state(stored_postings, batch_posts), new_pairs
+
+
+def ann_ingest_stream(
+    batches: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming driver for the incremental ANN index: each micro-batch
+    of new vectors folds into parquet-persisted (postings, pairs) state
+    via :func:`ann_ingest_batch` inside foreachBatch — the operational
+    form of the ingest algebra (same snapshot-fold idiom as
+    streaming/windows.py:stream_to_snapshots).
+
+    State layout: ``{state_dir}/postings`` and ``{state_dir}/pairs``,
+    rewritten per batch from (stored ∪ batch) — at 100 TB store both
+    bucketed by their keys ((table_idx, bucket) / (vec_a, vec_b)) so
+    the merge co-locates, and swap the overwrite for a MERGE sink; the
+    read-fold-overwrite here keeps the local form dependency-free.
+    Returns the StreamingQuery (caller awaits termination)."""
+    import os
+
+    spark = batches.sparkSession
+    posts_path = os.path.join(state_dir, "postings")
+    pairs_path = os.path.join(state_dir, "pairs")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return  # empty-batch ingest is the identity; skip the rewrite
+        if os.path.exists(posts_path):
+            posts = spark.read.parquet(posts_path)
+            pairs = spark.read.parquet(pairs_path)
+            posts, pairs = ann_ingest_batch(posts, pairs, batch_df, id_col, vec_col)
+        else:
+            posts = lsh_postings_state(batch_df, id_col, vec_col)
+            pairs = ann_pairs_state(batch_df, id_col, vec_col)
+        # materialize BEFORE overwrite: the new state reads the old files
+        posts = posts.localCheckpoint(eager=True)
+        pairs = pairs.localCheckpoint(eager=True)
+        posts.write.mode("overwrite").parquet(posts_path)
+        pairs.write.mode("overwrite").parquet(pairs_path)
+
+    return (
+        batches.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

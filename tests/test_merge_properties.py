@@ -234,3 +234,50 @@ def test_incremental_ann_index_fold_equals_full_build(spark, sf_dir):
     pe, qe = ann_ingest_batch(p0, q0, e.filter(F.lit(False)))
     assert sorted(map(tuple, qe.collect())) == sorted(map(tuple, q0.collect()))
     assert pe.count() == p0.count()
+
+
+def test_ann_ingest_stream_equals_full_build(spark, sf_dir, tmp_path):
+    """The streaming driver (foreachBatch fold with parquet-persisted
+    state, incl. a restart between drains) maintains the SAME index the
+    full uncapped batch build produces — the operational stream==batch
+    contract for incremental embedding ingest."""
+    import os
+
+    from hbacker_spark.operators.incremental import (
+        ann_ingest_stream,
+        ann_pairs_state,
+        lsh_postings_state,
+    )
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.pmod(F.xxhash64("vec_id", F.lit(5)), F.lit(2))
+    src = str(tmp_path / "stream_src")
+    state = str(tmp_path / "ann_state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = e.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        q = ann_ingest_stream(stream, state, ckpt)
+        q.awaitTermination()
+
+    # batch 0 lands, first drain builds the state
+    e.filter(bucket == 0).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # batch 1 lands later; a RESTARTED query folds only the delta
+    e.filter(bucket == 1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got_pairs = sorted(
+        map(tuple, spark.read.parquet(os.path.join(state, "pairs")).collect())
+    )
+    assert got_pairs == sorted(map(tuple, ann_pairs_state(e).collect()))
+    got_posts = sorted(
+        (r["table_idx"], r["bucket"], tuple(r["ds"]))
+        for r in spark.read.parquet(os.path.join(state, "postings")).collect()
+    )
+    assert got_posts == sorted(
+        (r["table_idx"], r["bucket"], tuple(r["ds"]))
+        for r in lsh_postings_state(e).collect()
+    )
