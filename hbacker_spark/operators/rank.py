@@ -37,6 +37,10 @@ Skewed sort keys: because callers must pass a TIE-BROKEN total order
 full tuple — a tie-class holding 50% of all rows (say one n_chars
 value) still splits across buckets on the tiebreak column, so no
 bucket inherits the tie mass. Never call this with a non-unique order.
+Nullable sort keys need an explicit nulls_first/nulls_last on BOTH the
+engine order and any oracle SQL — Spark defaults ASC to NULLS FIRST
+while DuckDB defaults to NULLS LAST, a silent cross-engine rank skew
+(every current caller sorts non-null keys).
 
 Block lifecycle: the lazy checkpoint pins the range-partitioned
 relation (memory-and-disk) for the lifetime of the session's reference
