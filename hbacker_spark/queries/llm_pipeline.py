@@ -2678,3 +2678,57 @@ def quality_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_rnk") - 1).cast("double") / (F.col("_n") - 1).cast("double"), 6
         ).alias("quality_pct"),
     )
+
+
+@register(
+    "mixture_repeat_upsample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{TX.TOKEN_PATTERN}')) AS BIGINT) AS n
+      FROM documents),
+    av AS (SELECT source, SUM(n) AS avail FROM toks GROUP BY source),
+    b AS (SELECT MAX(avail) AS budget FROM av),
+    r AS (SELECT source, CAST(LEAST(4, (budget + avail - 1) // avail) AS INT) AS n_epochs
+          FROM av CROSS JOIN b)
+    SELECT t.doc_id, t.source, CAST(g.e AS INT) AS epoch_idx, r.n_epochs
+    FROM toks t JOIN r USING (source)
+         CROSS JOIN generate_series(1, 4) AS g(e)
+    WHERE g.e <= r.n_epochs
+    """,
+    tags=("llm", "mixture"),
+    doc="Epoch-capped repeat upsampling: every source is balanced "
+    "toward the LARGEST source's token mass by repeating its documents "
+    "ceil(budget/avail) times, capped at 4 epochs — the standard "
+    "mixture move for small high-quality sources (repeat wiki, don't "
+    "repeat web), emitted as concrete (doc, epoch_idx) training rows. "
+    "Integer-exact repeat factors ((budget+avail-1) div avail, "
+    "LEAST-capped) so both engines emit identical row sets. Scale "
+    "shape: one sources-sized aggregate broadcast back, then a "
+    "MAP-SIDE bounded explode (sequence(1, n_epochs), fan-out <= the "
+    "epoch cap) — the upsample itself never shuffles, so it streams at "
+    "scan speed at 100 TB. Companion to mixture_waterfill_allocation "
+    "(which allocates a fixed budget DOWN; this balances sources UP).",
+)
+def mixture_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", TX.n_tokens().alias("n"))
+    av = toks.groupBy("source").agg(F.sum("n").alias("avail"))
+    budget = av.agg(F.max("avail").alias("budget"))
+    r = av.join(F.broadcast(budget)).select(
+        "source",
+        F.least(
+            F.lit(4),
+            F.expr("(budget + avail - 1) div avail"),
+        ).cast("int").alias("n_epochs"),
+    )
+    return (
+        toks.join(F.broadcast(r), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("_e"),
+            "n_epochs",
+        )
+        .select("doc_id", "source", F.col("_e").cast("int").alias("epoch_idx"), "n_epochs")
+    )

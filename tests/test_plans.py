@@ -343,6 +343,8 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     "mixture_interleave",
     # 9-row decile-position broadcast against the distributed rank
     "orders_price_decile_boundaries",
+    # 1-row max-source-mass budget broadcast into the repeat factors
+    "mixture_repeat_upsample",
 }
 
 # Queries allowed to compile a Window with an EMPTY partition spec
