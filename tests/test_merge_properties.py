@@ -281,3 +281,31 @@ def test_ann_ingest_stream_equals_full_build(spark, sf_dir, tmp_path):
         (r["table_idx"], r["bucket"], tuple(r["ds"]))
         for r in lsh_postings_state(e).collect()
     )
+
+
+def test_ann_ingest_delta_mode_unions_to_full(spark, sf_dir):
+    """Production mode (merge_pairs=False): postings are the only
+    mutable state; each batch emits only its NEW pairs. The union of
+    all deltas equals the full uncapped build — per-batch cost then
+    tracks the batch's expansion, not |accumulated pairs|."""
+    from hbacker_spark.operators.incremental import (
+        ann_ingest_batch,
+        ann_pairs_state,
+        lsh_postings_state,
+    )
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.pmod(F.xxhash64("vec_id", F.lit(13)), F.lit(3))
+    parts = [e.filter(bucket == i) for i in range(3)]
+    posts = lsh_postings_state(parts[0])
+    deltas = [ann_pairs_state(parts[0])]
+    for i in (1, 2):
+        posts, d = ann_ingest_batch(posts, None, parts[i], merge_pairs=False)
+        deltas.append(d)
+    unioned = deltas[0]
+    for d in deltas[1:]:
+        unioned = unioned.unionByName(d)
+    assert sorted(map(tuple, unioned.collect())) == sorted(
+        map(tuple, ann_pairs_state(e).collect())
+    )
