@@ -233,6 +233,7 @@ def ann_ingest_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     merge_pairs: bool = True,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold one ingest batch into the ANN index state.
 
@@ -255,14 +256,36 @@ def ann_ingest_batch(
     mutable state at all; postings are the only state ingest requires.
     Union of all deltas == the merged state == the full rebuild
     (disjoint pair classes; pinned in tests/test_merge_properties.py).
+
+    ``max_bucket`` (None = exact/uncapped) applies the PER-BATCH
+    hot-bucket cap the 100 TB path needs on adversarially dense
+    corpora: the batch's own bucket lists are hash-sampled down before
+    within-pair expansion (the same deterministic draw as
+    ann_candidate_pairs), and each cross explode takes at most
+    ``max_bucket`` sampled members of the stored list — bounding one
+    batch's expansion by ~max_bucket x batch density. Capped mode is
+    approximate BY DESIGN (a different sample than a capped full
+    rebuild would draw, since that one samples over A∪B members);
+    what's guaranteed — pinned in pytest — is that capped output is a
+    SUBSET of the uncapped pairs with bounded fan-out. Run
+    ann_bucket_stats on each batch for cap accounting.
     """
-    from hbacker_spark.operators.similarity import lsh_signatures
+    from hbacker_spark.operators.similarity import capped_members, lsh_signatures
 
     sigs = lsh_signatures(batch, id_col, vec_col).localCheckpoint(eager=False)
     batch_posts = sigs.groupBy("table_idx", "bucket").agg(
         F.sort_array(F.collect_list("vec_id")).alias("ds")
     )
-    within = _pairs_from_postings(batch_posts)
+    within_posts = batch_posts
+    cross_stored = stored_postings
+    if max_bucket is not None:
+        within_posts = batch_posts.withColumn(
+            "ds", capped_members("ds", F.size("ds"), max_bucket, 42)
+        )
+        cross_stored = stored_postings.withColumn(
+            "ds", capped_members("ds", F.size("ds"), max_bucket, 42)
+        )
+    within = _pairs_from_postings(within_posts)
     # cross pairs join the batch's per-member SIGNATURE ROWS (not its
     # aggregated lists) against stored postings, so the explode emits
     # one stored list per batch member — per-row intermediates are
@@ -271,7 +294,7 @@ def ann_ingest_batch(
     # buckets in the 10x smoke). The signature pass is checkpointed so
     # the Arrow hashing runs once for postings AND cross.
     cross = (
-        sigs.join(stored_postings, ["table_idx", "bucket"])
+        sigs.join(cross_stored, ["table_idx", "bucket"])
         .select(F.col("vec_id"), F.explode("ds").alias("_old"))
         .select(
             F.least(F.col("vec_id"), F.col("_old")).alias("vec_a"),

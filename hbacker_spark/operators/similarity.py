@@ -323,6 +323,21 @@ def ivf_topk(
     return top.withColumn("rnk", F.row_number().over(w))
 
 
+def capped_members(ds_col: str, n_col, max_bucket: int, seed: int):
+    """Deterministic hot-bucket sample: keep the ``max_bucket`` members
+    with the smallest xxhash64(id, seed) rank, re-sorted by id so pair
+    explodes keep vec_a < vec_b — a pseudo-random but run-stable draw.
+    Shared by the batch builder (ann_candidate_pairs) and the
+    incremental ingest's per-batch cap so both cap identically."""
+    return F.when(n_col <= max_bucket, F.col(ds_col)).otherwise(
+        F.expr(
+            f"array_sort(transform(slice(array_sort("
+            f"transform({ds_col}, x -> struct(xxhash64(x, {int(seed)}) AS h, x AS v))"
+            f"), 1, {int(max_bucket)}), s -> s.v))"
+        )
+    )
+
+
 def ann_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -361,18 +376,7 @@ def ann_candidate_pairs(
             F.sort_array(F.collect_list("vec_id")).alias("ds"),
         )
         .filter(F.col("_n") >= 2)
-        .withColumn(
-            "ds",
-            F.when(F.col("_n") <= max_bucket, F.col("ds")).otherwise(
-                # hash-ranked deterministic sample, re-sorted by id so
-                # the pair explode keeps vec_a < vec_b
-                F.expr(
-                    f"array_sort(transform(slice(array_sort("
-                    f"transform(ds, x -> struct(xxhash64(x, {int(seed)}) AS h, x AS v))"
-                    f"), 1, {int(max_bucket)}), s -> s.v))"
-                )
-            ),
-        )
+        .withColumn("ds", capped_members("ds", F.col("_n"), max_bucket, seed))
     )
     pairs = posts.select(
         F.explode(

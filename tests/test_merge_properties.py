@@ -309,3 +309,34 @@ def test_ann_ingest_delta_mode_unions_to_full(spark, sf_dir):
     assert sorted(map(tuple, unioned.collect())) == sorted(
         map(tuple, ann_pairs_state(e).collect())
     )
+
+
+def test_ann_ingest_per_batch_cap_is_sound(spark, sf_dir):
+    """Capped ingest (max_bucket) is approximate by design — but must
+    be SOUND: every capped pair is an uncapped pair, shared-bucket
+    counts never exceed the exact ones, and the cap actually bites at
+    this corpus density (non-vacuous)."""
+    from hbacker_spark.operators.incremental import (
+        ann_ingest_batch,
+        ann_pairs_state,
+        lsh_postings_state,
+    )
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.pmod(F.xxhash64("vec_id", F.lit(17)), F.lit(2))
+    b0, b1 = (e.filter(bucket == i) for i in range(2))
+    posts = lsh_postings_state(b0)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["n_shared_buckets"]
+        for r in ann_ingest_batch(posts, None, b1, merge_pairs=False)[1].collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"]): r["n_shared_buckets"]
+        for r in ann_ingest_batch(
+            posts, None, b1, merge_pairs=False, max_bucket=8
+        )[1].collect()
+    }
+    assert 0 < len(capped) < len(exact)  # bites, but not to zero
+    for k, v in capped.items():
+        assert k in exact and v <= exact[k], k
