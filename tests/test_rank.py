@@ -120,3 +120,37 @@ def test_rank_operator_properties(spark, vals, buckets, k):
     g = {r["id"]: (r["rnk"], r["cum"], r["n"], r["t"]) for r in got.collect()}
     e = {r["id"]: (r["rnk"], r["cum"], r["n"], r["t"]) for r in exp.collect()}
     assert g == e
+
+
+RANK_ROUTED = [
+    "gini_part_revenue",
+    "pareto_customers_for_80pct",
+    "orders_rfm_segments",
+    "orders_median_price_distributed",
+    "orders_price_decile_boundaries",
+    "nucleus_docs_global",
+    "quality_percent_rank_global",
+    "mixture_interleave",
+]
+
+
+def test_rank_routed_queries_invariant_to_input_partitioning(spark, sf_dir):
+    """End-to-end bucket-identity safety on the REAL queries: results
+    must be identical when the parquet scan is forced into many tiny
+    input splits (different range-sampler input → different bucket
+    boundaries → same ranks). This is the metamorphic pin for the
+    spark_partition_id + lazy-checkpoint design."""
+    from hbacker_spark.registry import load_all_queries
+
+    specs = load_all_queries()
+    base = {}
+    for name in RANK_ROUTED:
+        base[name] = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+    try:
+        for name in RANK_ROUTED:
+            got = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
+            assert got == base[name], f"{name} changed under tiny input splits"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
