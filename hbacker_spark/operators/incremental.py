@@ -365,3 +365,53 @@ def ann_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def state_fold_stream(
+    batches: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    build,
+    merge,
+):
+    """Generic snapshot-fold streaming driver for ANY mergeable state
+    relation in this module: per micro-batch,
+    ``state' = merge(stored, build(batch))`` — parquet-persisted, so a
+    restarted query resumes from both the stream checkpoint AND the
+    folded state. One driver covers the whole state algebra family:
+
+        state_fold_stream(b, p, c, dedup_state, merge_dedup_state)
+        state_fold_stream(b, p, c, lambda d: bloom_state(d, "text"),
+                          merge_bloom_state)
+        state_fold_stream(b, p, c, lambda d: cms_state(d, "user_id"),
+                          merge_cms_state)
+        state_fold_stream(b, p, c,
+                          lambda d: hll_state(d, "event_type", "user_id"),
+                          lambda a, x: merge_hll_state(a, x, "event_type"))
+
+    (the ANN index keeps its own driver, ann_ingest_stream — it holds
+    TWO relations and appends pair deltas instead of re-merging).
+    Because every merge here is associative + commutative, the folded
+    state equals the full-corpus build bit-for-bit regardless of how
+    the stream batched the data — the property the split-invariance
+    tests pin per state type. Returns the StreamingQuery."""
+    import os
+
+    spark = batches.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return  # empty batch: state unchanged, skip the rewrite
+        s = build(batch_df)
+        if os.path.exists(state_path):
+            s = merge(spark.read.parquet(state_path), s)
+        # materialize BEFORE overwrite: the merged state reads old files
+        s = s.localCheckpoint(eager=True)
+        s.write.mode("overwrite").parquet(state_path)
+
+    return (
+        batches.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -340,3 +340,37 @@ def test_ann_ingest_per_batch_cap_is_sound(spark, sf_dir):
     assert 0 < len(capped) < len(exact)  # bites, but not to zero
     for k, v in capped.items():
         assert k in exact and v <= exact[k], k
+
+
+def test_state_fold_stream_dedup_equals_full(spark, sf_dir, tmp_path):
+    """The generic mergeable-state streaming driver, instantiated for
+    exact dedup: two drains with a restart between them fold to state
+    identical to the full-corpus build. One driver shape covers the
+    whole state-algebra family (dedup/Bloom/CMS/HLL)."""
+    from hbacker_spark.operators.incremental import (
+        dedup_state,
+        merge_dedup_state,
+        state_fold_stream,
+    )
+    from hbacker_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(19)), F.lit(2))
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "dedup_state")
+    ckpt = str(tmp_path / "ckpt")
+    cols = d.select("doc_id", "text")
+    schema = cols.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = state_fold_stream(stream, state, ckpt, dedup_state, merge_dedup_state)
+        q.awaitTermination()
+
+    cols.filter(bucket == 0).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    cols.filter(bucket == 1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert got == sorted(map(tuple, dedup_state(d).collect()))
