@@ -281,21 +281,70 @@ assert PR_ITER % 2 == 0, "PR_ITER must be even (2-step batched loop)"
 PR_SCALE = "decimal(20,10)"
 
 
+def _pagerank_oracle() -> str:
+    """Fully-oracled PageRank (r5): the fixed-iteration power method
+    unrolls like the k-core peeling — and the decimal arithmetic is
+    emulated BIT-EXACTLY in DuckDB HUGEINT integer math. Spark's types,
+    probed directly: decimal(20,10)/bigint divides at scale 28 with
+    HALF_UP, the cast back to scale 10 rounds HALF_UP again (double
+    rounding preserved!); 0.85::decimal(3,2) x sum::decimal(30,10) is
+    EXACT at scale 12, then one HALF_UP cast to scale 10. With scores
+    as scale-10 integers, round_half_up(a/b) = (2a+b) div (2b) on
+    positives, so each step is
+
+        v28 = (2*(s10*10^18) + deg) // (2*deg)          -- /deg @28
+        c10 = (2*v28 + 10^18) // (2*10^18)              -- cast @10
+        s'  = 15*10^8 + (2*(SUM(c10)*85) + 100) // 200  -- 0.15+0.85x
+
+    all inside HUGEINT range (s10*10^18 <= ~1e32 < 1.7e38). The final
+    decimal->double cast and HUGEINT/1e10 division both produce the
+    correctly-rounded double of the same rational, so even the emitted
+    floats agree bit-for-bit."""
+    e18 = "1000000000000000000"
+    ctes = [
+        f"pairs AS MATERIALIZED ({_SQL_PAIRS})",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs "
+        "UNION ALL SELECT v AS src, u AS dst FROM pairs)",
+        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS HUGEINT) AS deg "
+        "FROM sym GROUP BY src)",
+        "edges AS MATERIALIZED (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src))",
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS node, "
+        "CAST(10000000000 AS HUGEINT) AS s10 FROM sym)",
+    ]
+    for t in range(PR_ITER):
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"(2*((2*(st.s10*{e18}) + e.deg) // (2*e.deg)) + {e18}) // (2*{e18}) AS c10 "
+            f"FROM edges e JOIN s{t} st ON e.src = st.node)"
+        )
+        ctes.append(
+            f"s{t + 1} AS MATERIALIZED (SELECT node, "
+            f"CAST(1500000000 AS HUGEINT) + (2*(SUM(c10)*85) + 100) // 200 AS s10 "
+            f"FROM c{t} GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, CAST(s10 AS DOUBLE)/1e10 AS pagerank "
+        f"FROM s{PR_ITER} ORDER BY pagerank DESC, node LIMIT 50"
+    )
+
+
 @register(
     "copurchase_pagerank",
-    oracle=None,  # fixed-iteration power method — aggregation inside a
-    # recursive CTE's recursive term is not expressible in the oracle
-    # dialect; determinism + mass conservation pinned in pytest
+    oracle=_pagerank_oracle(),
     tags=("graph", "iterative"),
     doc="PageRank (damping 0.85, 8 power iterations) over the symmetric "
     "co-purchase graph, top-50 by rank. Fully DETERMINISTIC despite "
     "running on shuffled partials: scores and per-edge contributions "
     "are fixed-scale DECIMALs, so every per-node sum is exact and "
     "order-independent — float PageRank differs in final ulps from run "
-    "to run, decimal PageRank cannot. Edges+degrees materialize once "
-    "(localCheckpoint) so the upstream pair build doesn't re-execute "
-    "per iteration; each iteration is one join + one shuffle agg on "
-    "node, the same bounded shape as connected components.",
+    "to run, decimal PageRank cannot. That same exactness is what "
+    "makes it FULLY ORACLED (r5): the 8 iterations unroll as "
+    "materialized CTEs whose HUGEINT arithmetic reproduces Spark's "
+    "decimal rounding bit-for-bit (see _pagerank_oracle). "
+    "Edges+degrees materialize once (localCheckpoint) so the upstream "
+    "pair build doesn't re-execute per iteration; each iteration is "
+    "one join + one shuffle agg on node, the same bounded shape as "
+    "connected components.",
 )
 def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir).select("u", "v")
