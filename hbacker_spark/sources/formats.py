@@ -1,4 +1,5 @@
-"""Source/sink closure beyond parquet: CSV, JSON, partitioned writes.
+"""Source/sink closure beyond parquet: CSV, JSON, ORC, XML, binary
+files, partitioned writes.
 
 Always schema-explicit (inference is a full extra scan at 100 TB and
 types drift); partitioned writes lay out ``col=value`` directories so
@@ -37,6 +38,20 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: T.StructType, row_tag: str = "row") -> DataFrame:
+    """Native XML source (built into Spark 4 from the spark-xml
+    donation): one record per ``row_tag`` element, schema-explicit like
+    every other reader here. The format legacy enterprise feeds still
+    arrive in — this closes the last built-in text format."""
+    return spark.read.schema(schema).option("rowTag", row_tag).format("xml").load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows", mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).option("rowTag", row_tag).option("rootTag", root_tag).format("xml").save(path)
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:

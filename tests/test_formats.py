@@ -85,3 +85,27 @@ def test_binary_file_ingest_feeds_multimodal_features(spark, tmp_path):
     # deterministic function of bytes
     import numpy as np
     assert np.allclose(out["a.img"], _decode_bytes(b"alpha-bytes"), atol=1e-6)
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Native Spark-4 XML source: schema-explicit read of what we
+    wrote, values identical to the parquet original."""
+    from pyspark.sql import types as T
+
+    from hbacker_spark.sources.formats import read_xml, write_xml
+    from hbacker_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation", root_tag="nations")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = read_xml(spark, path, schema, row_tag="nation")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
