@@ -197,3 +197,59 @@ def test_stream_cms_state_foreachbatch_equals_batch_grid(spark, stream_src):
     full = cms_state(spark.read.parquet(stream_src), "user_id")
     assert state["grid"] is not None
     assert sorted(map(tuple, state["grid"].collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_state_store_reader_audits_checkpoint(spark, tmp_path):
+    """Spark-4 statestore/state-metadata readers over a windowed-count
+    checkpoint: the audited state rows ARE the aggregation state
+    (window x type keys with their counts), metadata names the
+    operator, and the skew report accounts for every state row —
+    streaming state is inspectable as a plain batch DataFrame."""
+    from pyspark.sql import functions as F
+
+    from hbacker_spark.streaming.state_reader import (
+        read_state,
+        state_metadata,
+        state_skew_report,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:01:00", 2, "click", 2.0, "{}"),
+            (3, "2024-01-01 10:07:00", 1, "view", 3.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    st = read_state(spark, ckpt)
+    rows = {
+        (r["key"]["window"]["start"].isoformat(), r["key"]["event_type"]): r["value"]["count"]
+        for r in st.collect()
+    }
+    assert rows == {
+        ("2024-01-01T10:00:00", "click"): 2,
+        ("2024-01-01T10:05:00", "view"): 1,
+    }
+    md = state_metadata(spark, ckpt).collect()
+    assert md[0]["operatorName"] == "stateStoreSave" and md[0]["maxBatchId"] >= 0
+    skew = state_skew_report(spark, ckpt)
+    assert sum(r["n_state_rows"] for r in skew.collect()) == 2  # every state row accounted
