@@ -86,3 +86,39 @@ def read_binary_files(
 
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Avro ships as Spark's EXTERNAL module (spark-avro jar) — absent
+    from this distribution, same honesty gate as the HBase connector
+    (sources/hbase.py). A bare Class.forName is NOT enough here: this
+    distribution carries some avro classes (SchemaConverters for the
+    from_avro functions) without the DataSourceRegister service entry,
+    so the probe must ask Spark's own source resolver."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any resolution failure = absent
+        return False
+
+
+def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    if not avro_available(spark):
+        raise RuntimeError(
+            "Avro needs the spark-avro module on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
+            "not shipped in this distribution — see avro_available()"
+        )
+    return spark.read.schema(schema).format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "Avro needs the spark-avro module on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
+            "not shipped in this distribution — see avro_available()"
+        )
+    df.write.mode(mode).format("avro").save(path)

@@ -109,3 +109,25 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     )
     back = read_xml(spark, path, schema, row_tag="nation")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_avro_gates_honestly(spark, sf_dir, tmp_path):
+    """spark-avro is an external module absent here: the gate must say
+    so with a clear error (never a mid-write classloader stack), and
+    round-trip when the jar IS present (gated, like the HBase
+    connector's live path)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    path = str(tmp_path / "nation_avro")
+    if formats.avro_available(spark):
+        formats.write_avro(nation, path)
+        schema = T.StructType(
+            [T.StructField("n_nationkey", T.LongType()), T.StructField("n_name", T.StringType())]
+        )
+        back = formats.read_avro(spark, path, schema)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            formats.write_avro(nation, path)
