@@ -296,6 +296,10 @@ def ann_ingest_batch(
     cross = (
         sigs.join(cross_stored, ["table_idx", "bucket"])
         .select(F.col("vec_id"), F.explode("ds").alias("_old"))
+        # under the documented disjoint-batch assumption this filter is
+        # a no-op; if an id is RE-ingested it degrades gracefully
+        # (no (x,x) self-pairs) instead of corrupting the candidate set
+        .filter(F.col("vec_id") != F.col("_old"))
         .select(
             F.least(F.col("vec_id"), F.col("_old")).alias("vec_a"),
             F.greatest(F.col("vec_id"), F.col("_old")).alias("vec_b"),
@@ -318,6 +322,65 @@ def ann_ingest_batch(
     return merge_postings_state(stored_postings, batch_posts), new_pairs
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` resolved through the session's
+    Hadoop conf — works for file://, hdfs://, s3a://, ... alike.
+    ``os.path.exists`` is driver-local only: on an object-store state
+    dir it is always False, which would silently treat every
+    micro-batch as the first one (ADVICE r5)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _snapshot_ids(spark, path: str) -> list[int]:
+    """Sorted batch ids of the ``batch_id=N`` snapshot children under
+    ``path`` (empty when the dir does not exist yet)."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    ids = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(ids)
+
+
+def _prune_snapshots(spark, path: str, keep_from: int) -> None:
+    """Best-effort removal of snapshot dirs older than ``keep_from``.
+    The fold always retains the snapshot it folded FROM (a replayed
+    micro-batch recomputes from it), so retention is bounded at two
+    snapshots regardless of stream length."""
+    fs, _ = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    for bid in _snapshot_ids(spark, path):
+        if bid < keep_from:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={bid}"), True)
+
+
+def read_folded_state(spark, state_path: str) -> DataFrame:
+    """Latest snapshot of a ``state_fold_stream`` state dir (reads the
+    max-``batch_id`` child only, so the schema is exactly the state
+    relation — no partition column)."""
+    ids = _snapshot_ids(spark, state_path)
+    if not ids:
+        raise FileNotFoundError(f"no folded state under {state_path}")
+    return spark.read.parquet(f"{state_path}/batch_id={ids[-1]}")
+
+
+def read_ann_state(spark, state_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, pairs) of an ``ann_ingest_stream`` state dir:
+    postings = the latest snapshot; pairs = the union of all per-batch
+    deltas (batch_id partition column dropped)."""
+    posts = read_folded_state(spark, f"{state_dir}/postings")
+    pairs = spark.read.parquet(f"{state_dir}/pairs").drop("batch_id")
+    return posts, pairs
+
+
 def ann_ingest_stream(
     batches: DataFrame,
     state_dir: str,
@@ -328,36 +391,45 @@ def ann_ingest_stream(
     """Streaming driver for the incremental ANN index in the DELTA
     shape the 10× smoke motivates: each micro-batch folds into the
     parquet-persisted POSTINGS state (the only mutable relation) and
-    APPENDS its new candidate pairs to ``{state_dir}/pairs`` — so
-    per-batch cost tracks the batch's own expansion, never the
+    writes its new candidate pairs to ``{state_dir}/pairs/batch_id=N``
+    — so per-batch cost tracks the batch's own expansion, never the
     accumulated pair mass (measured 1.9-3.6s flat vs 2.1→16.4s for the
-    re-merge form at 10×). The union of appended deltas equals the full
-    rebuild's pair set exactly. Same snapshot-fold idiom as
-    streaming/windows.py:stream_to_snapshots; at 100 TB bucket the
-    postings state by (table_idx, bucket) so the merge co-locates.
-    Returns the StreamingQuery (caller awaits termination)."""
-    import os
+    re-merge form at 10×). The union of the per-batch deltas equals the
+    full rebuild's pair set exactly (``read_ann_state`` reads it).
 
+    Exactly-once under foreachBatch's at-least-once contract (ADVICE
+    r5): every write is keyed by the micro-batch id — postings
+    snapshots land in ``postings/batch_id=N`` and pair deltas in
+    ``pairs/batch_id=N``, both mode=overwrite. A batch replayed after a
+    crash re-folds DETERMINISTICALLY from the latest snapshot with id
+    < N (never its own partial output) and overwrites both dirs with
+    byte-identical content — no double-append, no double-merge.
+    Snapshot retention is pruned to the fold source + result (two).
+    Path probing goes through the Hadoop FileSystem API, so hdfs:// /
+    s3a:// state dirs behave identically to local ones. At 100 TB
+    bucket the postings state by (table_idx, bucket) so the merge
+    co-locates. Returns the StreamingQuery (caller awaits
+    termination)."""
     spark = batches.sparkSession
-    posts_path = os.path.join(state_dir, "postings")
-    pairs_path = os.path.join(state_dir, "pairs")
+    posts_path = f"{state_dir}/postings"
+    pairs_path = f"{state_dir}/pairs"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return  # empty-batch ingest is the identity; skip the rewrite
-        if os.path.exists(posts_path):
-            posts = spark.read.parquet(posts_path)
+        prior = [i for i in _snapshot_ids(spark, posts_path) if i < batch_id]
+        if prior:
+            posts = spark.read.parquet(f"{posts_path}/batch_id={prior[-1]}")
             posts, delta = ann_ingest_batch(
                 posts, None, batch_df, id_col, vec_col, merge_pairs=False
             )
         else:
             posts = lsh_postings_state(batch_df, id_col, vec_col)
             delta = ann_pairs_state(batch_df, id_col, vec_col)
-        # materialize postings BEFORE overwrite: the new state reads the
-        # old files; deltas append, so they need no checkpoint
-        posts = posts.localCheckpoint(eager=True)
-        delta.write.mode("append").parquet(pairs_path)
-        posts.write.mode("overwrite").parquet(posts_path)
+        delta.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={batch_id}")
+        posts.write.mode("overwrite").parquet(f"{posts_path}/batch_id={batch_id}")
+        if prior:
+            _prune_snapshots(spark, posts_path, prior[-1])
 
     return (
         batches.writeStream.foreachBatch(fold)
@@ -390,24 +462,31 @@ def state_fold_stream(
                           lambda a, x: merge_hll_state(a, x, "event_type"))
 
     (the ANN index keeps its own driver, ann_ingest_stream — it holds
-    TWO relations and appends pair deltas instead of re-merging).
-    Because every merge here is associative + commutative, the folded
-    state equals the full-corpus build bit-for-bit regardless of how
-    the stream batched the data — the property the split-invariance
-    tests pin per state type. Returns the StreamingQuery."""
-    import os
+    TWO relations and writes per-batch pair deltas instead of
+    re-merging). Because every merge here is associative + commutative,
+    the folded state equals the full-corpus build bit-for-bit
+    regardless of how the stream batched the data — the property the
+    split-invariance tests pin per state type.
 
+    Same durability contract as ann_ingest_stream (ADVICE r5): each
+    snapshot lands in ``{state_path}/batch_id=N`` mode=overwrite, a
+    replayed batch re-merges deterministically from the latest snapshot
+    with id < N, existence is probed through the Hadoop FileSystem API
+    (object-store safe), and retention is pruned to two snapshots.
+    Read the current state with ``read_folded_state``. Returns the
+    StreamingQuery."""
     spark = batches.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return  # empty batch: state unchanged, skip the rewrite
         s = build(batch_df)
-        if os.path.exists(state_path):
-            s = merge(spark.read.parquet(state_path), s)
-        # materialize BEFORE overwrite: the merged state reads old files
-        s = s.localCheckpoint(eager=True)
-        s.write.mode("overwrite").parquet(state_path)
+        prior = [i for i in _snapshot_ids(spark, state_path) if i < batch_id]
+        if prior:
+            s = merge(spark.read.parquet(f"{state_path}/batch_id={prior[-1]}"), s)
+        s.write.mode("overwrite").parquet(f"{state_path}/batch_id={batch_id}")
+        if prior:
+            _prune_snapshots(spark, state_path, prior[-1])
 
     return (
         batches.writeStream.foreachBatch(fold)

@@ -42,19 +42,75 @@ engine order and any oracle SQL — Spark defaults ASC to NULLS FIRST
 while DuckDB defaults to NULLS LAST, a silent cross-engine rank skew
 (every current caller sorts non-null keys).
 
-Block lifecycle: the lazy checkpoint pins the range-partitioned
-relation (memory-and-disk) for the lifetime of the session's reference
-to it; it is the result's own lineage root, so it cannot be freed
-mid-query (unlike the superseded per-round blocks the CC loop
-releases). Long-lived sessions re-running rank queries on large inputs
-should unpersist via the SparkContext block manager between runs, or
-accept disk-spilled blocks as the cost of bucket-identity safety.
+Block lifecycle (managed — VERDICT r5 #2): the lazy checkpoint pins
+the range-partitioned relation (memory-and-disk) as the result's own
+lineage root, so it cannot be freed mid-query — but it need not pin
+for the session lifetime either. Every checkpoint this module creates
+is TRACKED; once a rank query's action has completed, call
+``release_rank_blocks(spark)`` (or wrap the consume in
+``rank_scope(spark)``) and the pinned blocks are unpersisted. The
+oracle harness and bench loop call it between queries, so a 100 TB
+session running many rank queries holds at most one query's buckets
+at a time. Releasing BEFORE the consuming action would invalidate the
+checkpoint — release only at query boundaries.
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# (SparkContext id, JavaRDD) of every checkpoint this module pinned and
+# has not yet released. JavaSparkContext.getPersistentRDDs() is the
+# source of truth for what is still held; we keep our own handles so
+# release never touches blocks pinned by OTHER operators (the CC loop's
+# per-round checkpoints manage their own lifecycle).
+_PINNED: list = []
+
+
+def _tracked_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazily localCheckpoint ``df`` and record the persisted RDD it
+    registers, so release_rank_blocks can unpersist exactly these
+    blocks later. The persist registration happens at checkpoint-call
+    time even for eager=False (materialization waits for the first
+    action), so a before/after diff of the persistent-RDD map
+    identifies the new entry."""
+    sc = df.sparkSession.sparkContext
+    jmap_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=False)
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in jmap.keySet().toArray():
+        if rid not in jmap_before:
+            _PINNED.append((id(sc), jmap.get(rid)))
+    return out
+
+
+def release_rank_blocks(spark=None) -> int:
+    """Unpersist every checkpoint block this module pinned; returns the
+    number of relations released. Call AFTER the consuming action (a
+    checkpoint still feeding an un-collected DataFrame must stay); the
+    oracle harness / bench call this at each query boundary."""
+    n = 0
+    while _PINNED:
+        _, jrdd = _PINNED.pop()
+        try:
+            jrdd.unpersist(False)
+            n += 1
+        except Exception:
+            pass  # context already stopped: blocks are gone anyway
+    return n
+
+
+@contextmanager
+def rank_scope(spark=None):
+    """``with rank_scope():`` — consume rank-routed results inside the
+    block; pinned checkpoint blocks are unpersisted on exit."""
+    try:
+        yield
+    finally:
+        release_rank_blocks(spark)
 
 
 def with_global_order(
@@ -78,12 +134,18 @@ def with_global_order(
     """
     sums = sums or []
     spark = df.sparkSession
-    p = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if buckets:
+        p = buckets
+    else:
+        # shuffle.partitions may be a non-integer like "auto" on AQE
+        # platforms (ADVICE r5) — fall back to the cluster's parallelism
+        try:
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            p = spark.sparkContext.defaultParallelism
 
-    part = (
-        df.repartitionByRange(p, *order)
-        .withColumn("_bkt", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    part = _tracked_checkpoint(
+        df.repartitionByRange(p, *order).withColumn("_bkt", F.spark_partition_id())
     )
 
     wl = Window.partitionBy("_bkt").orderBy(*order)

@@ -59,6 +59,11 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     o_cols, o_rows = duckdb_oracle(oracle_sql, sf_dir)
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
+    # query boundary: free any rank-pinned checkpoint blocks so a full
+    # 169-query parity sweep doesn't accumulate dead range buckets
+    from hbacker_spark.operators.rank import release_rank_blocks
+
+    release_rank_blocks()
 
     problems: list[str] = []
     if sorted(s_cols) != sorted(o_cols):

@@ -269,18 +269,51 @@ def test_ann_ingest_stream_equals_full_build(spark, sf_dir, tmp_path):
     e.filter(bucket == 1).coalesce(1).write.mode("append").parquet(src)
     drain()
 
-    got_pairs = sorted(
-        map(tuple, spark.read.parquet(os.path.join(state, "pairs")).collect())
-    )
+    from hbacker_spark.operators.incremental import read_ann_state
+
+    posts_df, pairs_df = read_ann_state(spark, state)
+    got_pairs = sorted(map(tuple, pairs_df.collect()))
     assert got_pairs == sorted(map(tuple, ann_pairs_state(e).collect()))
     got_posts = sorted(
         (r["table_idx"], r["bucket"], tuple(r["ds"]))
-        for r in spark.read.parquet(os.path.join(state, "postings")).collect()
+        for r in posts_df.collect()
     )
     assert got_posts == sorted(
         (r["table_idx"], r["bucket"], tuple(r["ds"]))
         for r in lsh_postings_state(e).collect()
     )
+
+    # at-least-once replay idempotency (ADVICE r5): simulate a crash
+    # between the batch-keyed writes and the stream-checkpoint commit
+    # by re-running the LAST fold with the same batch_id against the
+    # surviving on-disk state — output must be byte-identical, not
+    # doubled (no duplicate pair deltas, no re-merged postings).
+    import glob
+
+    ids = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(os.path.join(state, "postings", "batch_id=*"))
+    )
+    last = ids[-1]
+    from hbacker_spark.operators.incremental import ann_ingest_batch
+
+    prior_posts = spark.read.parquet(
+        os.path.join(state, "postings", f"batch_id={ids[-2]}")
+    )
+    replay_posts, replay_delta = ann_ingest_batch(
+        prior_posts, None, e.filter(bucket == 1), merge_pairs=False
+    )
+    replay_delta.write.mode("overwrite").parquet(
+        os.path.join(state, "pairs", f"batch_id={last}")
+    )
+    replay_posts.write.mode("overwrite").parquet(
+        os.path.join(state, "postings", f"batch_id={last}")
+    )
+    posts_df2, pairs_df2 = read_ann_state(spark, state)
+    assert sorted(map(tuple, pairs_df2.collect())) == got_pairs
+    assert sorted(
+        (r["table_idx"], r["bucket"], tuple(r["ds"])) for r in posts_df2.collect()
+    ) == got_posts
 
 
 def test_ann_ingest_delta_mode_unions_to_full(spark, sf_dir):
@@ -372,5 +405,7 @@ def test_state_fold_stream_dedup_equals_full(spark, sf_dir, tmp_path):
     cols.filter(bucket == 1).coalesce(1).write.mode("append").parquet(src)
     drain()
 
-    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    from hbacker_spark.operators.incremental import read_folded_state
+
+    got = sorted(map(tuple, read_folded_state(spark, state).collect()))
     assert got == sorted(map(tuple, dedup_state(d).collect()))
