@@ -64,16 +64,24 @@ def _try_real_decoder():
 
 
 def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """DETERMINISTIC FAKE decode→features: SHA-256 of the bytes expanded
-    to `dim` floats in [0,1). Stands in for decode+embed where no media
-    library exists; also the fallback for bytes a real decoder rejects,
-    so one corrupt blob never fails a 100 TB pipeline stage."""
+    """DETERMINISTIC FAKE decode→features: an md5-HEX digest chain of
+    the bytes expanded to `dim` floats in [0,1) — byte k of the chain
+    divided by 256. Stands in for decode+embed where no media library
+    exists; also the fallback for bytes a real decoder rejects, so one
+    corrupt blob never fails a 100 TB pipeline stage.
+
+    md5-hex chaining (h0 = md5(bytes), h_{k+1} = md5(hex(h_k)); VERDICT
+    r5 #1b) instead of binary sha256 so the chain is rebuildable in
+    ANSI SQL (DuckDB's hash functions return hex VARCHAR, so only
+    hex-string chains can round-trip) — multimodal_features is oracled
+    on the strength of this. At the default dim=16 one digest suffices
+    and the chain never iterates."""
     out: list[float] = []
-    h = hashlib.sha256(content or b"")
-    buf = b""
+    h = hashlib.md5(content or b"").hexdigest()
     while len(out) < dim:
-        buf = hashlib.sha256(buf + h.digest()).digest()
-        out.extend(b / 256.0 for b in buf[: dim - len(out)])
+        take = min(16, dim - len(out))
+        out.extend(int(h[2 * i : 2 * i + 2], 16) / 256.0 for i in range(take))
+        h = hashlib.md5(h.encode()).hexdigest()
     return out
 
 
@@ -157,7 +165,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             content = [
-                hashlib.sha256((c or b"") + f"|resize|{width}x{height}".encode()).digest()
+                hashlib.md5((c or b"") + f"|resize|{width}x{height}".encode()).digest()
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(
@@ -203,8 +211,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
+            # md5-HEX frame digests (not binary sha256) so the fake
+            # decode is SQL-rebuildable — see _fake_decode's rationale
             frame = [
-                hashlib.sha256((c or b"") + f"|frame|{i}".encode()).digest()
+                hashlib.md5((c or b"") + f"|frame|{i}".encode()).hexdigest()
                 for c, i in zip(pdf["content"], pdf["frame_idx"])
             ]
             yield pd.DataFrame(
@@ -216,4 +226,4 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
                 }
             )
 
-    return frames.mapInPandas(batches, schema="media_id long, frame_idx int, frame_ts_ms long, frame binary")
+    return frames.mapInPandas(batches, schema="media_id long, frame_idx int, frame_ts_ms long, frame string")

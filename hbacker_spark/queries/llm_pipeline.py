@@ -406,10 +406,15 @@ def bigram_cond_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_candidates",
-    oracle=None,  # murmur3/xxhash64 signatures are Spark-specific → rows-only
+    oracle=D.sql_lsh_candidate_pairs(),
     tags=("dedup", "llm", "lsh"),
     doc="MinHash(16)+LSH(4x4) candidate pairs — the sub-quadratic scale "
-    "path for near-dup at 100 TB (signature scan + bucket join).",
+    "path for near-dup at 100 TB (signature scan + bucket join). FULLY "
+    "oracled since r6: signatures are md5-derived (min over shingles of "
+    "conv(substr(md5(seed:shingle),1,8))) and band digests are md5 of "
+    "the comma-joined slice, so DuckDB rebuilds the identical signature "
+    "matrix and candidate PAIR SET — the r5 rows-only status was hash "
+    "plumbing (murmur3), not semantics.",
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen(load_table(spark, sf_dir, "documents"))
@@ -418,9 +423,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_fingerprints",
-    oracle=None,  # xxhash64-based bits are Spark-specific → rows-only
+    oracle=D.sql_simhash_table(),
     tags=("dedup", "llm"),
-    doc="64-bit SimHash per doc (sign-sum of shingle-hash bits).",
+    doc="64-bit SimHash per doc (sign-sum of shingle-hash bits) as a "
+    "16-nibble hex digest. FULLY oracled since r6: bit votes come from "
+    "the nibbles of md5(shingle) instead of xxhash64, so DuckDB "
+    "rebuilds the identical fingerprint string per doc.",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen(load_table(spark, sf_dir, "documents"))
@@ -484,12 +492,35 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_resolution",
-    oracle=None,  # iterative label propagation — the genuinely
-    # non-SQL-expressible class; keeper-min determinism tested in pytest
+    oracle=f"""
+    WITH RECURSIVE
+    prs AS (
+      SELECT doc_a AS va, doc_b AS vb FROM ({D.sql_lsh_candidate_pairs()})
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM prs
+      UNION
+      SELECT vb AS u, va AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id,
+           min(v) AS keeper_id,
+           (min(v) = u) AS is_keeper
+    FROM reach
+    GROUP BY u
+    """,
     tags=("dedup", "llm", "iterative"),
     doc="End-to-end dedup resolution: MinHash-LSH candidate pairs → "
     "connected components (pointer-doubling label propagation, O(log n) "
-    "rounds) → every doc mapped to its cluster's min-id keeper.",
+    "rounds) → every doc mapped to its cluster's min-id keeper. FULLY "
+    "oracled since r6 (followed the md5 LSH rewrite for free): the "
+    "oracle rebuilds the identical pair set, then expresses the same "
+    "CC fixpoint as a DuckDB recursive CTE (transitive closure + "
+    "min-reachable), the pattern proven on embedding_dedup_clusters.",
 )
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.clustering import dedup_clusters
@@ -2008,28 +2039,66 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_QS = (0.25, 0.5, 0.75, 0.95)
+APPROX_PCT_ACC = 10000  # GK accuracy parameter → rank error <= n/ACC
+
+
 @register(
     "approx_percentile_totalprice",
-    oracle=None,  # sketch-based (GK/KLL-style) quantiles are engine-specific → rows-only
+    oracle=f"""
+    SELECT p.o_orderpriority, q.q AS quantile, TRUE AS within_bound
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+    CROSS JOIN (VALUES {", ".join(f"({q})" for q in APPROX_PCT_QS)}) AS q(q)
+    """,
     tags=("aggregation", "sketch", "approx"),
     doc="Approximate quantiles of order totals per order-priority via "
     "approx_percentile (Greenwald-Khanna sketch, mergeable across "
     "partitions — the 100 TB path where exact percentile's full sort "
-    "is unpayable; accuracy 1/10000). Exact twin: "
-    "percentile_totalprice (oracled). Rows-only by design: sketch "
-    "internals differ across engines.",
+    "is unpayable; accuracy 1/10000). ORACLED since r6 in error-band "
+    "form (VERDICT r5 #1c): sketch internals differ across engines, "
+    "but the GK CONTRACT — the returned value's rank is within "
+    "n/accuracy of q*n — is engine-checkable. The query emits "
+    "(priority, quantile, within_bound) where within_bound compares "
+    "the approx value's true rank interval [cnt_lt+1, cnt_le] against "
+    "[q*n - n/acc - 1, q*n + n/acc + 1]; the oracle states the "
+    "contract (all TRUE), so a sketch violating its bound hash-"
+    "mismatches. The exact twin percentile_totalprice pins the values "
+    "themselves. Cost: one orders scan for the sketch + one for the "
+    "rank check joined against the 20-row broadcast approx relation.",
 )
 def approx_percentile_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    pcts = F.expr(
-        "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95), 10000)"
-    ).alias("pcts")
-    return o.groupBy("o_orderpriority").agg(pcts).select(
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    qs_arr = ", ".join(str(q) for q in APPROX_PCT_QS)
+    pcts = o.groupBy("o_orderpriority").agg(
+        F.expr(f"approx_percentile(o_totalprice, array({qs_arr}), {APPROX_PCT_ACC})").alias("pcts")
+    )
+    approx = pcts.select(
         "o_orderpriority",
-        F.col("pcts")[0].alias("p25"),
-        F.col("pcts")[1].alias("p50"),
-        F.col("pcts")[2].alias("p75"),
-        F.col("pcts")[3].alias("p95"),
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q).cast("double") for q in APPROX_PCT_QS]).alias("q"),
+                F.col("pcts").alias("v"),
+            )
+        ).alias("z"),
+    ).select("o_orderpriority", F.col("z.q").alias("quantile"), F.col("z.v").alias("v"))
+    checked = (
+        o.join(F.broadcast(approx), "o_orderpriority")
+        .groupBy("o_orderpriority", "quantile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("v"), 1).otherwise(0)).alias("cnt_le"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("v"), 1).otherwise(0)).alias("cnt_lt"),
+        )
+    )
+    eps = F.col("n") / APPROX_PCT_ACC
+    target = F.col("quantile") * F.col("n")
+    return checked.select(
+        "o_orderpriority",
+        "quantile",
+        (
+            (F.col("cnt_le") >= target - eps - 1)
+            & (F.col("cnt_lt") <= target + eps + 1)
+        ).alias("within_bound"),
     )
 
 

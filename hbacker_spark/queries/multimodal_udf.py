@@ -117,20 +117,44 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # deterministic-fake decode is engine-internal → rows-only
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, g.i AS i,
+             CAST(('0x' || substr(md5(text), 2 * g.i + 1, 2)) AS BIGINT) AS byte
+      FROM documents CROSS JOIN generate_series(0, {MM.FEATURE_DIM - 1}) AS g(i)
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST({MM.FEATURE_DIM} AS INT) AS dim,
+           string_agg(CAST(byte AS VARCHAR), ',' ORDER BY i) AS feature_fp
+    FROM b
+    GROUP BY doc_id
+    """,
     tags=("multimodal", "udf"),
     doc="Decode+embed every media row via Arrow-batched mapInPandas "
-    "(deterministic fake decoder standing in for PIL/ffmpeg). The "
-    "declared query projects a canonicalizable fingerprint of the "
-    "feature vector (raw array<float> columns break the driver's "
-    "rows-only pandas canonicalization — unhashable list); the raw "
-    "array stays on the MM.extract_features API.",
+    "(deterministic fake decoder standing in for PIL/ffmpeg). FULLY "
+    "oracled since r6: the fake decode is an md5-HEX digest chain "
+    "(byte k of md5(content) / 256), so DuckDB rebuilds the identical "
+    "feature bytes; the declared query projects the per-position byte "
+    "fingerprint (features*256 — exact in float32, integer-formatted so "
+    "no cross-engine float-printing hazard). The raw array<float> "
+    "stays on the MM.extract_features API; with a real decoder "
+    "(SPARK_GRAFT_REAL_DECODE=pil) this query intentionally leaves the "
+    "oracle's domain.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
     feats = MM.extract_features(media)
+    # features are exact multiples of 1/256, so *256 recovers the chain
+    # byte exactly in float32 — integer strings, no float formatting
     fingerprint = F.concat_ws(
-        ",", F.transform(F.col("features"), lambda v: F.round(v.cast("double"), 6).cast("string"))
+        ",",
+        F.transform(
+            F.col("features"),
+            lambda v: F.round(v.cast("double") * 256).cast("bigint").cast("string"),
+        ),
     )
     return feats.select(
         "media_id",
@@ -142,10 +166,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # frame bytes are decoder-internal → rows-only
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id, text, n_chars * 40 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, text,
+             unnest(generate_series(0,
+               CAST(floor(LEAST(duration_ms / 1000.0, 3)) AS BIGINT))) AS frame_idx
+      FROM v
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(text || '|frame|' || CAST(frame_idx AS VARCHAR)) AS frame
+    FROM f
+    """,
     tags=("multimodal", "udf"),
     doc="Video frame sampling: bounded JVM-side explode per video, frame "
-    "decode in Arrow batches; returns (media_id, frame_idx, ts, frame).",
+    "decode in Arrow batches; returns (media_id, frame_idx, ts, frame). "
+    "FULLY oracled since r6: frame digests are md5-hex of "
+    "content|frame|idx, rebuilt verbatim by DuckDB over the same "
+    "bounded explode (stride 1000 ms, max 4 frames).",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))

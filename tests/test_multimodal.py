@@ -112,7 +112,8 @@ def test_frame_sampling_bounded_fanout(spark, sf_dir):
     # frame timestamps follow the stride
     bad = frames.filter(F.col("frame_ts_ms") != F.col("frame_idx") * 1000).count()
     assert bad == 0
-    # deterministic frame bytes
-    a = sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect())
-    b = sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect())
+    # deterministic frame digests (md5-hex strings since r6)
+    a = sorted((r["media_id"], r["frame_idx"], r["frame"]) for r in frames.collect())
+    b = sorted((r["media_id"], r["frame_idx"], r["frame"]) for r in frames.collect())
     assert a == b
+    assert all(len(f) == 32 for _, _, f in a)
