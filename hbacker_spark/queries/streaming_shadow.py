@@ -218,3 +218,66 @@ def stream_join_attribution_shadow(spark: SparkSession, sf_dir: str) -> DataFram
         e.filter(F.col("event_type") == "click"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "streaming_state_audit",
+    oracle=None,  # statestore rows depend on the engine's watermark
+    # eviction timing and checkpoint layout → rows-only; the audited
+    # counts are pinned exactly in tests/test_streaming.py
+    tags=("streaming", "state", "observability"),
+    doc="Driver-visible state-store audit (VERDICT r5 #7): runs a "
+    "bounded windowed-count stream over the events table (availableNow "
+    "+ watermark) into a throwaway checkpoint, then reads that "
+    "checkpoint back through the Spark-4 statestore/state-metadata "
+    "batch readers and reports per-operator state volume — operator "
+    "name, state rows, distinct keys and windows. This is the 100 TB "
+    "operational story ('why is this checkpoint 2 TB') exercised "
+    "end-to-end as a registered query, the way ann_bucket_stats makes "
+    "cap accounting driver-checkable. The audit scans only checkpoint "
+    "files — never the stream's input — so on a real deployment it is "
+    "O(state), not O(data).",
+)
+def streaming_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hbacker_spark.sources.tables import table_path
+    from hbacker_spark.streaming.state_reader import read_state, state_metadata
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    ckpt = tempfile.mkdtemp(prefix="hbacker_state_audit_")
+    # FileStreamSource insists its basePath is a DIRECTORY; the
+    # testdata table is a single parquet file, so address it through a
+    # glob (the non-glob prefix — sf_dir — becomes the basePath)
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    # watermarks require TIMESTAMP; the testdata surfaces TIMESTAMP_NTZ
+    # (nanos parquet — see .claude verify notes), so reinterpret as UTC
+    agg = (
+        stream.withColumn("ts", F.to_timestamp(F.col("ts").cast("string")))
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    st = read_state(spark, ckpt).select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("key.window.start").alias("win_start"),
+    )
+    audit = st.agg(
+        F.count(F.lit(1)).alias("n_state_rows"),
+        F.countDistinct("event_type").alias("n_distinct_keys"),
+        F.countDistinct("win_start").alias("n_windows"),
+    )
+    meta = state_metadata(spark, ckpt).select(
+        F.col("operatorName").alias("operator_name"),
+        F.col("operatorId").cast("long").alias("operator_id"),
+    ).limit(1)
+    return meta.crossJoin(audit)

@@ -253,3 +253,22 @@ def test_state_store_reader_audits_checkpoint(spark, tmp_path):
     assert md[0]["operatorName"] == "stateStoreSave" and md[0]["maxBatchId"] >= 0
     skew = state_skew_report(spark, ckpt)
     assert sum(r["n_state_rows"] for r in skew.collect()) == 2  # every state row accounted
+
+
+def test_streaming_state_audit_query(spark, sf_dir):
+    """The registered state-audit query (VERDICT r5 #7): the audited
+    checkpoint state is exactly the un-evicted tail of the windowed
+    count — 5 event types x the day-windows still above the 1-day
+    watermark — proving eviction worked AND the statestore reader sees
+    the true remaining state."""
+    from hbacker_spark.registry import load_all_queries
+
+    row = load_all_queries()["streaming_state_audit"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["operator_name"] == "stateStoreSave"
+    assert r["n_distinct_keys"] == 5
+    # 30 days of events, 1-day watermark: only the final windows keep
+    # state; every older window was evicted by the watermark
+    assert 1 <= r["n_windows"] <= 3
+    assert r["n_state_rows"] == r["n_distinct_keys"] * r["n_windows"]
