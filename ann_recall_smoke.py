@@ -1,0 +1,93 @@
+"""ANN recall@10 at 10× scale — self-asserting smoke (VERDICT r5 #5).
+
+The recall floors in tests/test_similarity_util.py are pinned at test
+scale (sf0.001/0.01); at 10× sf0.1 the bucket geometry changes — LSH
+buckets get denser (more candidates, recall should hold or rise), IVF
+lists get longer (same nprobe fraction, recall should hold). This smoke
+MEASURES recall@10 for ann_topk (LSH) and ivf_topk (trained IVF)
+against the exact cosine kernel over the 10× corpus
+(.scale_smoke/x10, 20k vectors — run scale_smoke_gen.py first), and
+asserts the floors recorded in SCALE_NOTES.md so a geometry regression
+fails loudly instead of silently shipping recall loss.
+
+Method: 8 deterministic query ids spread across replicas (so both
+within-replica structure and cross-replica decorrelated vectors are
+probed); exact top-10 = brute-force cosine (round 6dp, id tiebreak —
+the same ranking rule the oracled knn query pins); recall@10 = mean
+|ANN∩exact|/10. Random-ish data is ANN's WORST case (no cluster
+structure to exploit) — production corpora with real near-dup mass sit
+above these floors.
+
+Usage: python ann_recall_smoke.py  (prints one JSON receipt line)
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from hbacker_spark.functions.similarity import cosine
+from hbacker_spark.operators.similarity import ann_topk, ivf_topk
+from hbacker_spark.session import get_spark
+
+X10 = "/root/repo/.scale_smoke/x10"
+K = 10
+N_QUERIES = 8
+# floors: measured r6 mean recall (LSH 0.50, IVF 0.65 — see
+# SCALE_NOTES) minus headroom for run-to-run variance in the query
+# draw — regression bars, not aspirations
+LSH_FLOOR = 0.3
+IVF_FLOOR = 0.4
+
+
+def exact_topk(spark, e, qvec, k=K):
+    q = spark.createDataFrame([(qvec,)], "q_emb array<float>")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def main():
+    spark = get_spark("ann_recall_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    e = spark.read.parquet(f"{X10}/embeddings.parquet").cache()
+    n = e.count()
+    qids = sorted({(i * 2503) % n for i in range(N_QUERIES)})
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.filter(F.col("vec_id").isin(qids)).collect()
+    }
+
+    lsh_r, ivf_r = [], []
+    t0 = time.perf_counter()
+    for qid in qids:
+        qv = qvecs[qid]
+        exact = {r["vec_id"] for r in exact_topk(spark, e, qv).collect()}
+        lsh = {r["vec_id"] for r in ann_topk(spark, e, qv, k=K).collect()}
+        ivf = {r["vec_id"] for r in ivf_topk(spark, e, qv, k=K).collect()}
+        lsh_r.append(len(lsh & exact) / K)
+        ivf_r.append(len(ivf & exact) / K)
+    wall = round(time.perf_counter() - t0, 1)
+
+    receipt = {
+        "smoke": "ann_recall_x10",
+        "n_vectors": n,
+        "n_queries": len(qids),
+        "recall10_lsh": round(sum(lsh_r) / len(lsh_r), 3),
+        "recall10_ivf": round(sum(ivf_r) / len(ivf_r), 3),
+        "lsh_per_query": lsh_r,
+        "ivf_per_query": ivf_r,
+        "wall_sec": wall,
+    }
+    print(json.dumps(receipt))
+    assert receipt["recall10_lsh"] >= LSH_FLOOR, receipt
+    assert receipt["recall10_ivf"] >= IVF_FLOOR, receipt
+
+
+if __name__ == "__main__":
+    main()
