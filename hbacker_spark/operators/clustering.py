@@ -84,16 +84,24 @@ def connected_components(
         .select("_e.u", "_e.v")
         .distinct()
     )
-    labels = ckpt(
+    # Convergence probe: per-node labels only ever DECREASE, so the sum
+    # of all labels is strictly monotonic until the fixpoint — one
+    # scalar per round. The probe rides the CHECKPOINT's own job as an
+    # Observation (CollectMetrics fills when the materializing job
+    # completes), so each cycle is exactly ONE job — r6: previously a
+    # separate 1-row agg job per cycle, i.e. 2 jobs/cycle.
+    from pyspark.sql import Observation
+
+    def ckpt_sum(df: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        out = ckpt(df.observe(obs, F.sum("component").alias("s")))
+        return out, obs.get["s"]
+
+    labels, prev_sum = ckpt_sum(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    # Convergence probe: per-node labels only ever DECREASE, so the sum
-    # of all labels is strictly monotonic until the fixpoint — comparing
-    # one scalar per round replaces a join-and-count job (integer-exact,
-    # and each round is exactly 2 jobs: materialize + 1-row agg).
-    prev_sum = labels.agg(F.sum("component")).first()[0]
 
     def step(lbl: DataFrame) -> DataFrame:
         # propagate: each node adopts the min component among itself and

@@ -735,7 +735,13 @@ def ann_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # same membership domain as the oracled exact twin: embedded docs
+    # only (see semantic_keeper_by_quality — r6 sf0.1 sweep finding)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .join(e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi")
+    )
     pairs = _ann_rescored_pairs(e).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -1543,13 +1549,21 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster (n_chars, ties to min doc_id) instead of min-id — what "
     "production pipelines actually keep. One max_by aggregate per "
     "component + a membership join; the oracle proves the full "
-    "fixpoint + argmax chain against a recursive CTE. Embeddings and "
-    "documents share the id space (TESTDATA.md), making this the "
-    "cross-table join showcase for the dedup family.",
+    "fixpoint + argmax chain against a recursive CTE. Membership is "
+    "the EMBEDDED docs (semi-join on vec_id): a doc with no embedding "
+    "cannot participate in semantic dedup, so it gets no row — the "
+    "r6 sf0.1 parity sweep caught the earlier all-documents form "
+    "silently emitting singleton clusters for the 3000 unembedded "
+    "docs at 10x scale (doc/embedding counts coincide below sf0.1, so "
+    "the sf0.01 gate could not see it).",
 )
 def semantic_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .join(e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi")
+    )
     pairs = S.brute_force_pair_cosines(spark, e, threshold=NEAR_DUP_COS, dim=EMB_DIM).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
