@@ -334,6 +334,9 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     "tfidf_top_terms",
     "weighted_sample_pps",  # 1-row corpus-total aggregate broadcast
     "embedding_int8_quantize",  # 1-row per-dim min/max calibration broadcast
+    # crossJoin of two literally-one-row relations: the limit(1)
+    # state-metadata row x the global audit aggregate
+    "streaming_state_audit",
     # aggregate-sized, not single-row: both inputs of the pair join are
     # per-event_type groupBy results, so the nested loop is bounded by
     # group cardinality² (types²), never by data volume
