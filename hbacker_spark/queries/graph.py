@@ -473,23 +473,29 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_e.u", "_e.v")
         .localCheckpoint(eager=True)
     )
-    # ONE materialization per peel round: keep is left lazy (recomputed
-    # inside both semi-joins of the same job — two aggregations over
-    # the already-materialized edge set, cheaper than a second eager
-    # checkpoint + count job per round), and convergence probes the
-    # just-materialized edge count, which is free. Edge-count fixpoint
-    # ⟺ node fixpoint: every peeled node removes at least one edge.
+    # ONE job per peel round (r6): keep is left lazy (recomputed inside
+    # both semi-joins of the same job — two aggregations over the
+    # already-materialized edge set, cheaper than a second eager
+    # checkpoint + count job per round), and the convergence probe —
+    # the surviving edge count — rides the CHECKPOINT's own job as an
+    # Observation instead of a separate count() job (same move as the
+    # CC loop's label-sum probe). Edge-count fixpoint ⟺ node fixpoint:
+    # every peeled node removes at least one edge.
+    from pyspark.sql import Observation
+
     prev_edges = -1
     for _ in range(KCORE_MAX_ROUNDS):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= KCORE_K).select("u")
+        obs = Observation()
         edges = (
             edges.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .select("u", "v")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_edges = edges.count()
+        n_edges = obs.get["n"]
         if n_edges == prev_edges:
             break
         prev_edges = n_edges
