@@ -409,3 +409,39 @@ def test_state_fold_stream_dedup_equals_full(spark, sf_dir, tmp_path):
 
     got = sorted(map(tuple, read_folded_state(spark, state).collect()))
     assert got == sorted(map(tuple, dedup_state(d).collect()))
+
+
+def test_state_fold_stream_with_uri_state_dir(spark, sf_dir, tmp_path):
+    """The r6 durability fix routes state-dir probing through the
+    Hadoop FileSystem API; a scheme-qualified URI (file://...) stands
+    in for hdfs://s3a:// here — under the old os.path.exists probing
+    a URI state dir made every batch think it was the first one
+    (silently wrong state); now it folds correctly."""
+    from hbacker_spark.operators.incremental import (
+        dedup_state,
+        merge_dedup_state,
+        read_folded_state,
+        state_fold_stream,
+    )
+    from hbacker_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(23)), F.lit(2))
+    src = str(tmp_path / "src")
+    state = f"file://{tmp_path}/uri_state"
+    ckpt = str(tmp_path / "ckpt")
+    cols = d.select("doc_id", "text")
+    schema = cols.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = state_fold_stream(stream, state, ckpt, dedup_state, merge_dedup_state)
+        q.awaitTermination()
+
+    cols.filter(bucket == 0).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    cols.filter(bucket == 1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = sorted(map(tuple, read_folded_state(spark, state).collect()))
+    assert got == sorted(map(tuple, dedup_state(d).collect()))
