@@ -566,15 +566,36 @@ def count_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches differ across engines — driver records rows-only
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rel_err
+    FROM events GROUP BY event_type
+    """,
     tags=("aggregation", "approx"),
-    doc="approx_count_distinct (HLL++): the 100TB-scale path for distincts.",
+    doc="approx_count_distinct (HLL++, rsd=0.02): the 100TB-scale path "
+    "for distincts. ORACLED since r6 in error-band form (the pattern "
+    "approx_percentile_totalprice established): HLL++ registers are "
+    "engine-specific, but the ESTIMATOR CONTRACT — relative error "
+    "within 2.5x the configured rsd — is engine-checkable, so the "
+    "query emits (event_type, exact_users, within_rel_err) and the "
+    "oracle states the contract; a sketch drifting past its bound "
+    "hash-mismatches. Production callers drop the exact twin column "
+    "and keep the one-pass estimate.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_rel_err"),
     )
 
 
@@ -2572,9 +2593,15 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_distinct_users",
-    oracle=None,  # Apache DataSketches HLL binary sketches are
-    # engine-specific; accuracy + merge-consistency pinned in
-    # tests/test_sampling.py
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rel_err
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_rel_err
+    FROM events
+    """,
     tags=("aggregation", "approx", "sketch"),
     doc="Mergeable-sketch distinct counting: per event_type an Apache "
     "DataSketches HLL sketch of user_id (hll_sketch_agg), plus an "
@@ -2586,7 +2613,12 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to any coarser grouping WITHOUT rescanning the facts (the exact "
     "count_distinct twin, salted_event_type_stats, must re-shuffle "
     "raw pairs per grouping). lgConfigK=12 default => ~2.3% rel. "
-    "error; accuracy vs exact pinned in tests.",
+    "error. ORACLED since r6 in error-band form: DataSketches "
+    "binaries are engine-specific, but the estimator contract (5% "
+    "relative bound, covering BOTH the per-type estimates AND the "
+    "rolled-up union estimate vs the true GLOBAL distinct) is "
+    "engine-checkable — a union that lost registers or double-merged "
+    "would blow the '__all__' bound and hash-mismatch.",
 )
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -2599,7 +2631,22 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"),
         F.hll_sketch_estimate("_sk").cast("bigint").alias("approx_users"),
     )
-    return per_type.unionByName(rollup).orderBy("event_type")
+    approx = per_type.unionByName(rollup)
+    exact_per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_all = e.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("__all__").alias("event_type"), "exact_users")
+    exact = exact_per.unionByName(exact_all)
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_rel_err"),
+    )
 
 
 @register(
@@ -2749,9 +2796,15 @@ def dq_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_audience_overlap",
-    oracle=None,  # DataSketches binaries are engine-specific → rows-only;
-    # estimate accuracy vs the exact intersection is pinned in
-    # tests/test_sampling.py::test_hll_audience_overlap_accuracy
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS exact_common_users,
+           TRUE AS within_err
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
     tags=("aggregation", "approx", "sketch", "join"),
     doc="Sketch set algebra: estimated size of the USER-audience "
     "intersection for every event-type pair via inclusion-exclusion "
@@ -2763,9 +2816,13 @@ def dq_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-type sketches (kilobytes), so at 100 TB audience-overlap "
     "matrices come from sketch state, not fact rescans. Estimates are "
     "deterministic (same hashing, same registers) but "
-    "difference-of-estimates noise grows for small intersections — "
-    "the accuracy pytest bounds relative error on the testdata "
-    "distribution.",
+    "difference-of-estimates noise grows for small intersections. "
+    "ORACLED since r6 in error-band form: the query emits "
+    "(type_a, type_b, exact_common_users, within_err) where the "
+    "bound is the one the accuracy pytest established — "
+    "|est − exact| ≤ max(10% · exact, 25) — and the oracle states "
+    "the contract; production callers keep the sketch-only estimate "
+    "column and skip the exact verification join.",
 )
 def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -2773,7 +2830,7 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = per.select(F.col("event_type").alias("type_a"), F.col("_sk").alias("_ska"))
     b = per.select(F.col("event_type").alias("type_b"), F.col("_sk").alias("_skb"))
     est = F.hll_sketch_estimate
-    return (
+    approx = (
         a.join(b, F.col("type_a") < F.col("type_b"))
         .select(
             "type_a",
@@ -2782,6 +2839,24 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 est("_ska") + est("_skb") - est(F.hll_union("_ska", "_skb"))
             ).cast("bigint").alias("approx_common_users"),
         )
+    )
+    tu = e.select("event_type", "user_id").distinct()
+    ta = tu.toDF("type_a", "user_id")
+    tb = tu.toDF("type_b", "user_id")
+    exact = (
+        ta.join(tb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_common_users"))
+    )
+    return approx.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_common_users",
+        (
+            F.abs(F.col("approx_common_users") - F.col("exact_common_users"))
+            <= F.greatest(0.10 * F.col("exact_common_users"), F.lit(25.0))
+        ).alias("within_err"),
     )
 
 

