@@ -35,7 +35,8 @@ from hbacker_spark.session import get_spark
 X10 = "/root/repo/.scale_smoke/x10"
 K = 10
 N_QUERIES = 8
-# floors: measured r6 mean recall (LSH 0.50, IVF 0.65 — see
+# floors: measured r6 mean recall (LSH 0.537 with the md5-integer
+# hyperplanes, 0.50 with the earlier Gaussian draw; IVF 0.65 — see
 # SCALE_NOTES) minus headroom for run-to-run variance in the query
 # draw — regression bars, not aspirations
 LSH_FLOOR = 0.3

@@ -8,12 +8,25 @@ ever scored exactly:
   signatures (one numpy pass, Arrow-batched) → bucket join / bucket
   filter → exact rerank of candidates only.
 
-Determinism: hyperplanes derive from a fixed seed; signatures are pure
-functions of (vector, seed) so repeated runs and the oracle-free driver
-check see identical buckets.
+Determinism AND portability (r6): hyperplane components are md5-derived
+INTEGERS (``md5int(seed:t:p:k) − 2³¹``, uniform in [−2³¹, 2³¹)) and the
+sign test runs on floor-quantized vector components
+(``floor(v·2²⁰)`` — exact: float32→float64 is lossless and 2²⁰ is a
+power of two), so every signature is pure INT64 arithmetic — no float
+summation order anywhere. That makes bucket assignments not just
+run-stable but ENGINE-portable: DuckDB rebuilds the identical bucket
+table from the same md5 construction, which is what moved the whole
+LSH candidate family from rows-only to fully oracled (same playbook as
+the cms_heavy_hitters md5 grid). LSH quality is unaffected — random
+hyperplanes need only a symmetric direction distribution, and the
+2⁻²⁰ quantization error is orders below the data scale (recall floors
+re-measured in ann_recall_smoke.py). numpy int64 matmul keeps the
+signature pass vectorized.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -22,11 +35,29 @@ from pyspark.sql import functions as F
 DEFAULT_PLANES = 6  # bits per table
 DEFAULT_TABLES = 8
 SEED = 42
+QUANT = 1 << 20  # vector quantization scale (exact power of two)
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = SEED) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_tables, n_planes, dim))
+    """(n_tables, n_planes, dim) INT64 hyperplanes from md5 — the
+    portable construction DuckDB mirrors cell-for-cell (sql_lsh_sig).
+    Overflow headroom: |component| < 2³¹, |quantized v| ≲ 2²⁴, dim 64
+    → |dot| < 2⁶¹ — safely inside int64."""
+    flat = np.empty(n_tables * n_planes * dim, dtype=np.int64)
+    i = 0
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for k in range(dim):
+                hx = hashlib.md5(f"{seed}:{t}:{p}:{k}".encode()).hexdigest()
+                flat[i] = int(hx[:8], 16) - 2147483648
+                i += 1
+    return flat.reshape(n_tables, n_planes, dim)
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """floor(v · 2²⁰) as int64 — bit-identical to the SQL mirror
+    ``CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)``."""
+    return np.floor(m.astype("float64") * QUANT).astype(np.int64)
 
 
 def lsh_signatures(
@@ -52,13 +83,13 @@ def lsh_signatures(
         for pdf in it:
             if not len(pdf):
                 continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            m = _quantize(np.stack(pdf[vec_col].to_numpy()))
             if planes is None:
                 planes = _hyperplanes(m.shape[1], n_planes, n_tables, seed)
             ids = pdf[id_col].to_numpy()
             weights = 1 << np.arange(n_planes)
             for t in range(n_tables):
-                signs = (m @ planes[t].T) > 0  # (n, n_planes)
+                signs = (m @ planes[t].T) > 0  # (n, n_planes), exact int64 dots
                 buckets = (signs * weights).sum(axis=1)
                 yield pd.DataFrame({"vec_id": ids, "table_idx": t, "bucket": buckets})
 
@@ -97,7 +128,7 @@ def ann_topk(
 
     from hbacker_spark.functions.similarity import cosine
 
-    q = np.asarray(query_vec, dtype="float64")
+    q = _quantize(np.asarray(query_vec, dtype="float64"))
     planes = _hyperplanes(len(q), n_planes, n_tables, seed)
     weights = 1 << np.arange(n_planes)
     q_buckets = [(t, int((((planes[t] @ q) > 0) * weights).sum())) for t in range(n_tables)]
@@ -107,7 +138,7 @@ def ann_topk(
         for pdf in it:
             if not len(pdf):
                 continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            m = _quantize(np.stack(pdf[vec_col].to_numpy()))
             if local_planes is None:
                 local_planes = _hyperplanes(m.shape[1], n_planes, n_tables, seed)
             ids = pdf["vec_id"].to_numpy()
@@ -325,14 +356,19 @@ def ivf_topk(
 
 def capped_members(ds_col: str, n_col, max_bucket: int, seed: int):
     """Deterministic hot-bucket sample: keep the ``max_bucket`` members
-    with the smallest xxhash64(id, seed) rank, re-sorted by id so pair
-    explodes keep vec_a < vec_b — a pseudo-random but run-stable draw.
+    with the smallest md5(seed:id) rank, re-sorted by id so pair
+    explodes keep vec_a < vec_b — a pseudo-random but run-stable draw,
+    md5-based since r6 so the SQL oracle draws the identical sample.
     Shared by the batch builder (ann_candidate_pairs) and the
     incremental ingest's per-batch cap so both cap identically."""
+    rank = (
+        f"CAST(conv(substring(md5(CAST(concat('{int(seed)}:', CAST(x AS STRING)) "
+        f"AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    )
     return F.when(n_col <= max_bucket, F.col(ds_col)).otherwise(
         F.expr(
             f"array_sort(transform(slice(array_sort("
-            f"transform({ds_col}, x -> struct(xxhash64(x, {int(seed)}) AS h, x AS v))"
+            f"transform({ds_col}, x -> struct({rank} AS h, x AS v))"
             f"), 1, {int(max_bucket)}), s -> s.v))"
         )
     )
@@ -423,3 +459,89 @@ def ann_bucket_stats(
         )
         .orderBy("table_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors (r6): the md5-integer hyperplane construction makes
+# every LSH artifact SQL-expressible — these builders rebuild the
+# signature table, the (capped) candidate pairs, and the bucket
+# accounting cell-for-cell, which is what lets the ann_* queries carry
+# full value oracles instead of rows-only checks.
+# ---------------------------------------------------------------------------
+
+
+def sql_lsh_sig(
+    vec_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+) -> str:
+    """(vec_id, table_idx, bucket) — DuckDB mirror of lsh_signatures.
+    Pure integer arithmetic end-to-end: md5-int hyperplanes, floor-
+    quantized components, int64 dots — bit-identical to the engine."""
+    return f"""
+    WITH _h AS (
+      SELECT t.t AS t, p.p AS p, k.k AS k,
+             CAST(('0x' || substr(md5({seed} || ':' || t.t || ':' || p.p || ':' || k.k), 1, 8)) AS BIGINT)
+               - 2147483648 AS w
+      FROM generate_series(0, {n_tables - 1}) t(t),
+           generate_series(0, {n_planes - 1}) p(p),
+           generate_series(0, {dim - 1}) k(k)
+    ),
+    _q AS (
+      SELECT {id_col} AS vec_id, k.k AS k,
+             CAST(floor(CAST({vec_col}[k.k + 1] AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
+      FROM {vec_rel}, generate_series(0, {dim - 1}) k(k)
+    ),
+    _bits AS (
+      SELECT _q.vec_id, _h.t, _h.p,
+             CASE WHEN SUM(_q.qv * _h.w) > 0 THEN 1 ELSE 0 END AS bit
+      FROM _q JOIN _h ON _h.k = _q.k
+      GROUP BY _q.vec_id, _h.t, _h.p
+    )
+    SELECT vec_id, CAST(t AS INT) AS table_idx,
+           CAST(SUM(bit << p) AS BIGINT) AS bucket
+    FROM _bits GROUP BY vec_id, t
+    """
+
+
+def sql_ann_candidate_pairs(
+    vec_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+    max_bucket: int | None = 1024,
+) -> str:
+    """(vec_a, vec_b, n_shared_buckets) — DuckDB mirror of
+    ann_candidate_pairs incl. the md5-ranked hot-bucket cap
+    (``max_bucket=None`` = the uncapped form the incremental fold
+    maintains)."""
+    cap = "" if max_bucket is None else f"AND rk <= {int(max_bucket)}"
+    return f"""
+    WITH _sig AS ({sql_lsh_sig(vec_rel, id_col, vec_col, dim, n_planes, n_tables, seed)}),
+    _mem AS (
+      SELECT table_idx, bucket, vec_id,
+             row_number() OVER (
+               PARTITION BY table_idx, bucket
+               ORDER BY CAST(('0x' || substr(md5({seed} || ':' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                        vec_id) AS rk,
+             COUNT(*) OVER (PARTITION BY table_idx, bucket) AS n
+      FROM _sig
+    ),
+    _kept AS (
+      SELECT table_idx, bucket, vec_id FROM _mem
+      WHERE n >= 2 {cap}
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           COUNT(*) AS n_shared_buckets
+    FROM _kept a JOIN _kept b
+      ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+     AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+    """

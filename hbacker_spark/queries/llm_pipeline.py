@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from hbacker_spark.functions import dedup as D
 from hbacker_spark.functions import similarity as S
 from hbacker_spark.functions import text as TX
+from hbacker_spark.operators import similarity as SIM
 from hbacker_spark.registry import register
 from hbacker_spark.sources.tables import load_table, widen
 
@@ -531,12 +532,34 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_cosine_topk",
-    oracle=None,  # LSH buckets are engine-internal → rows-only; exactness
-    # of the rerank kernel is covered by knn_cosine_top10's oracle
+    oracle=f"""
+    WITH _sig AS ({SIM.sql_lsh_sig(dim=EMB_DIM)}),
+    _qsig AS (SELECT table_idx, bucket FROM _sig WHERE vec_id = 0),
+    _cand AS (
+      SELECT DISTINCT s.vec_id
+      FROM _sig s JOIN _qsig q
+        ON s.table_idx = q.table_idx AND s.bucket = q.bucket
+    ),
+    _qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    _scored AS (
+      SELECT e.vec_id,
+             round({S.sql_cosine('e.embedding', 'q.q_emb')}, 6) AS cos_sim
+      FROM embeddings e
+      JOIN _cand c ON c.vec_id = e.vec_id
+      CROSS JOIN _qv q
+    )
+    SELECT vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM _scored)
+    WHERE rnk <= {KNN_K}
+    """,
     tags=("similarity", "llm", "ann", "lsh"),
     doc="ANN top-10 via random-hyperplane LSH bucketing + exact rerank of "
     "candidates only — the scale path where brute force is the per-bucket "
-    "kernel (operators/similarity.py).",
+    "kernel (operators/similarity.py). FULLY oracled since r6: the "
+    "md5-integer hyperplanes + floor-quantized int64 sign test make the "
+    "candidate set itself engine-portable, so DuckDB rebuilds the exact "
+    "bucket probe AND the rerank (fold cosine) — not just the row count.",
 )
 def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.similarity import ann_topk
@@ -552,7 +575,10 @@ def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_cosine_topk",
-    oracle=None,  # IVF lists are engine-internal → rows-only
+    oracle=None,  # the k-means partial sums are fixed-point exact, but
+    # centroid RENORMALIZATION divides in IEEE floats each Lloyd round,
+    # so list assignment is not SQL-rebuildable → rows-only (the one
+    # ANN query the r6 md5-hyperplane portability push could not move)
     tags=("similarity", "llm", "ann", "ivf"),
     doc="ANN top-10 via IVF (inverted-file) lists: nearest-centroid "
     "assignment at ingest, nprobe-list probe + exact rerank at query "
@@ -569,14 +595,16 @@ def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_candidate_pairs",
-    oracle=None,  # LSH bucket collisions are engine-internal → rows-only;
-    # the designated 100 TB pairwise path (VERDICT r2 item 4)
+    oracle=SIM.sql_ann_candidate_pairs(dim=EMB_DIM),
     tags=("similarity", "llm", "ann", "dedup"),
     doc="All-pairs ANN candidate generation: random-hyperplane LSH bucket "
     "self-join (operators/similarity.py:ann_candidate_pairs) — the "
     "designated 100 TB pairwise path. Never quadratic: pair fan-out is "
     "bounded by per-(table,bucket) density, and candidates then feed an "
-    "exact per-pair rescore (see ann_near_dup_pairs).",
+    "exact per-pair rescore (see ann_near_dup_pairs). FULLY oracled "
+    "since r6 (md5-integer hyperplanes): DuckDB rebuilds the identical "
+    "signature table, the md5-ranked hot-bucket cap, and the pair set "
+    "with shared-bucket counts.",
 )
 def ann_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.similarity import ann_candidate_pairs
@@ -587,8 +615,10 @@ def ann_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_candidate_pairs_incremental",
-    oracle=None,  # LSH bucket geometry is engine-internal → rows-only;
-    # the fold==recompute proof is the pytest below + row-count gate
+    # the fold maintains the UNCAPPED index, and fold == full rebuild
+    # exactly (pinned in tests/test_merge_properties.py) — so the
+    # oracle is simply the uncapped full-build pair SQL (r6)
+    oracle=SIM.sql_ann_candidate_pairs(dim=EMB_DIM, max_bucket=None),
     tags=("similarity", "llm", "ann", "dedup", "incremental"),
     doc="Incremental ANN index maintenance (VERDICT r4 #5): the corpus "
     "is split into two deterministic ingest batches (md5 bucket of "
@@ -624,7 +654,19 @@ def ann_candidate_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "ann_bucket_stats",
-    oracle=None,  # LSH bucket contents are engine-internal → rows-only
+    oracle=f"""
+    WITH _sig AS ({SIM.sql_lsh_sig(dim=EMB_DIM)}),
+    _sizes AS (
+      SELECT table_idx, bucket, COUNT(*) AS n FROM _sig GROUP BY 1, 2
+    )
+    SELECT table_idx,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_size,
+           round(AVG(n), 2) AS mean_bucket_size,
+           CAST(SUM(CASE WHEN n > 1024 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_buckets
+    FROM _sizes GROUP BY table_idx
+    """,
     tags=("similarity", "llm", "ann", "observability"),
     doc="Posting-list accounting for the ANN candidate path ('no silent "
     "caps'): per hash table, bucket count, max/mean bucket size, and "
@@ -641,9 +683,15 @@ def ann_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_near_dup_pairs",
-    oracle=None,  # approximate-by-design (LSH recall < 1 in the worst
-    # case) → rows-only; recall vs the exact kernel is pinned in
-    # tests/test_similarity_util.py at test scale
+    oracle=f"""
+    WITH _cand AS ({SIM.sql_ann_candidate_pairs(dim=EMB_DIM)})
+    SELECT c.vec_a, c.vec_b,
+           round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM _cand c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b
+    WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
+    """,
     tags=("similarity", "llm", "ann", "dedup"),
     doc="Bucketed near-dup pairs: LSH candidate pairs → exact-fold cosine "
     "rescore of candidates only (JVM fold, same rounding as the oracled "
@@ -697,10 +745,31 @@ def _ann_rescored_pairs(e: DataFrame) -> DataFrame:
 
 @register(
     "ann_dedup_clusters",
-    oracle=None,  # approximate-by-design upstream (LSH recall < 1 in the
-    # worst case) → rows-only; keeper-set equality vs the ORACLED exact
-    # cluster query is pinned at test scale in
-    # tests/test_similarity_util.py::test_ann_clusters_match_exact_clusters
+    oracle=f"""
+    WITH RECURSIVE
+    prs AS (
+      SELECT c.vec_a AS va, c.vec_b AS vb
+      FROM ({SIM.sql_ann_candidate_pairs(dim=EMB_DIM)}) c
+      JOIN embeddings a ON a.vec_id = c.vec_a
+      JOIN embeddings b ON b.vec_id = c.vec_b
+      WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM prs
+      UNION
+      SELECT vb AS u, va AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS vec_id,
+           min(v) AS keeper_id,
+           (min(v) = u) AS is_keeper
+    FROM reach
+    GROUP BY u
+    """,
     tags=("dedup", "llm", "iterative", "similarity", "ann"),
     doc="The 100 TB dedup-clustering route end-to-end (VERDICT r3 #1): "
     "LSH candidate pairs (bucketed posting lists, never quadratic) → "
@@ -723,8 +792,41 @@ def ann_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_keeper_by_quality",
-    oracle=None,  # approximate-by-design upstream → rows-only; keeper-set
-    # equality vs the oracled exact form pinned at test scale
+    oracle=f"""
+    WITH RECURSIVE
+    prs AS (
+      SELECT c.vec_a AS va, c.vec_b AS vb
+      FROM ({SIM.sql_ann_candidate_pairs(dim=EMB_DIM)}) c
+      JOIN embeddings a ON a.vec_id = c.vec_a
+      JOIN embeddings b ON b.vec_id = c.vec_b
+      WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM prs
+      UNION
+      SELECT vb AS u, va AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+    m AS (
+      SELECT c.doc_id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    k AS (
+      SELECT component, doc_id AS keeper_id
+      FROM (SELECT component, doc_id,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM m)
+      WHERE rn = 1
+    )
+    SELECT m.doc_id, k.keeper_id, (m.doc_id = k.keeper_id) AS is_keeper
+    FROM m JOIN k USING (component)
+    """,
     tags=("dedup", "llm", "iterative", "similarity", "quality", "ann"),
     doc="Quality-aware semantic dedup on the sub-quadratic path (VERDICT "
     "r3 #1): LSH candidates → exact rescore → connected components → "
