@@ -36,11 +36,13 @@ X10 = "/root/repo/.scale_smoke/x10"
 K = 10
 N_QUERIES = 8
 # floors: measured r6 mean recall (LSH 0.537 with the md5-integer
-# hyperplanes, 0.50 with the earlier Gaussian draw; IVF 0.65 — see
-# SCALE_NOTES) minus headroom for run-to-run variance in the query
-# draw — regression bars, not aspirations
+# hyperplanes, 0.50 with the earlier Gaussian draw; IVF 0.65; LSH
+# multiprobe=2 — see SCALE_NOTES) minus headroom for run-to-run
+# variance in the query draw — regression bars, not aspirations
 LSH_FLOOR = 0.3
 IVF_FLOOR = 0.4
+LSH_MP_FLOOR = 0.5  # must also dominate single-probe per query (asserted)
+MULTIPROBE = 2
 
 
 def exact_topk(spark, e, qvec, k=K):
@@ -64,14 +66,19 @@ def main():
         for r in e.filter(F.col("vec_id").isin(qids)).collect()
     }
 
-    lsh_r, ivf_r = [], []
+    lsh_r, mp_r, ivf_r = [], [], []
     t0 = time.perf_counter()
     for qid in qids:
         qv = qvecs[qid]
         exact = {r["vec_id"] for r in exact_topk(spark, e, qv).collect()}
         lsh = {r["vec_id"] for r in ann_topk(spark, e, qv, k=K).collect()}
+        mp = {
+            r["vec_id"]
+            for r in ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE).collect()
+        }
         ivf = {r["vec_id"] for r in ivf_topk(spark, e, qv, k=K).collect()}
         lsh_r.append(len(lsh & exact) / K)
+        mp_r.append(len(mp & exact) / K)
         ivf_r.append(len(ivf & exact) / K)
     wall = round(time.perf_counter() - t0, 1)
 
@@ -80,14 +87,20 @@ def main():
         "n_vectors": n,
         "n_queries": len(qids),
         "recall10_lsh": round(sum(lsh_r) / len(lsh_r), 3),
+        "recall10_lsh_multiprobe2": round(sum(mp_r) / len(mp_r), 3),
         "recall10_ivf": round(sum(ivf_r) / len(ivf_r), 3),
         "lsh_per_query": lsh_r,
+        "lsh_multiprobe_per_query": mp_r,
         "ivf_per_query": ivf_r,
         "wall_sec": wall,
     }
     print(json.dumps(receipt))
     assert receipt["recall10_lsh"] >= LSH_FLOOR, receipt
+    assert receipt["recall10_lsh_multiprobe2"] >= LSH_MP_FLOOR, receipt
     assert receipt["recall10_ivf"] >= IVF_FLOOR, receipt
+    # candidate-superset monotonicity: multiprobe can never lose recall
+    # vs single-probe on the same query (its candidate set is a superset)
+    assert all(m >= s for m, s in zip(mp_r, lsh_r)), receipt
 
 
 if __name__ == "__main__":

@@ -135,8 +135,10 @@ def connected_components(
         # 5.1s for the sf0.1 cosine graph at equal fixpoint). The inner
         # plan doubles per unbatched step, so 2 is the sweet spot
         # before recompute outgrows the saved scheduling overhead.
-        labels = ckpt(step(step(labels)))
-        new_sum = labels.agg(F.sum("component")).first()[0]
+        # The probe rides the checkpoint job (ckpt_sum) — ONE job per
+        # cycle, same as the initial label build; a separate 1-row agg
+        # job per cycle was the r6 leftover this replaced.
+        labels, new_sum = ckpt_sum(step(step(labels)))
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -98,6 +98,42 @@ def lsh_signatures(
     )
 
 
+def query_probe_buckets(
+    query_vec: list[float],
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+    multiprobe: int = 0,
+) -> dict[int, list[int]]:
+    """Per-table probe buckets for a query vector.
+
+    ``multiprobe=0`` is classic single-probe (the query's own bucket per
+    table). ``multiprobe=m`` adds the m Hamming-1 neighbors obtained by
+    flipping the LEAST-CONFIDENT signature bits — the planes whose
+    int64 dot with the quantized query has the smallest |margin| (Lv et
+    al.'s multi-probe LSH, restricted to 1-bit perturbations). Ties
+    break on plane index. All arithmetic is the same exact int64 as the
+    signatures themselves, so the probe set is engine-portable: the SQL
+    mirror (:func:`sql_lsh_query_probes`) ranks the identical margins
+    and flips the identical bits. Multi-probe is the operational recall
+    knob that needs NO reindexing — the index is the same signature
+    table; only the query-side probe set widens (candidate cost grows
+    ~(1+m)× per table, recall measured in ann_recall_smoke.py)."""
+    q = _quantize(np.asarray(query_vec, dtype="float64"))
+    planes = _hyperplanes(len(q), n_planes, n_tables, seed)
+    weights = 1 << np.arange(n_planes)
+    probes: dict[int, list[int]] = {}
+    for t in range(n_tables):
+        dots = planes[t] @ q  # (n_planes,) exact int64 margins
+        base = int((((dots > 0) * weights)).sum())
+        buckets = [base]
+        if multiprobe > 0:
+            order = np.lexsort((np.arange(n_planes), np.abs(dots)))
+            buckets += [base ^ (1 << int(p)) for p in order[:multiprobe]]
+        probes[t] = buckets
+    return probes
+
+
 def ann_topk(
     spark: SparkSession,
     df: DataFrame,
@@ -108,10 +144,13 @@ def ann_topk(
     n_planes: int = DEFAULT_PLANES,
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Top-k by cosine to ``query_vec``, LSH-pruned.
 
-    Candidate set = vectors sharing any table's bucket with the query.
+    Candidate set = vectors sharing any table's probe bucket with the
+    query (``multiprobe`` widens each table's probe set to the m
+    least-confident Hamming-1 neighbors — see :func:`query_probe_buckets`).
     The bucket match is evaluated INSIDE the one Arrow signature pass
     (the query's buckets are a tiny closure constant): a vector's
     signatures never leave the executor unless it is a candidate, so
@@ -128,10 +167,8 @@ def ann_topk(
 
     from hbacker_spark.functions.similarity import cosine
 
-    q = _quantize(np.asarray(query_vec, dtype="float64"))
-    planes = _hyperplanes(len(q), n_planes, n_tables, seed)
     weights = 1 << np.arange(n_planes)
-    q_buckets = [(t, int((((planes[t] @ q) > 0) * weights).sum())) for t in range(n_tables)]
+    q_probes = query_probe_buckets(query_vec, n_planes, n_tables, seed, multiprobe)
 
     def candidate_batches(it):
         local_planes = None
@@ -143,9 +180,10 @@ def ann_topk(
                 local_planes = _hyperplanes(m.shape[1], n_planes, n_tables, seed)
             ids = pdf["vec_id"].to_numpy()
             hit = np.zeros(len(ids), dtype=bool)
-            for t, qb in q_buckets:
+            for t, pset in q_probes.items():
                 signs = (m @ local_planes[t].T) > 0
-                hit |= (signs * weights).sum(axis=1) == qb
+                buckets = (signs * weights).sum(axis=1)
+                hit |= np.isin(buckets, pset)
             if hit.any():
                 yield pd.DataFrame({"vec_id": ids[hit]})
 
@@ -505,6 +543,60 @@ def sql_lsh_sig(
     SELECT vec_id, CAST(t AS INT) AS table_idx,
            CAST(SUM(bit << p) AS BIGINT) AS bucket
     FROM _bits GROUP BY vec_id, t
+    """
+
+
+def sql_lsh_query_probes(
+    vec_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+    dim: int = 64,
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+    multiprobe: int = 0,
+) -> str:
+    """(table_idx, bucket) probe set for the query row ``query_id`` —
+    DuckDB mirror of :func:`query_probe_buckets`. The base bucket plus
+    the ``multiprobe`` Hamming-1 flips of the smallest-|margin| planes
+    (ties on plane index), all in the same exact int64 arithmetic, so
+    the probe set matches the engine's bit-for-bit."""
+    return f"""
+    WITH _h AS (
+      SELECT t.t AS t, p.p AS p, k.k AS k,
+             CAST(('0x' || substr(md5({seed} || ':' || t.t || ':' || p.p || ':' || k.k), 1, 8)) AS BIGINT)
+               - 2147483648 AS w
+      FROM generate_series(0, {n_tables - 1}) t(t),
+           generate_series(0, {n_planes - 1}) p(p),
+           generate_series(0, {dim - 1}) k(k)
+    ),
+    _q AS (
+      SELECT k.k AS k,
+             CAST(floor(CAST({vec_col}[k.k + 1] AS DOUBLE) * {QUANT}) AS BIGINT) AS qv
+      FROM {vec_rel}, generate_series(0, {dim - 1}) k(k)
+      WHERE {id_col} = {int(query_id)}
+    ),
+    _dots AS (
+      SELECT _h.t, _h.p, SUM(_q.qv * _h.w) AS dot
+      FROM _q JOIN _h ON _h.k = _q.k
+      GROUP BY _h.t, _h.p
+    ),
+    _base AS (
+      SELECT t, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM _dots GROUP BY t
+    ),
+    _flips AS (
+      SELECT t, p FROM (
+        SELECT t, p, row_number() OVER (PARTITION BY t ORDER BY abs(dot), p) AS r
+        FROM _dots
+      ) WHERE r <= {int(multiprobe)}
+    )
+    SELECT CAST(t AS INT) AS table_idx, bucket FROM _base
+    UNION
+    SELECT CAST(b.t AS INT) AS table_idx,
+           xor(b.bucket, CAST(1 << f.p AS BIGINT)) AS bucket
+    FROM _base b JOIN _flips f ON f.t = b.t
     """
 
 

@@ -58,6 +58,31 @@ def test_ann_deterministic(spark, embeddings):
     assert a == b
 
 
+def test_multiprobe_probe_sets_and_recall_dominance(spark, embeddings):
+    """Multi-probe contract: m=0 reduces to the single bucket; m>0 adds
+    exactly m Hamming-1 flips per table; the widened candidate set can
+    only HELP the top-k (every multiprobe score >= the single-probe
+    score at the same rank — candidate-superset monotonicity)."""
+    from hbacker_spark.operators.similarity import query_probe_buckets
+
+    qvec = list(embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+    p0 = query_probe_buckets(qvec, multiprobe=0)
+    p2 = query_probe_buckets(qvec, multiprobe=2)
+    for t, buckets in p0.items():
+        assert len(buckets) == 1
+        assert set(buckets) <= set(p2[t])
+        assert len(set(p2[t])) == 3  # base + 2 distinct 1-bit flips
+        for b in p2[t][1:]:
+            diff = b ^ p2[t][0]
+            assert diff and (diff & (diff - 1)) == 0  # exactly one bit
+
+    single = ann_topk(spark, embeddings, qvec, k=10).orderBy("rnk").collect()
+    multi = ann_topk(spark, embeddings, qvec, k=10, multiprobe=2).orderBy("rnk").collect()
+    for s, m in zip(single, multi):
+        assert m["cos_sim"] >= s["cos_sim"], (s, m)
+
+
 def test_ivf_probe_prunes_and_recalls(spark, embeddings):
     from hbacker_spark.operators.similarity import ivf_assign, ivf_topk
 
