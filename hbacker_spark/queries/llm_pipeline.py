@@ -2872,6 +2872,186 @@ def nucleus_docs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars", F.col("cum").cast("bigint").alias("cum_chars"))
 
 
+# Non-overlapping dedup-chunk width (chunk_dedup_retention). Distinct
+# from SPAN_W (the overlapping audit windows of duplicated_span_census):
+# the census COUNTS repeated spans; this query actually REMOVES them and
+# accounts for what survives, CCNet-style.
+DEDUP_CHUNK_W = 8
+
+
+@register(
+    "chunk_dedup_retention",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s // {DEDUP_CHUNK_W} AS INT) AS chunk_idx,
+             array_to_string(ws[s + 1 : s + {DEDUP_CHUNK_W}], ' ') AS chunk
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(0, len(ws) - 1, {DEDUP_CHUNK_W})) AS s
+            FROM ws)
+    ),
+    marked AS (
+      SELECT doc_id, length(chunk) AS chunk_chars,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN chunk_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           (SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 5 < COUNT(*) * 4) AS heavy_dup
+    FROM marked
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "text", "cleaning"),
+    doc=f"CCNet-style corpus-level chunk dedup with retention accounting: "
+    f"documents are cut into NON-overlapping {DEDUP_CHUNK_W}-word chunks "
+    f"(ragged tail kept), each chunk's first occurrence corpus-wide — "
+    f"ordered by (doc_id, chunk_idx) — survives, every later duplicate is "
+    f"dropped, and the per-document report says how much text the dedup "
+    f"pass retained (docs losing >20% of chunks are flagged heavy_dup, the "
+    f"CCNet discard signal). Complements duplicated_span_census (the "
+    f"overlapping-window AUDIT): this is the FILTER, with the retention "
+    f"receipt a curation run needs. Plan: one linear explode, ONE shuffle "
+    f"on the chunk hash for a partitioned window (group sizes are "
+    f"duplicate multiplicities — bounded, never hot), then a doc_id "
+    f"rollup; integer-exact end to end. First-occurrence-wins matches the "
+    f"oracle's ROW_NUMBER exactly because the order key (doc_id, "
+    f"chunk_idx) is unique.",
+)
+def chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - 1, {DEDUP_CHUNK_W}), "
+                f"s -> struct(CAST(s / {DEDUP_CHUNK_W} AS INT) AS chunk_idx, "
+                f"concat_ws(' ', slice(split(text, ' '), s + 1, {DEDUP_CHUNK_W})) AS chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    w = Window.partitionBy(F.md5(F.col("chunk").cast("binary"))).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(kept).cast("bigint").alias("kept_chunks"),
+            F.sum(
+                F.when(F.col("rn") == 1, F.length("chunk")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+            (F.sum(kept) * 5 < F.count(F.lit(1)) * 4).alias("heavy_dup"),
+        )
+    )
+
+
+@register(
+    "source_divergence_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    st AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token),
+    s AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS ns FROM st GROUP BY source),
+    t AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS tft FROM st GROUP BY token),
+    n AS (SELECT CAST(SUM(tft) AS BIGINT) AS n FROM t),
+    terms AS (
+      SELECT st.source,
+             (CAST(st.tf AS DOUBLE) / CAST(s.ns AS DOUBLE)) AS p,
+             (CAST(t.tft AS DOUBLE) / CAST(n.n AS DOUBLE)) AS q,
+             t.tft AS tft
+      FROM st JOIN s USING (source) JOIN t USING (token) CROSS JOIN n
+    ),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS n_distinct_tokens,
+             SUM(CAST(round((p - q) * (p - q) / q, 12) AS DECIMAL(38, 12))) AS chi_sum,
+             SUM(CAST(round(abs(p - q), 12) AS DECIMAL(38, 12))) AS tv_sum,
+             CAST(SUM(tft) AS BIGINT) AS covered
+      FROM terms
+      GROUP BY source
+    )
+    SELECT agg.source,
+           s.ns AS n_tokens,
+           agg.n_distinct_tokens,
+           round(CAST(chi_sum AS DOUBLE)
+                 + (1.0 - CAST(covered AS DOUBLE) / CAST(n.n AS DOUBLE)), 6) AS chi2_divergence,
+           round(0.5 * (CAST(tv_sum AS DOUBLE)
+                 + (1.0 - CAST(covered AS DOUBLE) / CAST(n.n AS DOUBLE))), 6) AS tv_distance
+    FROM agg JOIN s USING (source) CROSS JOIN n
+    """,
+    tags=("llm", "mixture", "stats", "text"),
+    doc="Domain-shift diagnostics for mixture design: per SOURCE, the "
+    "chi-square divergence and total-variation distance between the "
+    "source's unigram distribution and the whole-corpus distribution — "
+    "the signal data-mixing recipes (DoReMi-style reweighting, domain "
+    "upsampling) gate on. Determinism by construction instead of by "
+    "luck: every per-token term is built only from IEEE-exact ops "
+    "(bigint→double casts <2^53, one divide, subtract, multiply — no "
+    "transcendentals), so both engines produce bit-identical term "
+    "doubles; terms are rounded to 12 dp, accumulated as DECIMAL(38,12) "
+    "(exact, order-independent — the float-sum ordering trap can't "
+    "bite), and tokens ABSENT from a source enter via the closed-form "
+    "complement (sum over t∉s of q == 1 - covered/N) rather than an "
+    "outer join. Plan: one token-explode shuffle, decomposable "
+    "aggregations only (skew-proof per SCALE_NOTES even though 'the' "
+    "dominates), then a tiny per-source relation joined to two "
+    "single-row totals (broadcast).",
+)
+def source_divergence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    s = st.groupBy("source").agg(F.sum("tf").cast("bigint").alias("ns"))
+    t = st.groupBy("token").agg(F.sum("tf").cast("bigint").alias("tft"))
+    n = t.agg(F.sum("tft").cast("bigint").alias("n"))
+    terms = (
+        st.join(F.broadcast(s), "source")
+        .join(t, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            (F.col("tf").cast("double") / F.col("ns").cast("double")).alias("p"),
+            (F.col("tft").cast("double") / F.col("n").cast("double")).alias("q"),
+            "tft",
+        )
+    )
+    diff = F.col("p") - F.col("q")
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(F.round(diff * diff / F.col("q"), 12).cast("decimal(38,12)")).alias(
+            "chi_sum"
+        ),
+        F.sum(F.round(F.abs(diff), 12).cast("decimal(38,12)")).alias("tv_sum"),
+        F.sum("tft").cast("bigint").alias("covered"),
+    )
+    missing = F.lit(1.0) - F.col("covered").cast("double") / F.col("n").cast("double")
+    return (
+        agg.join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "n_distinct_tokens",
+            F.round(F.col("chi_sum").cast("double") + missing, 6).alias(
+                "chi2_divergence"
+            ),
+            F.round(
+                F.lit(0.5) * (F.col("tv_sum").cast("double") + missing), 6
+            ).alias("tv_distance"),
+        )
+    )
+
+
 @register(
     "quality_percent_rank_global",
     oracle="""

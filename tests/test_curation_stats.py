@@ -1,0 +1,74 @@
+"""Invariants for the round-6 curation closure queries.
+
+Oracle parity (value-hash vs DuckDB) is swept by test_oracle_parity.py;
+these tests pin the SEMANTIC invariants a hash can't state — retention
+bounds, distance-metric ranges, and partitioning independence of the
+DECIMAL-accumulated divergence sums (the property the order-independent
+accumulation design exists to guarantee).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbacker_spark.queries.llm_pipeline import (
+    chunk_dedup_retention,
+    source_divergence_stats,
+)
+
+
+def test_chunk_dedup_retention_bounds(spark, sf_dir):
+    rows = chunk_dedup_retention(spark, sf_dir).collect()
+    assert rows, "every doc must report"
+    total_chunks = sum(r.n_chunks for r in rows)
+    total_kept = sum(r.kept_chunks for r in rows)
+    for r in rows:
+        assert 0 <= r.kept_chunks <= r.n_chunks
+        assert r.heavy_dup == (r.kept_chunks * 5 < r.n_chunks * 4)
+        # a doc's own first chunk always survives unless a previous doc
+        # already emitted it, so kept_chars is 0 only if kept_chunks is
+        assert (r.kept_chars == 0) == (r.kept_chunks == 0)
+    # first-occurrence-wins keeps EXACTLY one occurrence per distinct
+    # chunk: corpus-wide kept == number of distinct chunk strings
+    from hbacker_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 1, 8), "
+                "s -> concat_ws(' ', slice(split(text, ' '), s + 1, 8)))"
+            )
+        ).alias("chunk")
+    )
+    n_distinct = chunks.select("chunk").distinct().count()
+    assert total_kept == n_distinct
+    assert total_kept <= total_chunks
+
+
+def test_source_divergence_ranges_and_partitioning_invariance(spark, sf_dir):
+    df = source_divergence_stats(spark, sf_dir)
+    rows = {r.source: r for r in df.collect()}
+    assert rows
+    for r in rows.values():
+        # TV distance is a metric on [0, 1]; chi-square divergence >= 0
+        assert 0.0 <= r.tv_distance <= 1.0
+        assert r.chi2_divergence >= 0.0
+        assert r.n_distinct_tokens <= r.n_tokens
+    # the DECIMAL(38,12) term accumulation is order-independent by
+    # construction: a different input split must reproduce every value
+    # bit-for-bit (the float-sum ordering trap this design removes)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows3 = {r.source: r for r in source_divergence_stats(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert rows.keys() == rows3.keys()
+    for s, r in rows.items():
+        assert (r.chi2_divergence, r.tv_distance, r.n_tokens) == (
+            rows3[s].chi2_divergence,
+            rows3[s].tv_distance,
+            rows3[s].n_tokens,
+        )

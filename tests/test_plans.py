@@ -326,7 +326,10 @@ _ROW_UDF_ALLOWED = {"udf_canonicalize_labels", "udtf_chunk_documents"}
 _SINGLE_ROW_BNLJ_ALLOWED = {
     "ann_ivf_cosine_topk",
     "ann_lsh_cosine_topk",
+    "ann_multiprobe_cosine_topk",
     "event_type_lift",
+    # 1-row corpus-token-total aggregate broadcast (divergence complement)
+    "source_divergence_stats",
     "knn_cosine_top10",
     "mixture_waterfill_allocation",
     "q11_revenue_concentration",
@@ -360,6 +363,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     # rank-after-limit: the window input is the k-row top-k result
     "ann_ivf_cosine_topk": "ranks the k-row top-k output",
     "ann_lsh_cosine_topk": "ranks the k-row top-k output",
+    "ann_multiprobe_cosine_topk": "ranks the k-row top-k output",
     "knn_cosine_top10": "ranks the k-row top-k output",
     "cms_heavy_hitters": "ranks the CMS_TOPK-row result",
     # bounded-domain post-agg spines: cardinality is the key DOMAIN
