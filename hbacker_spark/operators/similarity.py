@@ -206,21 +206,47 @@ def ann_topk(
     return top.withColumn("rnk", F.row_number().over(w))
 
 
-# Fixed-point scale for the k-means partial sums: element values are
-# rounded to this many fractional bits and summed as int64 — EXACT and
-# order-independent, so trained centroids are identical regardless of
-# partitioning/shuffle arrival order (the same determinism contract as
-# decimal PageRank). Headroom: |unit elem| <= 1, so int64 overflows only
-# past ~2^33 vectors per centroid — raise the scale-down before that at
-# true 100 TB corpus sizes.
-_KMEANS_FP_BITS = 30
+# Integer Lloyd (r6): vectors are floor-quantized at 2²⁰ (same QUANT as
+# the LSH family), centroids LIVE as int64 fixed-point at the same
+# scale, assignment is exact integer L2 argmin (first-index = smallest
+# centroid id on ties), and the centroid update is an exact integer
+# floor-division of the per-cluster component sums — NO float appears
+# anywhere in training or assignment, so the whole index build is not
+# just run-deterministic but ENGINE-PORTABLE (sql_ivf_topk unrolls the
+# identical iterations in DuckDB, the same playbook that oracled the
+# decimal PageRank and the md5-hyperplane LSH family). Overflow audit:
+# |x| <= 2²⁰ (unit-norm inputs), |c| <= 2²⁰, per-pair distance
+# Σ₆₄(x−c)² <= 2⁴⁸, partial component sums <= n·2²⁰ — int64-safe to
+# ~2⁴³ vectors per cluster.
 TRAIN_ITERS = 3
+_IVF_SEED_HALF = 1 << 17  # seed-centroid component range: [-2^17, 2^17)
 
 
 def _seed_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed + 1)
-    c = rng.standard_normal((n_centroids, dim))
-    return c / np.linalg.norm(c, axis=1, keepdims=True)
+    """(n_centroids, dim) INT64 seed centroids from md5 — uniform in
+    [-2¹⁷, 2¹⁷) at the 2²⁰ fixed-point scale (≈ ±0.125, the component
+    scale of a 64-dim unit vector). Pure function of (seed, dim, n):
+    zero jobs, and DuckDB rebuilds it cell-for-cell (sql_ivf_topk)."""
+    flat = np.empty(n_centroids * dim, dtype=np.int64)
+    i = 0
+    for j in range(n_centroids):
+        for k in range(dim):
+            hx = hashlib.md5(f"{seed}:ivf:{j}:{k}".encode()).hexdigest()
+            flat[i] = int(hx[:8], 16) % (2 * _IVF_SEED_HALF) - _IVF_SEED_HALF
+            i += 1
+    return flat.reshape(n_centroids, dim)
+
+
+def _int_assign(m_q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact integer L2 argmin of quantized rows against int centroids.
+    numpy argmin takes the FIRST minimum, i.e. ties break to the
+    smallest centroid id — mirrored in SQL by the dist·n+j min-key."""
+    d = (
+        (m_q * m_q).sum(axis=1, keepdims=True)
+        - 2 * (m_q @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    return d.argmin(axis=1)
 
 
 def train_ivf_centroids(
@@ -231,25 +257,28 @@ def train_ivf_centroids(
     seed: int = SEED,
     n_iter: int = TRAIN_ITERS,
 ) -> np.ndarray:
-    """Seeded mini k-means (spherical Lloyd) for IVF centroids.
+    """Seeded mini k-means (integer Lloyd) for IVF centroids.
 
     Each iteration is ONE distributed pass: an Arrow-batched task
-    normalizes its vectors, assigns them to the nearest current
-    centroid (cosine argmax), and emits per-centroid partial sums as
-    fixed-point int64 components (exact, so the cross-partition
-    reduction is order-independent — floats would make centroids
-    drift run-to-run with shuffle arrival order). The grouped sum is
+    floor-quantizes its vectors (exact), assigns them to the nearest
+    current int64 centroid (exact integer L2 argmin), and emits
+    per-centroid int64 component partial sums — exact and
+    order-independent, so trained centroids are identical regardless
+    of partitioning/shuffle arrival order. The grouped sum is
     n_centroids·dim tiny rows; the driver collects just that,
-    renormalizes, and broadcasts the next round's centroids in the
-    task closure. Fixed seed + fixed iteration count + exact sums =
-    bit-identical centroids every run, same contract as the decimal
-    PageRank. Empty clusters keep their previous centroid.
+    floor-divides (exact), and broadcasts the next round's centroids
+    in the task closure. Fixed md5 seeds + fixed iteration count +
+    exact integer arithmetic = bit-identical centroids every run AND
+    every engine: DuckDB unrolls the same iterations in sql_ivf_topk,
+    which is what moved ann_ivf_cosine_topk from rows-only to fully
+    oracled. Empty clusters keep their previous centroid (LEFT JOIN +
+    COALESCE on the SQL side). Returns int64 centroids at the 2²⁰
+    fixed-point scale.
     """
     import pandas as pd
 
     cents = _seed_centroids(dim, n_centroids, seed)
     vecs = df.select(F.col(vec_col).alias("_v"))
-    scale = float(1 << _KMEANS_FP_BITS)
     for _ in range(n_iter):
         frozen = cents.copy()
 
@@ -257,14 +286,11 @@ def train_ivf_centroids(
             for pdf in it:
                 if not len(pdf):
                     continue
-                m = np.stack(pdf["_v"].to_numpy()).astype("float64")
-                norms = np.linalg.norm(m, axis=1, keepdims=True)
-                u = m / np.where(norms == 0, 1, norms)
-                a = (u @ _c.T).argmax(axis=1)
-                fp = np.rint(u * scale).astype("int64")
+                m_q = _quantize(np.stack(pdf["_v"].to_numpy()))
+                a = _int_assign(m_q, _c)
                 out_c, out_i, out_s, out_n = [], [], [], []
                 for cid in np.unique(a):
-                    rows = fp[a == cid]
+                    rows = m_q[a == cid]
                     s = rows.sum(axis=0)  # int64, exact
                     out_c.extend([int(cid)] * len(s))
                     out_i.extend(range(len(s)))
@@ -281,17 +307,11 @@ def train_ivf_centroids(
             .collect()
         )
         new = frozen.copy()
-        counts = np.zeros(n_centroids, dtype="int64")
-        sums = np.zeros((n_centroids, dim), dtype="float64")
         for r in agg:
-            sums[r["cid"], r["idx"]] = r["s"] / scale
-            counts[r["cid"]] = r["n"]
-        for cid in range(n_centroids):
-            if counts[cid] > 0:
-                v = sums[cid]
-                nrm = np.linalg.norm(v)
-                if nrm > 0:
-                    new[cid] = v / nrm
+            # exact floor division (numpy // floors; the SQL mirror
+            # makes the numerator exactly divisible first because
+            # DuckDB's // truncates toward zero)
+            new[r["cid"], r["idx"]] = np.int64(r["s"]) // np.int64(r["n"])
         cents = new
     return cents
 
@@ -306,16 +326,17 @@ def ivf_assign(
     train_iters: int = 0,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF (inverted-file) partitioning: assign every vector to its
-    nearest of ``n_centroids`` centroids. Returns ((id, centroid_id)
-    rows, centroid matrix). One Arrow-batched numpy pass; at scale this
-    is the list-building step done once at ingest, and queries probe a
+    nearest of ``n_centroids`` centroids (exact integer L2 over the
+    2²⁰-quantized components). Returns ((id, centroid_id) rows, int64
+    centroid matrix). One Arrow-batched numpy pass; at scale this is
+    the list-building step done once at ingest, and queries probe a
     few lists instead of the corpus.
 
-    ``train_iters=0`` uses seeded random unit centroids (pure function
-    of (seed, dim, n_centroids) — zero jobs). ``train_iters>0`` runs
-    that many deterministic Lloyd iterations (:func:`train_ivf_centroids`,
-    one bounded pass each) — real IVF quality with the same bit-stable
-    determinism contract.
+    ``train_iters=0`` uses the md5-seeded integer centroids (pure
+    function of (seed, dim, n_centroids) — zero jobs). ``train_iters>0``
+    runs that many deterministic integer Lloyd iterations
+    (:func:`train_ivf_centroids`, one bounded pass each) — real IVF
+    quality with the same bit-stable, engine-portable contract.
     """
     import pandas as pd
 
@@ -340,10 +361,13 @@ def ivf_assign(
         for pdf in it:
             if not len(pdf):
                 continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            sims = (m / np.where(norms == 0, 1, norms)) @ cents.T
-            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "centroid_id": sims.argmax(axis=1)})
+            m_q = _quantize(np.stack(pdf[vec_col].to_numpy()))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "centroid_id": _int_assign(m_q, cents),
+                }
+            )
 
     assigned = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
         batches, schema="vec_id long, centroid_id int"
@@ -364,11 +388,12 @@ def ivf_topk(
     train_iters: int = TRAIN_ITERS,
 ) -> DataFrame:
     """IVF search: score the query against the centroids, probe the
-    ``nprobe`` nearest lists, exact-rerank only those lists' vectors.
-    Expected candidate fraction ≈ nprobe/n_centroids of the corpus.
-    Centroids are k-means-trained by default (deterministic Lloyd,
+    ``nprobe`` nearest lists (exact integer L2, centroid-id tiebreak),
+    exact-rerank only those lists' vectors by cosine. Expected
+    candidate fraction ≈ nprobe/n_centroids of the corpus. Centroids
+    are k-means-trained by default (deterministic integer Lloyd,
     :func:`train_ivf_centroids`); pass ``train_iters=0`` for the
-    seeded-random untrained form.
+    md5-seeded untrained form.
     """
     from pyspark.sql import Window
 
@@ -377,9 +402,15 @@ def ivf_topk(
     assigned, cents = ivf_assign(
         df, n_centroids, id_col, vec_col, seed, dim=len(query_vec), train_iters=train_iters
     )
-    q = np.asarray(query_vec, dtype="float64")
-    qn = q / np.linalg.norm(q)
-    probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
+    q_q = _quantize(np.asarray(query_vec, dtype="float64")[None, :])
+    d = (
+        (q_q * q_q).sum(axis=1, keepdims=True)
+        - 2 * (q_q @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )[0]
+    # dist·n+j key: nprobe smallest distances, centroid-id tiebreak —
+    # identical to the SQL mirror's ORDER BY key LIMIT nprobe
+    probe = np.argsort(d * n_centroids + np.arange(n_centroids))[:nprobe].tolist()
 
     candidate_ids = assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")
     candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
@@ -637,3 +668,97 @@ def sql_ann_candidate_pairs(
      AND a.vec_id < b.vec_id
     GROUP BY 1, 2
     """
+
+
+def sql_ivf_topk(
+    vec_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    seed: int = SEED,
+    n_iter: int = TRAIN_ITERS,
+    query_id: int = 0,
+) -> str:
+    """(vec_id, cos_sim, rnk) — DuckDB mirror of :func:`ivf_topk`,
+    including the TRAINING: the integer Lloyd iterations are unrolled
+    as materialized CTEs (the PageRank/k-core playbook). Every step is
+    exact integer arithmetic — md5 seed centroids, 2²⁰-quantized
+    components, L2 distances, the dist·n+j min-key (distance argmin
+    with centroid-id tiebreak, = numpy argmin's first-minimum), and a
+    floor-division centroid update (numerator made exactly divisible
+    first because DuckDB's ``//`` truncates toward zero while numpy's
+    floors) — so assignments, probe lists and the candidate set match
+    the engine cell-for-cell; only the final rerank touches floats
+    (the same round-6 cosine both engines already agree on)."""
+    from hbacker_spark.functions.similarity import sql_cosine
+
+    nc = n_centroids
+    parts = [
+        f"""WITH _x AS MATERIALIZED (
+      SELECT {id_col} AS vec_id, k.k AS k,
+             CAST(floor(CAST({vec_col}[k.k + 1] AS DOUBLE) * {QUANT}) AS BIGINT) AS x
+      FROM {vec_rel}, generate_series(0, {dim - 1}) k(k)
+    ),
+    _c0 AS MATERIALIZED (
+      SELECT j.j AS j, k.k AS k,
+             CAST(('0x' || substr(md5({seed} || ':ivf:' || j.j || ':' || k.k), 1, 8)) AS BIGINT)
+               % {2 * _IVF_SEED_HALF} - {_IVF_SEED_HALF} AS c
+      FROM generate_series(0, {nc - 1}) j(j), generate_series(0, {dim - 1}) k(k)
+    )"""
+    ]
+    for i in range(n_iter + 1):
+        parts.append(f"""_a{i} AS MATERIALIZED (
+      SELECT vec_id, CAST(MIN(key) % {nc} AS INT) AS cid FROM (
+        SELECT x.vec_id,
+               SUM((x.x - c.c) * (x.x - c.c)) * {nc} + c.j AS key
+        FROM _x x JOIN _c{i} c ON c.k = x.k
+        GROUP BY x.vec_id, c.j)
+      GROUP BY vec_id
+    )""")
+        if i == n_iter:
+            break
+        parts.append(f"""_s{i} AS (
+      SELECT a.cid AS j, x.k AS k, SUM(x.x) AS s, COUNT(*) AS n
+      FROM _a{i} a JOIN _x x ON x.vec_id = a.vec_id
+      GROUP BY a.cid, x.k
+    )""")
+        parts.append(f"""_c{i + 1} AS MATERIALIZED (
+      SELECT c.j, c.k,
+             CASE WHEN s.n IS NULL THEN c.c
+                  ELSE CAST((s.s - (((s.s % s.n) + s.n) % s.n)) // s.n AS BIGINT)
+             END AS c
+      FROM _c{i} c LEFT JOIN _s{i} s ON s.j = c.j AND s.k = c.k
+    )""")
+    parts.append(f"""_probe AS (
+      SELECT j FROM (
+        SELECT c.j AS j,
+               SUM((x.x - c.c) * (x.x - c.c)) * {nc} + c.j AS key
+        FROM _x x JOIN _c{n_iter} c ON c.k = x.k
+        WHERE x.vec_id = {query_id}
+        GROUP BY c.j)
+      ORDER BY key LIMIT {nprobe}
+    )""")
+    parts.append(f"""_cand AS (
+      SELECT a.vec_id FROM _a{n_iter} a JOIN _probe p ON a.cid = p.j
+    )""")
+    parts.append(f"""_qv AS (
+      SELECT {vec_col} AS q_emb FROM {vec_rel} WHERE {id_col} = {query_id}
+    )""")
+    parts.append(f"""_scored AS (
+      SELECT e.{id_col} AS vec_id,
+             round({sql_cosine(f'e.{vec_col}', 'q.q_emb')}, 6) AS cos_sim
+      FROM {vec_rel} e JOIN _cand c ON c.vec_id = e.{id_col}
+      CROSS JOIN _qv q
+    )""")
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM _scored)
+    WHERE rnk <= {k}
+    """
+    )

@@ -621,14 +621,20 @@ def ann_multiprobe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_cosine_topk",
-    oracle=None,  # the k-means partial sums are fixed-point exact, but
-    # centroid RENORMALIZATION divides in IEEE floats each Lloyd round,
-    # so list assignment is not SQL-rebuildable → rows-only (the one
-    # ANN query the r6 md5-hyperplane portability push could not move)
+    oracle=SIM.sql_ivf_topk(dim=EMB_DIM, k=KNN_K),
     tags=("similarity", "llm", "ann", "ivf"),
     doc="ANN top-10 via IVF (inverted-file) lists: nearest-centroid "
     "assignment at ingest, nprobe-list probe + exact rerank at query "
-    "(expected candidate fraction ≈ nprobe/n_centroids).",
+    "(expected candidate fraction ≈ nprobe/n_centroids). FULLY oracled "
+    "since r6 (the last ANN holdout): Lloyd training is pure INTEGER "
+    "arithmetic end to end — md5 seed centroids, 2^20-quantized "
+    "components, exact int64 L2 argmin with centroid-id tiebreak, and "
+    "a floor-division centroid update — so DuckDB unrolls the SAME "
+    "iterations as materialized CTEs (the PageRank playbook) and "
+    "rebuilds assignments, probe lists and candidates cell-for-cell. "
+    "The old float renormalization (the former impossibility note) is "
+    "gone: on unit-norm inputs plain-mean L2 Lloyd is the textbook "
+    "k-means and quality is re-measured in ann_recall_smoke.py.",
 )
 def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.similarity import ivf_topk
