@@ -1188,18 +1188,61 @@ def hash_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.3, "de": 0.3, "fr": 0.2, "zh": 0.2}
+
+
 @register(
     "stratified_sample_fractions",
-    oracle=None,  # Bernoulli draw uses Spark's internal hash → rows-only
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_rows, TRUE AS within_band
+    FROM documents
+    WHERE lang IN ({", ".join(repr(k) for k in sorted(_SAMPLE_FRACTIONS))})
+    GROUP BY lang
+    """,
     tags=("llm", "sampling"),
     doc="Native stratified sampling (sampleBy): per-language fractions "
-    "with a fixed seed — the built-in fraction-based path; the "
-    "hash-sample query above is the fixed-size deterministic variant.",
+    "with a fixed seed — the built-in fraction-based path (the "
+    "hash-sample query above is the fixed-size deterministic variant). "
+    "Oracled in ERROR-BAND form since r6 (the approx_percentile/HLL "
+    "pattern): the Bernoulli draw itself uses Spark's internal RNG and "
+    "is not SQL-rebuildable, but its CONTRACT is — each stratum's "
+    "sampled count must sit within 5 sigma + 5 of Binomial(n_s, f_s) "
+    "(P(miss) < 1e-6 per stratum, and the fixed seed makes the draw "
+    "deterministic per dataset, so the check is stable, not flaky). "
+    "The emitted relation is (lang, exact n_rows, within_band) and the "
+    "oracle states the contract as TRUE literals over the exact "
+    "per-stratum counts — a sampler regression (wrong fraction, "
+    "double-draw, stratum leak) flips the boolean and hash-fails.",
 )
 def stratified_sample_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "es": 0.3, "de": 0.3, "fr": 0.2, "zh": 0.2}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+    langs = sorted(_SAMPLE_FRACTIONS)
+    sampled = (
+        d.sampleBy("lang", _SAMPLE_FRACTIONS, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    totals = (
+        d.filter(F.col("lang").isin(langs))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    frac = F.element_at(
+        F.create_map(*[F.lit(x) for k in langs for x in (k, _SAMPLE_FRACTIONS[k])]),
+        F.col("lang"),
+    )
+    expected = frac * F.col("n_rows")
+    band = F.lit(5.0) * F.sqrt(F.col("n_rows") * frac * (F.lit(1.0) - frac)) + F.lit(5.0)
+    return (
+        totals.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_rows",
+            (
+                F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - expected) <= band
+            ).alias("within_band"),
+        )
+    )
 
 
 @register(

@@ -33,14 +33,18 @@ def test_hash_sample_fixed_size_and_deterministic(spark, sf_dir):
 
 
 def test_stratified_sample_seed_deterministic(spark, sf_dir):
+    """r6 error-band form: (lang, exact n_rows, within_band). The
+    fixed-seed draw is deterministic, only requested strata report,
+    and every stratum's sampled count sits inside the 5-sigma binomial
+    band the oracle states as its contract."""
     fn = SPECS["stratified_sample_fractions"].fn
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b
     assert len(a) > 0
-    # only requested strata appear
-    langs = {t[1] for t in a}
+    langs = {t[0] for t in a}
     assert langs <= {"en", "es", "de", "fr", "zh"}
+    assert all(t[2] for t in a), a  # within_band holds per stratum
 
 
 def test_weighted_sample_pps_unbiased_and_sized(spark, sf_dir):
