@@ -423,6 +423,124 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_jaccard_calibration",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({D.sql_word_shingles()}) AS shingle
+      FROM documents
+    ),
+    mh AS (
+      SELECT doc_id, g.i AS seed,
+             MIN(CAST(('0x' || substr(md5(g.i || ':' || shingle), 1, 8)) AS BIGINT)) AS mh
+      FROM sh CROSS JOIN generate_series(0, {D.NUM_HASHES - 1}) AS g(i)
+      GROUP BY doc_id, g.i
+    ),
+    bands AS (
+      SELECT doc_id, seed // {D.BAND_SIZE} AS band_idx,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+      FROM mh GROUP BY doc_id, seed // {D.BAND_SIZE}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_agree
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.n_agree,
+             CAST(COALESCE(i.inter, 0) AS DOUBLE)
+               / CAST(za.n + zb.n - COALESCE(i.inter, 0) AS DOUBLE) AS true_j
+      FROM agree a
+      LEFT JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+      JOIN sz za ON za.doc_id = a.doc_a
+      JOIN sz zb ON zb.doc_id = a.doc_b
+    )
+    SELECT CAST(n_agree AS INT) AS n_agree,
+           COUNT(*) AS n_pairs,
+           round(CAST(SUM(CAST(round(true_j, 12) AS DECIMAL(38, 12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_true_jaccard
+    FROM paired
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm", "lsh", "stats"),
+    doc="Sketch CALIBRATION audit — the pre-flight check before trusting "
+    "MinHash at 100 TB: for every LSH candidate pair, the signature "
+    "agreement fraction (the sketch's Jaccard estimate, E[agree/16]=J) "
+    "is bucketed against the TRUE shingle Jaccard, so mis-tuned "
+    "num_hashes/band geometry shows up as estimate/truth divergence "
+    "per bucket instead of as silent dedup over/under-reach in "
+    "production. Scale shape: reuses the sub-quadratic candidate path "
+    "(never all-pairs); exact intersections are computed ONLY for "
+    "candidates via two equi-joins whose fan-out is candidates x "
+    "shingles-per-doc (linear in candidate text mass, no df^2 shingle "
+    "blow-up); the mean is DECIMAL-accumulated from IEEE-exact rational "
+    "terms (the source_divergence_stats determinism construction), so "
+    "the whole relation is value-oracled.",
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    cand = D.lsh_candidate_pairs(d).select("doc_a", "doc_b")
+    sigs = D.minhash_signatures(d)
+    agree_expr = sum(
+        (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
+        for i in range(D.NUM_HASHES)
+    )
+    agree = (
+        cand.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", agree_expr.alias("n_agree"))
+    )
+    sh = D.exploded_shingles(d)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+        )
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    true_j = F.coalesce(F.col("inter"), F.lit(0)).cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.coalesce(F.col("inter"), F.lit(0))
+    ).cast("double")
+    paired = (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sz.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sz.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select("n_agree", true_j.alias("true_j"))
+    )
+    return paired.groupBy(F.col("n_agree").cast("int").alias("n_agree")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("true_j"), 12).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_true_jaccard"),
+    )
+
+
+@register(
     "simhash_fingerprints",
     oracle=D.sql_simhash_table(),
     tags=("dedup", "llm"),
