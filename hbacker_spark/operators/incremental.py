@@ -66,6 +66,65 @@ def merge_dedup_state(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def chunk_dedup_state(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 8
+) -> DataFrame:
+    """(chunk_hash, first_doc, first_idx, n_occurrences) state of one
+    ingest batch for corpus-level CHUNK dedup (the incremental twin of
+    the registered ``chunk_dedup_retention`` query): per distinct
+    non-overlapping w-word chunk, the minimal (doc_id, chunk_idx)
+    owner — first-occurrence-wins survives any batch split because min
+    over a lexicographic pair is associative+commutative, exactly like
+    the doc-level ``dedup_state`` keeper. One linear explode + one
+    hash-shuffle on the chunk hash.
+    """
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split({text_col}, ' ')) - 1, {w}), "
+                f"s -> struct(CAST(s / {w} AS INT) AS idx, "
+                f"concat_ws(' ', slice(split({text_col}, ' '), s + 1, {w})) AS chunk))"
+            )
+        ).alias("c"),
+    )
+    return (
+        chunks.groupBy(F.md5(F.col("c.chunk").cast("binary")).alias("chunk_hash"))
+        .agg(
+            F.min(F.struct("doc_id", F.col("c.idx").alias("idx"))).alias("_f"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "chunk_hash",
+            F.col("_f.doc_id").alias("first_doc"),
+            F.col("_f.idx").alias("first_idx"),
+            "n_occurrences",
+        )
+    )
+
+
+def merge_chunk_dedup_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Associative + commutative merge of two chunk-dedup states:
+    min-of-min on the (first_doc, first_idx) pair and sum-of-count —
+    fold of any ingest split agrees bit-for-bit with the full
+    recompute, and the shuffle is over STATE rows (distinct chunks),
+    never over raw documents."""
+    return (
+        a.unionByName(b)
+        .groupBy("chunk_hash")
+        .agg(
+            F.min(F.struct("first_doc", "first_idx")).alias("_f"),
+            F.sum("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+        .select(
+            "chunk_hash",
+            F.col("_f.first_doc").alias("first_doc"),
+            F.col("_f.first_idx").alias("first_idx"),
+            "n_occurrences",
+        )
+    )
+
+
 def hll_state(df: DataFrame, group_col: str, distinct_col: str) -> DataFrame:
     """Per-group HLL sketch state — the decomposable form of grouped
     count-distinct. Same incremental algebra as the dedup state: the

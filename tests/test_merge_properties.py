@@ -130,6 +130,46 @@ def test_incremental_dedup_state_split_invariant(spark, sf_dir):
     )
 
 
+def test_incremental_chunk_dedup_state_split_invariant(spark, sf_dir):
+    """The chunk-level first-occurrence state (incremental twin of the
+    registered chunk_dedup_retention query) folds exactly: state over
+    the full corpus == any fold order of per-batch states, empty
+    increments are the identity, and the folded state reproduces the
+    query's corpus-wide kept-chunk count (one row per distinct chunk,
+    keeper = lexicographic-min (doc_id, chunk_idx))."""
+    from hbacker_spark.operators.incremental import (
+        chunk_dedup_state,
+        merge_chunk_dedup_state,
+    )
+    from hbacker_spark.queries.llm_pipeline import chunk_dedup_retention
+    from hbacker_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(11)), F.lit(3))
+    parts = [d.filter(bucket == i) for i in range(3)]
+    full = sorted(map(tuple, chunk_dedup_state(d).collect()))
+
+    s0, s1, s2 = (chunk_dedup_state(p) for p in parts)
+    left = sorted(
+        map(tuple, merge_chunk_dedup_state(merge_chunk_dedup_state(s0, s1), s2).collect())
+    )
+    swapped = sorted(
+        map(tuple, merge_chunk_dedup_state(merge_chunk_dedup_state(s2, s0), s1).collect())
+    )
+    assert left == full
+    assert swapped == full
+    empty = chunk_dedup_state(d.filter(F.lit(False)))
+    assert sorted(map(tuple, merge_chunk_dedup_state(s1, empty).collect())) == sorted(
+        map(tuple, s1.collect())
+    )
+    # the state IS the retention ledger: total kept chunks in the
+    # registered query == number of state rows (one keeper per chunk)
+    kept_total = (
+        chunk_dedup_retention(spark, sf_dir).agg(F.sum("kept_chunks")).first()[0]
+    )
+    assert kept_total == len(full)
+
+
 def test_incremental_hll_state_fold_equals_full_build(spark, sf_dir):
     """Union of per-batch HLL sketches estimates EXACTLY like the
     sketch built over the full data — the register-maxima algebra that
