@@ -1020,6 +1020,96 @@ def ann_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _keeper_by_quality(d, pairs)
 
 
+@register(
+    "ann_cluster_validity",
+    oracle=f"""
+    WITH RECURSIVE
+    prs AS (
+      SELECT c.vec_a AS va, c.vec_b AS vb,
+             round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+      FROM ({SIM.sql_ann_candidate_pairs(dim=EMB_DIM)}) c
+      JOIN embeddings a ON a.vec_id = c.vec_a
+      JOIN embeddings b ON b.vec_id = c.vec_b
+      WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM prs
+      UNION
+      SELECT vb AS u, va AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS size
+      FROM comp GROUP BY cluster_id HAVING COUNT(*) >= 2
+    ),
+    pc AS (
+      SELECT cm.cluster_id, p.cos
+      FROM prs p JOIN comp cm ON cm.vec_id = p.va
+    )
+    SELECT s.cluster_id, s.size,
+           COUNT(*) AS n_pairs_observed,
+           (COUNT(*) * 2 < s.size * (s.size - 1)) AS chain_risk,
+           round(MIN(p.cos), 6) AS min_pair_cos,
+           round(CAST(SUM(CAST(round(p.cos, 12) AS DECIMAL(38, 12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_pair_cos
+    FROM sizes s JOIN pc p USING (cluster_id)
+    GROUP BY s.cluster_id, s.size
+    """,
+    tags=("dedup", "llm", "similarity", "ann", "stats"),
+    doc="Cluster-VALIDITY audit for the transitive-closure dedup route — "
+    "the 'did CC over-merge?' receipt a curation run checks before "
+    "dropping non-keepers: per multi-member cluster, the member count, "
+    "how many scored pairs actually support it, chain_risk (true when "
+    "observed pairs < the clique's pair count — the cluster is held "
+    "together by a CHAIN of links, transitive closure's known "
+    "over-merge mode), and min/mean observed pair cosine (a low min in "
+    "a merged cluster = two barely-linked neighborhoods). Reuses the "
+    "oracled sub-quadratic machinery end to end (candidates → exact "
+    "rescore → CC), adds only cluster-sized aggregation; means use the "
+    "DECIMAL(38,12) order-independent accumulation.",
+)
+def ann_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.clustering import dedup_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = _ann_rescored_pairs(e)
+    clusters = dedup_clusters(
+        e, pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")),
+        id_col="vec_id",
+    )
+    comp = clusters.select("vec_id", F.col("keeper_id").alias("cluster_id"))
+    sizes = (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") >= 2)
+    )
+    pc = pairs.join(comp, pairs.vec_a == comp.vec_id).select("cluster_id", "cos_sim")
+    stats = pc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_pairs_observed"),
+        F.round(F.min("cos_sim"), 6).alias("min_pair_cos"),
+        F.round(
+            F.sum(F.round(F.col("cos_sim"), 12).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_pair_cos"),
+    )
+    return sizes.join(stats, "cluster_id").select(
+        "cluster_id",
+        "size",
+        "n_pairs_observed",
+        (F.col("n_pairs_observed") * 2 < F.col("size") * (F.col("size") - 1)).alias(
+            "chain_risk"
+        ),
+        "min_pair_cos",
+        "mean_pair_cos",
+    )
+
+
 def _keeper_by_quality(d: DataFrame, pairs: DataFrame) -> DataFrame:
     """components → quality keeper (max n_chars, ties min id) → membership."""
     from hbacker_spark.operators.clustering import connected_components
