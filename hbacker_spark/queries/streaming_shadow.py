@@ -250,8 +250,8 @@ def streaming_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata table is a single parquet file, so address it through a
     # glob (the non-glob prefix — sf_dir — becomes the basePath)
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
-    # watermarks require TIMESTAMP; the testdata surfaces TIMESTAMP_NTZ
-    # (nanos parquet — see .claude verify notes), so reinterpret as UTC
+    # watermarks require TIMESTAMP; the testdata parquet stores ts as
+    # nanosecond TIMESTAMP_NTZ, so reinterpret the wall-clock value as UTC
     agg = (
         stream.withColumn("ts", F.to_timestamp(F.col("ts").cast("string")))
         .withWatermark("ts", "1 day")
