@@ -2752,27 +2752,41 @@ def quality_softsign_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_int_pca():
+    from hbacker_spark.operators.pca import sql_int_pca_projection
+
+    return sql_int_pca_projection(dim=EMB_DIM)
+
+
 @register(
     "embedding_pca_projection",
-    oracle=None,  # power-iteration eigenvectors + fixed-point partial
-    # sums are not SQL-expressible; determinism + numpy subspace parity
-    # pinned in tests/test_pca.py
+    oracle=_sql_int_pca(),
     tags=("similarity", "llm", "iterative", "statistics"),
-    doc="PCA projection of the embedding corpus onto its top-2 principal "
-    "components: one exact fixed-point pass for the covariance "
-    "sufficient statistics (order-independent int64 partials — the "
-    "k-means/PageRank determinism contract), a driver-side seeded "
-    "power iteration on the tiny d x d matrix, and a codegen fold "
-    "projection pass. The dim-reduction step a training pipeline runs "
-    "before visualization / whitening / cheap ANN. Two corpus scans "
-    "total, driver work independent of corpus size.",
+    doc="PCA projection of the embedding corpus onto its top-2 "
+    "components via seeded INTEGER power iteration (r7 — the "
+    "integer-Lloyd playbook that oracled IVF training): one exact "
+    "floor-quantized pass for the covariance sufficient statistics "
+    "(order-independent int64 partials), 8 driver-side integer power "
+    "iterations on the tiny d x d matrix (exact matvec, power-of-two "
+    "floor rescale, exact integer deflation for pc2), and a codegen "
+    "integer fold projection pass. The published artifact is the "
+    "seeded 8-iteration integer subspace — fully value-oracled: DuckDB "
+    "unrolls the identical iterations as materialized CTEs. Alignment "
+    "with the true numpy eigenbasis is a measured receipt in "
+    "tests/test_pca.py (not part of the hash contract). Two corpus "
+    "scans total, driver work independent of corpus size.",
 )
 def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hbacker_spark.operators.pca import project, top_components
+    from hbacker_spark.operators.pca import (
+        int_cov_stats,
+        int_power_components,
+        int_project,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    comps, _ = top_components(e, EMB_DIM, k=2)
-    return project(e, comps)
+    s1, s2, n = int_cov_stats(e, EMB_DIM)
+    comps = int_power_components(s1, s2, n, EMB_DIM, k=2)
+    return int_project(e, comps)
 
 
 @register(

@@ -91,3 +91,75 @@ def test_projection_is_exact_left_fold(spark, embeddings):
                 )
             )
         assert got[r["vec_id"]] == tuple(want), r["vec_id"]
+
+
+# --- integer power iteration (r7, the oracled path) -------------------
+
+
+def test_int_components_deterministic_and_partition_independent(spark, embeddings):
+    """Exact integer arithmetic end-to-end => bit-identical components
+    across runs AND across partitionings."""
+    from hbacker_spark.operators.pca import int_cov_stats, int_power_components
+
+    s1a, s2a, na = int_cov_stats(embeddings, DIM)
+    s1b, s2b, nb = int_cov_stats(embeddings.repartition(7), DIM)
+    assert (s1a, s2a, na) == (s1b, s2b, nb)
+    assert int_power_components(s1a, s2a, na, DIM, k=2) == int_power_components(
+        s1b, s2b, nb, DIM, k=2
+    )
+
+
+def test_int_subspace_quality_receipt(spark, embeddings):
+    """The seeded 8-iteration integer subspace is the CONTRACT (the
+    oracle hash-checks it); this receipt pins that it is also a GOOD
+    subspace: near-orthogonal and capturing >= 90% of the variance the
+    true numpy top-2 eigenspace captures. Eigengaps in the synthetic
+    corpus are ~1.3%, so per-vector alignment needs hundreds of
+    iterations — captured variance is the honest quality measure for a
+    fixed-budget power method (same spirit as the IVF recall floors)."""
+    import numpy as np
+
+    from hbacker_spark.operators.pca import (
+        QP_BITS,
+        int_cov_stats,
+        int_power_components,
+    )
+
+    s1, s2, n = int_cov_stats(embeddings, DIM)
+    comps = int_power_components(s1, s2, n, DIM, k=2)
+    scale = float(1 << QP_BITS)
+    S1 = np.array(s1, dtype="float64")
+    S2 = np.array(s2, dtype="float64")
+    mu = S1 / (n * scale)
+    cov = S2 / (n * scale * scale) - np.outer(mu, mu)
+    w, _ = np.linalg.eigh(cov)
+    v1 = np.array(comps[0], dtype="float64")
+    v2 = np.array(comps[1], dtype="float64")
+    v1 /= np.linalg.norm(v1)
+    v2 /= np.linalg.norm(v2)
+    assert abs(float(v1 @ v2)) < 1e-4  # integer Gram-Schmidt worked
+    captured = (v1 @ cov @ v1 + v2 @ cov @ v2) / (w[-1] + w[-2])
+    assert captured >= 0.90, captured  # measured 0.970 sf0.01 / 0.949 sf0.1
+
+
+def test_int_projection_matches_python_fold(spark, embeddings):
+    """The JVM integer fold projection must equal the Python-int dot
+    exactly (no rounding anywhere in the integer path)."""
+    import math
+
+    from hbacker_spark.operators.pca import (
+        QP_BITS,
+        int_cov_stats,
+        int_power_components,
+        int_project,
+    )
+
+    s1, s2, n = int_cov_stats(embeddings, DIM)
+    comps = int_power_components(s1, s2, n, DIM, k=2)
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in int_project(embeddings, comps).collect()}
+    rows = embeddings.select("vec_id", "embedding").limit(50).collect()
+    scale = float(1 << QP_BITS)
+    for r in rows:
+        fp = [math.floor(float(x) * scale) for x in r["embedding"]]
+        want = tuple(sum(a * b for a, b in zip(fp, comp)) for comp in comps)
+        assert got[r["vec_id"]] == want, r["vec_id"]
