@@ -222,23 +222,47 @@ def stream_join_attribution_shadow(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "streaming_state_audit",
-    oracle=None,  # statestore rows depend on the engine's watermark
-    # eviction timing and checkpoint layout → rows-only; the audited
-    # counts are pinned exactly in tests/test_streaming.py
+    # Contract-form oracle (r7, VERDICT r6 #3): the audited state has an
+    # exact batch twin.  After an availableNow drain of a windowed count
+    # with a 1-day watermark, the state store holds exactly the
+    # (window, event_type) groups SURVIVING the final watermark — Spark
+    # evicts a window once window.end <= watermark = max(ts) - delay —
+    # so every output cell is DuckDB-computable from the events table.
+    # Eviction-timing internals stay out of the checked relation.
+    oracle="""
+    WITH e AS (SELECT date_trunc('day', ts) AS d, event_type FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM events),
+    surv AS (
+      SELECT DISTINCT d, event_type
+      FROM e, wm WHERE d + INTERVAL 1 DAY > wm.w
+    )
+    SELECT 'stateStoreSave' AS operator_name,
+           CAST(0 AS BIGINT) AS operator_id,
+           CAST(COUNT(*) AS BIGINT) AS n_state_rows,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct_keys,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_windows
+    FROM surv
+    """,
     tags=("streaming", "state", "observability"),
-    doc="Driver-visible state-store audit (VERDICT r5 #7): runs a "
-    "bounded windowed-count stream over the events table (availableNow "
-    "+ watermark) into a throwaway checkpoint, then reads that "
-    "checkpoint back through the Spark-4 statestore/state-metadata "
+    doc="Driver-visible state-store audit (VERDICT r5 #7, oracled r7): "
+    "runs a bounded windowed-count stream over the events table "
+    "(availableNow + watermark) into a throwaway checkpoint, then reads "
+    "that checkpoint back through the Spark-4 statestore/state-metadata "
     "batch readers and reports per-operator state volume — operator "
-    "name, state rows, distinct keys and windows. This is the 100 TB "
-    "operational story ('why is this checkpoint 2 TB') exercised "
-    "end-to-end as a registered query, the way ann_bucket_stats makes "
-    "cap accounting driver-checkable. The audit scans only checkpoint "
+    "name, state rows, distinct keys and windows. Fully value-oracled "
+    "in contract form: the retained state rows are exactly the distinct "
+    "(1-day window, event_type) pairs whose window end outlives the "
+    "final watermark (max(ts) - 1 day), which DuckDB computes exactly "
+    "from the same parquet — so the hash match proves the engine's "
+    "watermark eviction kept precisely the right keys. This is the "
+    "100 TB operational story ('why is this checkpoint 2 TB') exercised "
+    "end-to-end as a registered query. The audit scans only checkpoint "
     "files — never the stream's input — so on a real deployment it is "
-    "O(state), not O(data).",
+    "O(state), not O(data). The tiny 1-row audit is materialized "
+    "eagerly so the throwaway checkpoint can be deleted before return.",
 )
 def streaming_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from hbacker_spark.sources.tables import table_path
@@ -246,38 +270,53 @@ def streaming_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     ckpt = tempfile.mkdtemp(prefix="hbacker_state_audit_")
-    # FileStreamSource insists its basePath is a DIRECTORY; the
-    # testdata table is a single parquet file, so address it through a
-    # glob (the non-glob prefix — sf_dir — becomes the basePath)
-    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
-    # watermarks require TIMESTAMP; the testdata parquet stores ts as
-    # nanosecond TIMESTAMP_NTZ, so reinterpret the wall-clock value as UTC
-    agg = (
-        stream.withColumn("ts", F.to_timestamp(F.col("ts").cast("string")))
-        .withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        # FileStreamSource insists its basePath is a DIRECTORY; the
+        # testdata table is a single parquet file, so address it through a
+        # glob (the non-glob prefix — sf_dir — becomes the basePath)
+        stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+        # watermarks require TIMESTAMP; the testdata parquet stores ts as
+        # nanosecond TIMESTAMP_NTZ, so reinterpret the wall-clock value as UTC
+        agg = (
+            stream.withColumn("ts", F.to_timestamp(F.col("ts").cast("string")))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
-    st = read_state(spark, ckpt).select(
-        F.col("key.event_type").alias("event_type"),
-        F.col("key.window.start").alias("win_start"),
+        st = read_state(spark, ckpt).select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("key.window.start").alias("win_start"),
+        )
+        audit = st.agg(
+            F.count(F.lit(1)).alias("n_state_rows"),
+            F.countDistinct("event_type").alias("n_distinct_keys"),
+            F.countDistinct("win_start").alias("n_windows"),
+        )
+        meta = (
+            state_metadata(spark, ckpt)
+            .select(
+                F.col("operatorName").alias("operator_name"),
+                F.col("operatorId").cast("long").alias("operator_id"),
+            )
+            .limit(1)
+        )
+        # the audit is ONE row; materialize it so the checkpoint dir can
+        # be removed before return (bench/parity re-runs were leaking
+        # state-store files in /tmp) — O(1) driver data, not a data path
+        rows = meta.crossJoin(audit).collect()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "operator_name string, operator_id long, n_state_rows long, "
+        "n_distinct_keys long, n_windows long",
     )
-    audit = st.agg(
-        F.count(F.lit(1)).alias("n_state_rows"),
-        F.countDistinct("event_type").alias("n_distinct_keys"),
-        F.countDistinct("win_start").alias("n_windows"),
-    )
-    meta = state_metadata(spark, ckpt).select(
-        F.col("operatorName").alias("operator_name"),
-        F.col("operatorId").cast("long").alias("operator_id"),
-    ).limit(1)
-    return meta.crossJoin(audit)
