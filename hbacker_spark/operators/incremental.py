@@ -125,6 +125,70 @@ def merge_chunk_dedup_state(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def span_dedup_state(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 8
+) -> DataFrame:
+    """(gram_hash, first_doc, first_pos, n_occurrences) state of one
+    ingest batch for ExactSubstr SPAN removal (the incremental twin of
+    the registered ``span_removal_filter`` query): per distinct
+    OVERLAPPING w-word gram, the minimal (doc_id, pos) owner. The only
+    difference from :func:`chunk_dedup_state` is the gram generation —
+    every word position starts a gram (stride 1), because span removal
+    must catch duplicated text at ANY alignment, not just on chunk
+    boundaries. min over the lexicographic (doc_id, pos) pair is
+    associative+commutative, so first-occurrence ownership survives any
+    batch split. One linear ~n_words explode + one hash-shuffle on the
+    gram hash.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(F.split(F.col(text_col), " ")) >= w,
+                F.expr(
+                    f"transform(sequence(0, size(split({text_col}, ' ')) - {w}), "
+                    f"p -> struct(CAST(p AS INT) AS pos, "
+                    f"concat_ws(' ', slice(split({text_col}, ' '), p + 1, {w})) AS gram))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<pos:int,gram:string>>)"))
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy(F.md5(F.col("g.gram").cast("binary")).alias("gram_hash"))
+        .agg(
+            F.min(F.struct("doc_id", F.col("g.pos").alias("pos"))).alias("_f"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "gram_hash",
+            F.col("_f.doc_id").alias("first_doc"),
+            F.col("_f.pos").alias("first_pos"),
+            "n_occurrences",
+        )
+    )
+
+
+def merge_span_dedup_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Associative + commutative merge of two span-dedup states — the
+    same algebra as :func:`merge_chunk_dedup_state`: min-of-min on the
+    (first_doc, first_pos) owner and sum-of-count. Shuffle is over
+    STATE rows (distinct grams), never raw documents."""
+    return (
+        a.unionByName(b)
+        .groupBy("gram_hash")
+        .agg(
+            F.min(F.struct("first_doc", "first_pos")).alias("_f"),
+            F.sum("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+        .select(
+            "gram_hash",
+            F.col("_f.first_doc").alias("first_doc"),
+            F.col("_f.first_pos").alias("first_pos"),
+            "n_occurrences",
+        )
+    )
+
+
 def hll_state(df: DataFrame, group_col: str, distinct_col: str) -> DataFrame:
     """Per-group HLL sketch state — the decomposable form of grouped
     count-distinct. Same incremental algebra as the dedup state: the

@@ -3225,6 +3225,168 @@ def chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_removal_filter",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, s AS p, md5(array_to_string(ws[s + 1 : s + {SPAN_W}], ' ')) AS h
+      FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - {SPAN_W})) AS s
+            FROM ws WHERE len(ws) >= {SPAN_W})
+    ),
+    dup AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        FROM grams) WHERE rn >= 2
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, p + o.o AS pos
+      FROM dup CROSS JOIN generate_series(0, {SPAN_W - 1}) o(o)
+    ),
+    words AS (
+      SELECT doc_id, s AS pos, ws[s + 1] AS word
+      FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS s FROM ws)
+    ),
+    kept AS (
+      SELECT w.doc_id, w.pos, w.word
+      FROM words w LEFT JOIN rem r ON r.doc_id = w.doc_id AND r.pos = w.pos
+      WHERE r.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(word, ' ' ORDER BY pos) AS cleaned_text,
+             COUNT(*) AS kept_words
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.cleaned_text, '') AS cleaned_text,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           CAST(COALESCE(a.kept_words, 0) AS BIGINT) AS kept_words,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(a.kept_words, 0) AS BIGINT)
+             AS removed_words,
+           CAST(length(COALESCE(a.cleaned_text, '')) AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "dedup", "text", "cleaning"),
+    doc=f"ExactSubstr SPAN-REMOVAL filter (r7 — the Lee-et-al dedup step "
+    f"between the census and the chunk filter): every OVERLAPPING "
+    f"{SPAN_W}-word gram occurrence is ranked corpus-wide by (doc_id, "
+    f"pos); any word covered by a non-first gram occurrence is removed "
+    f"IN PLACE from the surviving document, first-occurrence-wins, and "
+    f"the remainder of the doc is reassembled by integer word position. "
+    f"Returns the cleaned corpus itself (production output) plus the "
+    f"per-doc retention receipt (n_words / kept_words / removed_words / "
+    f"kept_chars). Complements duplicated_span_census (which only "
+    f"AUDITS repeated spans) and chunk_dedup_retention (which drops "
+    f"whole fixed chunks). Plan: one linear gram explode, ONE window "
+    f"shuffle on the gram hash (group sizes = duplicate multiplicity), "
+    f"a bounded {SPAN_W}x explode of only the DUPLICATE occurrences, "
+    f"and a (doc_id, pos) anti-join + doc_id rollup — uniform keys, no "
+    f"skew; the operator rewrites every document, so two corpus-sized "
+    f"shuffles is the honest floor. Exact integer positions + md5 grams "
+    f"end to end: no floats anywhere, both engines agree bit-for-bit. "
+    f"Incremental twin: operators/incremental.py span_dedup_state "
+    f"(span_removal_incremental proves fold == recompute).",
+)
+def span_removal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(F.split(F.col("text"), " ")) >= SPAN_W,
+                F.expr(
+                    f"transform(sequence(0, size(split(text, ' ')) - {SPAN_W}), "
+                    f"p -> struct(CAST(p AS INT) AS p, "
+                    f"concat_ws(' ', slice(split(text, ' '), p + 1, {SPAN_W})) AS gram))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<p:int,gram:string>>)"))
+        ).alias("g"),
+    ).select("doc_id", "g.p", "g.gram")
+    w = Window.partitionBy(F.md5(F.col("gram").cast("binary"))).orderBy("doc_id", "p")
+    dup = grams.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") >= 2)
+    rem = dup.select(
+        "doc_id", F.explode(F.expr(f"sequence(p, p + {SPAN_W - 1})")).alias("pos")
+    )
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    kept = words.join(rem, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(sort_array(collect_list(struct(pos, word))), "
+            "x -> x.word))"
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("kept_words"),
+    )
+    return (
+        d.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words")
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            "n_words",
+            F.coalesce(F.col("kept_words"), F.lit(0)).cast("long").alias("kept_words"),
+            (F.col("n_words") - F.coalesce(F.col("kept_words"), F.lit(0)))
+            .cast("long")
+            .alias("removed_words"),
+            F.length(F.coalesce("cleaned_text", F.lit("")))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "span_removal_incremental",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, s AS p, array_to_string(ws[s + 1 : s + {SPAN_W}], ' ') AS gram
+      FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - {SPAN_W})) AS s
+            FROM ws WHERE len(ws) >= {SPAN_W})
+    )
+    SELECT gram_hash, first_doc, first_pos, n_occurrences FROM (
+      SELECT md5(gram) AS gram_hash,
+             doc_id AS first_doc,
+             p AS first_pos,
+             CAST(COUNT(*) OVER (PARTITION BY md5(gram)) AS BIGINT) AS n_occurrences,
+             ROW_NUMBER() OVER (PARTITION BY md5(gram) ORDER BY doc_id, p) AS rn
+      FROM grams) WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "incremental"),
+    doc="Incremental span-dedup-state maintenance, proved in the gate "
+    "(the dedup_groups_incremental pattern): the corpus is split into "
+    "two deterministic ingest batches (md5 bucket of doc_id), each "
+    "batch builds its own (gram_hash, first_doc, first_pos, "
+    "n_occurrences) ownership state over OVERLAPPING spans, and the "
+    "states are MERGED (operators/incremental.py span_dedup_state / "
+    "merge_span_dedup_state). The oracle is the plain full-corpus "
+    "first-occurrence ownership, so the hash match IS the proof that "
+    "fold-of-batches == full recompute — at 100 TB, span removal over "
+    "a growing corpus costs one state build over the new batch plus "
+    "one merge over state rows, not a rescan of history. min over the "
+    "lexicographic (doc_id, pos) pair and sum are associative+"
+    "commutative, so any ingest order agrees bit-for-bit.",
+)
+def span_removal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.incremental import (
+        merge_span_dedup_state,
+        span_dedup_state,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 2
+    )
+    return merge_span_dedup_state(
+        span_dedup_state(d.filter(bucket == 0)),
+        span_dedup_state(d.filter(bucket == 1)),
+    )
+
+
+@register(
     "source_divergence_stats",
     oracle="""
     WITH tok AS (

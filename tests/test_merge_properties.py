@@ -485,3 +485,42 @@ def test_state_fold_stream_with_uri_state_dir(spark, sf_dir, tmp_path):
 
     got = sorted(map(tuple, read_folded_state(spark, state).collect()))
     assert got == sorted(map(tuple, dedup_state(d).collect()))
+
+
+def test_incremental_span_dedup_state_split_invariant(spark, sf_dir):
+    """The overlapping-gram ownership state (incremental twin of the
+    registered span_removal_filter query) folds exactly: full-corpus
+    state == any fold order of per-batch states, empty increments are
+    the identity, and the state agrees with the filter — a gram whose
+    owner is unique (n_occurrences == 1) never causes removal, so total
+    removed words is bounded by SPAN_W x duplicate gram occurrences."""
+    from hbacker_spark.operators.incremental import (
+        merge_span_dedup_state,
+        span_dedup_state,
+    )
+    from hbacker_spark.queries.llm_pipeline import SPAN_W, span_removal_filter
+    from hbacker_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(3))
+    parts = [d.filter(bucket == i) for i in range(3)]
+    full = sorted(map(tuple, span_dedup_state(d).collect()))
+
+    s0, s1, s2 = (span_dedup_state(p) for p in parts)
+    left = sorted(
+        map(tuple, merge_span_dedup_state(merge_span_dedup_state(s0, s1), s2).collect())
+    )
+    swapped = sorted(
+        map(tuple, merge_span_dedup_state(merge_span_dedup_state(s2, s0), s1).collect())
+    )
+    assert left == full
+    assert swapped == full
+    empty = span_dedup_state(d.filter(F.lit(False)))
+    assert sorted(map(tuple, merge_span_dedup_state(s1, empty).collect())) == sorted(
+        map(tuple, s1.collect())
+    )
+    # cross-check against the filter: duplicate gram occurrences =
+    # sum(n_occurrences - 1); each covers at most SPAN_W words
+    dup_occ = sum(r[3] - 1 for r in full)
+    removed = span_removal_filter(spark, sf_dir).agg(F.sum("removed_words")).first()[0]
+    assert 0 < removed <= SPAN_W * dup_occ
