@@ -57,6 +57,7 @@ checkpoint — release only at query boundaries.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Window
@@ -66,8 +67,14 @@ from pyspark.sql import functions as F
 # has not yet released. JavaSparkContext.getPersistentRDDs() is the
 # source of truth for what is still held; we keep our own handles so
 # release never touches blocks pinned by OTHER operators (the CC loop's
-# per-round checkpoints manage their own lifecycle).
+# per-round checkpoints manage their own lifecycle). Mutation is
+# lock-guarded; the before/after diff in _tracked_checkpoint holds the
+# lock across the checkpoint call so a concurrent persist by another
+# thread cannot be mis-attributed to this module (ADVICE r6). Release
+# filters on the owning SparkContext, so a handle from a stopped/
+# restarted context is never applied to the wrong JVM state.
 _PINNED: list = []
+_PINNED_LOCK = threading.Lock()
 
 
 def _tracked_checkpoint(df: DataFrame) -> DataFrame:
@@ -78,12 +85,13 @@ def _tracked_checkpoint(df: DataFrame) -> DataFrame:
     action), so a before/after diff of the persistent-RDD map
     identifies the new entry."""
     sc = df.sparkSession.sparkContext
-    jmap_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=False)
-    jmap = sc._jsc.getPersistentRDDs()
-    for rid in jmap.keySet().toArray():
-        if rid not in jmap_before:
-            _PINNED.append((id(sc), jmap.get(rid)))
+    with _PINNED_LOCK:
+        jmap_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint(eager=False)
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in jmap.keySet().toArray():
+            if rid not in jmap_before:
+                _PINNED.append((id(sc), jmap.get(rid)))
     return out
 
 
@@ -91,15 +99,26 @@ def release_rank_blocks(spark=None) -> int:
     """Unpersist every checkpoint block this module pinned; returns the
     number of relations released. Call AFTER the consuming action (a
     checkpoint still feeding an un-collected DataFrame must stay); the
-    oracle harness / bench call this at each query boundary."""
+    oracle harness / bench call this at each query boundary. If
+    ``spark`` is given, only blocks pinned under THAT session's
+    SparkContext are released (a caller holding its own context can't
+    free another context's checkpoints); with no argument every
+    tracked block is released."""
+    want = id(spark.sparkContext) if spark is not None else None
     n = 0
-    while _PINNED:
-        _, jrdd = _PINNED.pop()
-        try:
-            jrdd.unpersist(False)
-            n += 1
-        except Exception:
-            pass  # context already stopped: blocks are gone anyway
+    with _PINNED_LOCK:
+        keep = []
+        while _PINNED:
+            scid, jrdd = _PINNED.pop()
+            if want is not None and scid != want:
+                keep.append((scid, jrdd))
+                continue
+            try:
+                jrdd.unpersist(False)
+                n += 1
+            except Exception:
+                pass  # context already stopped: blocks are gone anyway
+        _PINNED.extend(keep)
     return n
 
 
