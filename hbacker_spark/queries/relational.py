@@ -2649,6 +2649,144 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_portable_oracles() -> tuple[str, str]:
+    from hbacker_spark.functions import hll as H
+
+    regs = H.sql_registers("events", "event_type", "user_id")
+    distinct = f"""
+    WITH regs AS ({regs}),
+    allregs AS (SELECT 'ALL' AS grp, bucket, MAX(rho) AS rho FROM regs GROUP BY 2),
+    s AS ({H.sql_estimate_agg("(SELECT * FROM regs UNION ALL SELECT * FROM allregs)")})
+    SELECT grp AS event_type, {H.sql_estimate()} AS est_users FROM s
+    """
+    overlap = f"""
+    WITH regs AS ({regs}),
+    types AS (SELECT DISTINCT grp FROM regs),
+    pairs AS (SELECT a.grp AS type_a, b.grp AS type_b
+              FROM types a JOIN types b ON a.grp < b.grp),
+    u AS (
+      SELECT p.type_a, p.type_b, r.bucket, MAX(r.rho) AS rho
+      FROM pairs p JOIN regs r ON r.grp = p.type_a OR r.grp = p.type_b
+      GROUP BY 1, 2, 3
+    ),
+    su AS (
+      SELECT type_a, type_b,
+             SUM(CAST(1 AS BIGINT) << ({H.RHO_W} - rho))
+               + ({H.M} - COUNT(*)) * (CAST(1 AS BIGINT) << {H.RHO_W}) AS s,
+             COUNT(*) AS nb
+      FROM u GROUP BY 1, 2
+    ),
+    st AS ({H.sql_estimate_agg("regs")}),
+    est AS (SELECT grp, {H.sql_estimate()} AS e FROM st)
+    SELECT su.type_a, su.type_b,
+           ea.e AS est_a, eb.e AS est_b,
+           {H.sql_estimate()} AS est_union,
+           round(ea.e + eb.e - {H.sql_estimate()}, 4) AS est_overlap
+    FROM su JOIN est ea ON ea.grp = su.type_a JOIN est eb ON eb.grp = su.type_b
+    """
+    return distinct, overlap
+
+
+_HLL_PORTABLE_DISTINCT_SQL, _HLL_PORTABLE_OVERLAP_SQL = _hll_portable_oracles()
+
+
+@register(
+    "hll_portable_distinct_users",
+    oracle=_HLL_PORTABLE_DISTINCT_SQL,
+    tags=("aggregation", "approx", "sketch"),
+    doc="PRODUCTION-SHAPED sketch distinct counting, ESTIMATE "
+    "value-oracled (r7, ADVICE r6: the error-band forms check the "
+    "contract but drop the estimate and pay an exact second pass — "
+    "this query returns the one-pass approximate path itself): "
+    "portable md5-keyed HyperLogLog (functions/hll.py) — 256 "
+    "registers from the first md5 byte, rho from exact bin() bitlen "
+    "of the next 40 bits, Σ2^-r as an exact int64 with closed-form "
+    "complement, linear-counting small-range branch via an embedded "
+    "literal ln table so neither engine's ln() enters the hash "
+    "contract. Emits (event_type, est_users) per type plus an 'ALL' "
+    "row whose registers are the bucket-wise MAX of the per-type "
+    "registers — the mergeable rollup demonstrated in-query, "
+    "hash-checked cell-for-cell. One corpus scan, map-side combine "
+    "into <=256 rows per group; measured rel. error 4.2%/3.1% at "
+    "sf0.01/sf0.1 (sigma = 6.5%), pinned in test_curation_stats.py. "
+    "The DataSketches twins (hll_distinct_users, "
+    "approx_distinct_users) stay as the native-sketch contract "
+    "checks.",
+)
+def hll_portable_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.functions import hll as H
+
+    e = load_table(spark, sf_dir, "events")
+    regs = H.registers(e, ["event_type"], "user_id")
+    all_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "rho")
+    )
+    s = H.estimate_agg(regs.unionByName(all_regs), ["event_type"])
+    return s.select("event_type", H.estimate_expr().alias("est_users"))
+
+
+@register(
+    "hll_portable_audience_overlap",
+    oracle=_HLL_PORTABLE_OVERLAP_SQL,
+    tags=("aggregation", "approx", "sketch"),
+    doc="Pairwise audience overlap from PORTABLE HLL sketches with the "
+    "intersection ESTIMATES value-oracled (r7 — the production-shaped "
+    "twin of the error-band hll_audience_overlap): per unordered "
+    "event-type pair, union registers = bucket-wise max of the two "
+    "register sets (sketch merge, never a rescan), est_overlap = "
+    "est_a + est_b - est_union by inclusion-exclusion. Every float op "
+    "is IEEE-exact over identical literals, so DuckDB reproduces all "
+    "four estimate columns bit-for-bit. Corpus work is the ONE "
+    "register-build scan; everything pairwise runs on <=types x 256 "
+    "register rows (the type<type nested-loop pair join is bounded by "
+    "group cardinality squared, never data volume).",
+)
+def hll_portable_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.functions import hll as H
+
+    e = load_table(spark, sf_dir, "events")
+    regs = H.registers(e, ["event_type"], "user_id")
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    u = (
+        pairs.join(
+            regs,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    su = H.estimate_agg(u, ["type_a", "type_b"]).select(
+        "type_a", "type_b", H.estimate_expr().alias("est_union")
+    )
+    est = H.estimate_agg(regs, ["event_type"]).select(
+        "event_type", H.estimate_expr().alias("e")
+    )
+    return (
+        su.join(est.select(F.col("event_type").alias("type_a"), F.col("e").alias("est_a")), "type_a")
+        .join(est.select(F.col("event_type").alias("type_b"), F.col("e").alias("est_b")), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+                "est_overlap"
+            ),
+        )
+    )
+
+
 @register(
     "wide_orders_denormalized",
     oracle=f"""

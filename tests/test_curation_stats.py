@@ -72,3 +72,41 @@ def test_source_divergence_ranges_and_partitioning_invariance(spark, sf_dir):
             rows3[s].tv_distance,
             rows3[s].n_tokens,
         )
+
+
+def test_portable_hll_accuracy_and_merge(spark, sf_dir):
+    """The portable HLL (functions/hll.py) is hash-oracled for
+    DETERMINISM; this pins the two properties the hash can't see:
+    (1) accuracy — every per-type estimate and the 'ALL' rollup are
+    within 3 sigma (19.5% at m=256; measured ~4%) of exact distinct;
+    (2) mergeability — registers built over arbitrary batch splits,
+    merged by bucket-wise max, equal the full-corpus registers exactly
+    (the sketch algebra that makes it a one-pass 100 TB operator)."""
+    from hbacker_spark.functions import hll as H
+    from hbacker_spark.registry import load_all_queries
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    est = load_all_queries()["hll_portable_distinct_users"].fn(spark, sf_dir).collect()
+    assert len(est) == len(exact)
+    for r in est:
+        rel = abs(r["est_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        assert rel < 0.195, (r["event_type"], r["est_users"], exact[r["event_type"]])
+
+    # merge property: batch-split registers fold to the full registers
+    bucket = F.pmod(F.xxhash64("user_id", F.lit(7)), F.lit(3))
+    parts = [H.registers(e.filter(bucket == i), ["event_type"], "user_id") for i in range(3)]
+    folded = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = H.registers(e, ["event_type"], "user_id")
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, full.collect()))

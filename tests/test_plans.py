@@ -344,6 +344,10 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     # per-event_type groupBy results, so the nested loop is bounded by
     # group cardinality² (types²), never by data volume
     "hll_audience_overlap",
+    # same bound: the type<type pair join and the pair→register-row
+    # OR-join both run over ≤ types × 256 register rows (sketch state),
+    # never raw events
+    "hll_portable_audience_overlap",
     # 1-row broadcast of the sorted per-source count array (the
     # closed-form interleave rank, VERDICT r4 #1 fix)
     "mixture_interleave",
