@@ -95,6 +95,13 @@ def _tracked_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+# Public alias: the managed lazy-checkpoint is useful beyond rank
+# routing (graph.py reuses it to materialize shared join subtrees);
+# blocks are freed by the same release_rank_blocks query-boundary hook.
+def tracked_checkpoint(df: DataFrame) -> DataFrame:
+    return _tracked_checkpoint(df)
+
+
 def release_rank_blocks(spark=None) -> int:
     """Unpersist every checkpoint block this module pinned; returns the
     number of relations released. Call AFTER the consuming action (a
