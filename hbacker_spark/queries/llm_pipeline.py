@@ -1075,9 +1075,16 @@ def ann_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.clustering import dedup_clusters
+    from hbacker_spark.operators.rank import tracked_checkpoint
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = _ann_rescored_pairs(e)
+    # the rescored pair relation feeds BOTH the CC edges and the
+    # per-cluster stats join — checkpoint it once or the whole
+    # LSH-candidate + Arrow-rescore pipeline executes twice. At sf0.1
+    # the query is CC-round/job-floor-bound (~5 s either way), but at
+    # the 10x replica — where the rescore is data-bound — this is
+    # 120 s -> 52 s (r7, noop-sink runs)
+    pairs = tracked_checkpoint(_ann_rescored_pairs(e))
     clusters = dedup_clusters(
         e, pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")),
         id_col="vec_id",
