@@ -670,31 +670,20 @@ def sql_ann_candidate_pairs(
     """
 
 
-def sql_ivf_topk(
-    vec_rel: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    k: int = 10,
-    seed: int = SEED,
-    n_iter: int = TRAIN_ITERS,
-    query_id: int = 0,
-) -> str:
-    """(vec_id, cos_sim, rnk) — DuckDB mirror of :func:`ivf_topk`,
-    including the TRAINING: the integer Lloyd iterations are unrolled
-    as materialized CTEs (the PageRank/k-core playbook). Every step is
-    exact integer arithmetic — md5 seed centroids, 2²⁰-quantized
-    components, L2 distances, the dist·n+j min-key (distance argmin
-    with centroid-id tiebreak, = numpy argmin's first-minimum), and a
-    floor-division centroid update (numerator made exactly divisible
-    first because DuckDB's ``//`` truncates toward zero while numpy's
-    floors) — so assignments, probe lists and the candidate set match
-    the engine cell-for-cell; only the final rerank touches floats
-    (the same round-6 cosine both engines already agree on)."""
-    from hbacker_spark.functions.similarity import sql_cosine
-
+def _sql_ivf_train_parts(
+    vec_rel: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_centroids: int,
+    seed: int,
+    n_iter: int,
+) -> list[str]:
+    """Shared WITH-body parts for the integer-Lloyd IVF oracles: the
+    quantized unnest, md5 seed centroids, and the unrolled training
+    iterations ending at the final assignment ``_a{n_iter}``. Used by
+    :func:`sql_ivf_topk` and :func:`sql_ivf_balanced_sample` so the two
+    oracles replay the IDENTICAL training."""
     nc = n_centroids
     parts = [
         f"""WITH _x AS MATERIALIZED (
@@ -732,6 +721,64 @@ def sql_ivf_topk(
              END AS c
       FROM _c{i} c LEFT JOIN _s{i} s ON s.j = c.j AND s.k = c.k
     )""")
+    return parts
+
+
+def sql_ivf_balanced_sample(
+    vec_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    seed: int = SEED,
+    n_iter: int = TRAIN_ITERS,
+    k: int = 8,
+) -> str:
+    """(cluster_id, vec_id, rnk) — DuckDB mirror of the cluster-balanced
+    subsample: the same unrolled integer-Lloyd training/assignment as
+    :func:`sql_ivf_topk`, then the md5-smallest ``k`` members per
+    cluster (deterministic pseudo-random order, engine-portable)."""
+    parts = _sql_ivf_train_parts(vec_rel, id_col, vec_col, dim, n_centroids, seed, n_iter)
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT cluster_id, vec_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT a.cid AS cluster_id, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY a.cid
+                                ORDER BY md5('bal:' || a.vec_id), a.vec_id) AS rnk
+      FROM _a{n_iter} a)
+    WHERE rnk <= {k}
+    """
+    )
+
+
+def sql_ivf_topk(
+    vec_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    seed: int = SEED,
+    n_iter: int = TRAIN_ITERS,
+    query_id: int = 0,
+) -> str:
+    """(vec_id, cos_sim, rnk) — DuckDB mirror of :func:`ivf_topk`,
+    including the TRAINING: the integer Lloyd iterations are unrolled
+    as materialized CTEs (the PageRank/k-core playbook). Every step is
+    exact integer arithmetic — md5 seed centroids, 2²⁰-quantized
+    components, L2 distances, the dist·n+j min-key (distance argmin
+    with centroid-id tiebreak, = numpy argmin's first-minimum), and a
+    floor-division centroid update (numerator made exactly divisible
+    first because DuckDB's ``//`` truncates toward zero while numpy's
+    floors) — so assignments, probe lists and the candidate set match
+    the engine cell-for-cell; only the final rerank touches floats
+    (the same round-6 cosine both engines already agree on)."""
+    from hbacker_spark.functions.similarity import sql_cosine
+
+    nc = n_centroids
+    parts = _sql_ivf_train_parts(vec_rel, id_col, vec_col, dim, nc, seed, n_iter)
     parts.append(f"""_probe AS (
       SELECT j FROM (
         SELECT c.j AS j,

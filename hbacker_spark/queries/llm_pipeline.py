@@ -764,6 +764,39 @@ def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_cluster_balanced_sample",
+    oracle=SIM.sql_ivf_balanced_sample(dim=EMB_DIM),
+    tags=("similarity", "llm", "ann", "sampling", "mixture"),
+    doc="Cluster-balanced subsampling (the SemDeDup/DataComp-style "
+    "diversity sampler, r7): every embedding is assigned to its "
+    "integer-Lloyd IVF cluster (the SAME trained centroids the ANN "
+    "index uses — one Arrow-batched assignment pass), then the "
+    "md5-smallest 8 members per cluster are kept — a deterministic "
+    "pseudo-random draw that equalizes cluster representation instead "
+    "of letting dense regions dominate the sample. Fully value-oracled: "
+    "DuckDB replays the identical training iterations "
+    "(sql_ivf_balanced_sample shares the unrolled CTEs with "
+    "sql_ivf_topk) and the same md5 order. Plan: the rank<=k filter "
+    "over the per-cluster window compiles to WindowGroupLimit, so each "
+    "map task pre-truncates to k rows per cluster BEFORE the shuffle — "
+    "at 100 TB the exchange carries O(clusters x k), not the corpus.",
+)
+def ivf_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = SIM.ivf_assign(
+        e, n_centroids=16, dim=EMB_DIM, train_iters=SIM.TRAIN_ITERS
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 8)
+        .select(F.col("centroid_id").alias("cluster_id"), "vec_id", "rnk")
+    )
+
+
+@register(
     "ann_candidate_pairs",
     oracle=SIM.sql_ann_candidate_pairs(dim=EMB_DIM),
     tags=("similarity", "llm", "ann", "dedup"),
@@ -2056,6 +2089,139 @@ def repetition_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("bigint").alias("n_tokens"),
         F.max("tf").cast("bigint").alias("max_tf"),
         (F.max("tf").cast("bigint") * 5 >= F.sum("tf").cast("bigint")).alias("repetitive"),
+    )
+
+
+@register(
+    "quality_gate_agreement_kappa",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    rep AS (
+      SELECT doc_id,
+             (CAST(MAX(tf) AS BIGINT) * 10 < CAST(SUM(tf) AS BIGINT)) AS keep_rep
+      FROM tf GROUP BY doc_id
+    ),
+    soft AS (
+      SELECT doc_id,
+             (z / (1 + abs(z)) > -0.45) AS keep_soft
+      FROM (
+        SELECT doc_id,
+               round(0.002 * CAST(n_chars AS DOUBLE)
+                     + 2.0 * (CAST({TX.sql_stopword_count('text')} AS DOUBLE)
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                     - 0.01 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+                     - 1.0, 6) AS z
+        FROM documents)
+    ),
+    cm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN keep_rep AND keep_soft THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN keep_rep AND NOT keep_soft THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT keep_rep AND keep_soft THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN NOT keep_rep AND NOT keep_soft THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM rep JOIN soft USING (doc_id)
+    )
+    SELECT n, n11, n10, n01, n00,
+           round((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS observed_agreement,
+           CASE WHEN 1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                            + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))) = 0.0
+                THEN NULL
+                ELSE round(
+                  ((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE)
+                   - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                      + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))))
+                  / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                            + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+           END AS kappa
+    FROM cm
+    """,
+    tags=("llm", "quality", "stats"),
+    doc="Cohen's kappa agreement between two registered quality gates — "
+    "the check a curation team runs before swapping an expensive "
+    "classifier for a cheap heuristic: gate A = a repetition gate at a "
+    "10% max-token-share threshold (the Gopher-style gate tightened so "
+    "it discriminates on this corpus — the registered 20% filter keeps "
+    "everything here), gate B = the "
+    "softsign linear score at its corpus median (-0.45; the registered "
+    "0.2 production threshold keeps ~nothing here). Thresholds are "
+    "demo-calibrated so the 2x2 table is non-degenerate — the kappa "
+    "MACHINERY, not the cut points, is the operator. Emits the 2x2 "
+    "confusion counts, observed agreement, and chance-corrected kappa. "
+    "Counts are integer-exact; agreement/kappa use only bigint->double "
+    "casts (<2^53, exact) and IEEE divisions over identical inputs, so "
+    "both engines produce the identical rounded doubles (the "
+    "stats_exact_moments construction). One token shuffle + one "
+    "codegen feature pass + a 1-row aggregate; degenerate marginals "
+    "(pe=1) return NULL kappa on both engines.",
+)
+def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rep = tf.groupBy("doc_id").agg(
+        (F.max("tf").cast("bigint") * 10 < F.sum("tf").cast("bigint")).alias("keep_rep")
+    )
+    w = TX.n_words("text").cast("double")
+    sw = TX.stopword_count("text").cast("double")
+    z = F.round(
+        F.lit(0.002) * F.col("n_chars").cast("double")
+        + F.lit(2.0) * (sw / w)
+        - F.lit(0.01) * w
+        - F.lit(1.0),
+        6,
+    )
+    soft = d.select(
+        "doc_id", (z / (F.lit(1.0) + F.abs(z)) > -0.45).alias("keep_soft")
+    )
+    cm = (
+        rep.join(soft, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("keep_rep") & F.col("keep_soft"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n11"),
+            F.sum(F.when(F.col("keep_rep") & ~F.col("keep_soft"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n10"),
+            F.sum(F.when(~F.col("keep_rep") & F.col("keep_soft"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n01"),
+            F.sum(F.when(~F.col("keep_rep") & ~F.col("keep_soft"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n00"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11").cast("double") + F.col("n00").cast("double")) / nd
+    pa = (F.col("n11") + F.col("n10")).cast("double") / nd
+    pb = (F.col("n11") + F.col("n01")).cast("double") / nd
+    qa = (F.col("n01") + F.col("n00")).cast("double") / nd
+    qb = (F.col("n10") + F.col("n00")).cast("double") / nd
+    pe = pa * pb + qa * qb
+    return cm.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("observed_agreement"),
+        F.when(F.lit(1.0) - pe == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("kappa"),
     )
 
 
