@@ -1153,10 +1153,16 @@ def ann_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _keeper_by_quality(d: DataFrame, pairs: DataFrame) -> DataFrame:
     """components → quality keeper (max n_chars, ties min id) → membership."""
     from hbacker_spark.operators.clustering import connected_components
+    from hbacker_spark.operators.rank import tracked_checkpoint
 
     comps = connected_components(pairs).withColumnRenamed("node", "doc_id")
-    membership = d.join(comps, "doc_id", "left").withColumn(
-        "component", F.coalesce("component", F.col("doc_id"))
+    # membership feeds the keeper aggregate AND the final join —
+    # checkpoint it once so the corpus scan + label join doesn't
+    # execute twice (the triangle-count subtree-reuse pattern, r7)
+    membership = tracked_checkpoint(
+        d.join(comps, "doc_id", "left").withColumn(
+            "component", F.coalesce("component", F.col("doc_id"))
+        )
     )
     keepers = membership.groupBy("component").agg(
         F.max_by("doc_id", F.struct(F.col("n_chars"), -F.col("doc_id"))).alias("keeper_id")
@@ -2089,6 +2095,47 @@ def repetition_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("bigint").alias("n_tokens"),
         F.max("tf").cast("bigint").alias("max_tf"),
         (F.max("tf").cast("bigint") * 5 >= F.sum("tf").cast("bigint")).alias("repetitive"),
+    )
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(rnk AS BIGINT) AS epoch_rank,
+           CAST((rnk - 1) % 16 AS INT) AS shard_id
+    FROM (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY md5('ep:2:' || doc_id), doc_id) AS rnk
+          FROM documents)
+    """,
+    tags=("llm", "sampling", "rank", "mixture"),
+    doc="Deterministic epoch shuffle + shard assignment — the data-order "
+    "reproducibility contract a training run needs: the global order "
+    "for epoch 2 is ascending md5('ep:2:' || doc_id) (a new "
+    "pseudo-random permutation per epoch, identical on every engine "
+    "and every rerun — no RNG state to replay), and each doc lands in "
+    "shard (rank-1) mod 16 (round-robin over writer files, so shard "
+    "sizes differ by at most one). The oracle states it as a global "
+    "ROW_NUMBER; the engine computes it with the two-phase distributed "
+    "rank (operators/rank.py — range partition on the md5 key, "
+    "per-bucket local ranks, P-row offset broadcast), so the corpus "
+    "never funnels through one reducer. The same pattern re-shuffles "
+    "100 TB per epoch with one range-partition pass.",
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.rank import with_global_order
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "_k", F.md5(F.concat(F.lit("ep:2:"), F.col("doc_id").cast("string")))
+    )
+    ranked = with_global_order(
+        keyed, [F.col("_k"), F.col("doc_id")], rank_col="epoch_rank"
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("epoch_rank").cast("long").alias("epoch_rank"),
+        ((F.col("epoch_rank") - 1) % 16).cast("int").alias("shard_id"),
     )
 
 

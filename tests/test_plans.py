@@ -385,6 +385,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "orders_price_decile_boundaries": "P-row bucket-offset relation",
     "nucleus_docs_global": "P-row bucket-offset relation",
     "quality_percent_rank_global": "P-row bucket-offset relation",
+    "epoch_shuffle_order": "P-row bucket-offset relation",
 }
 
 
