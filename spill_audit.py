@@ -38,6 +38,7 @@ HEAVY = [
     "ann_dedup_clusters",
     "copurchase_pagerank",
     "pipeline_pretraining_corpus",
+    "span_removal_filter",
 ]
 
 STAGE_FIELDS = {
