@@ -1,7 +1,9 @@
 """LLM-data-pipeline operators (SURVEY.md §2.C + driver north star):
-dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
-search, text analysis. Hash-sketch ops (MinHash, SimHash) use engine
-hash functions and are rows-only checked; everything else is oracled.
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / span removal),
+similarity search, text analysis, sampling, packing/mixing. EVERY
+registered query here is value-oracled (since r6 the sketch plumbing
+itself is md5-portable, so even the MinHash/SimHash/LSH/IVF families
+hash-match DuckDB cell-for-cell).
 """
 
 from __future__ import annotations

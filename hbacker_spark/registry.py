@@ -2,9 +2,10 @@
 
 The driver contract (``__spark_entry__.py``) needs ``queries()`` and
 ``oracle_sql()`` dicts; modules under ``hbacker_spark.queries`` register
-themselves here with the :func:`register` decorator. ``oracle=None`` marks
-genuinely non-SQL-expressible ops (hash-based LSH, streaming state) — the
-driver then records a rows-only check.
+themselves here with the :func:`register` decorator. ``oracle=None`` would
+mark a genuinely non-SQL-expressible op (the driver then records a weaker
+rows-only check) — as of r7 every registered query carries a full value
+oracle, so the escape hatch is currently unused.
 
 Oracle-parity discipline (this is what makes the value-hash gate pass):
 
