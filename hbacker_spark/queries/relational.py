@@ -2649,6 +2649,81 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_histogram_sketch",
+    oracle="""
+    WITH hist AS (
+      SELECT least(999, greatest(0,
+               CAST(floor(CAST(o_totalprice AS DOUBLE) / 500.0) AS INT))) AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+    n AS (SELECT SUM(cnt) AS n FROM hist),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) v(q)),
+    tq AS (SELECT q, CAST(ceil(q * n.n) AS BIGINT) AS t FROM qs CROSS JOIN n)
+    SELECT tq.q,
+           round(CAST(c.bin AS DOUBLE) * 500.0
+                 + (CAST(tq.t - (c.cum - c.cnt) AS DOUBLE) * 500.0)
+                   / CAST(c.cnt AS DOUBLE), 6) AS est_totalprice
+    FROM tq JOIN cum c ON c.cum >= tq.t AND c.cum - c.cnt < tq.t
+    """,
+    tags=("aggregation", "approx", "sketch", "statistics"),
+    doc="PRODUCTION-SHAPED quantile sketch with the ESTIMATES "
+    "value-oracled (r7 — the approx-percentile companion of the "
+    "portable HLL): a fixed-grid equi-width histogram (1000 bins of "
+    "width 500 over the known o_totalprice domain) is the sketch — "
+    "constant state, mergeable by per-bin addition, built in ONE scan "
+    "with map-side combine — and each requested quantile is read off "
+    "by linear interpolation inside the bin containing rank "
+    "ceil(q*n). Every arithmetic step is integer counts plus IEEE "
+    "ops over identical literals, so DuckDB reproduces the estimates "
+    "bit-for-bit (unlike GK/t-digest internals, which stay "
+    "engine-specific — approx_percentile_totalprice remains the "
+    "error-band contract for those). Error is bounded by one bin "
+    "width by construction; accuracy + histogram merge algebra "
+    "pinned in test_curation_stats.py. The bin-cumulative window runs "
+    "over the <=1000-row histogram (constant in data volume) and the "
+    "rank lookup is a 5x1000 nested loop over sketch state, never "
+    "data.",
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bins, width = 1000, 500.0
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(F.col("o_totalprice").cast("double") / F.lit(width)).cast("int"),
+        ),
+    )
+    hist = o.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    wspec = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wspec))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.9,), (0.99,)], "q double")
+    tq = qs.crossJoin(total).withColumn(
+        "t", F.ceil(F.col("q") * F.col("n")).cast("long")
+    )
+    sel = tq.join(
+        cum,
+        (F.col("cum") >= F.col("t")) & (F.col("cum") - F.col("cnt") < F.col("t")),
+    )
+    return sel.select(
+        "q",
+        F.round(
+            F.col("bin").cast("double") * F.lit(width)
+            + (
+                (F.col("t") - (F.col("cum") - F.col("cnt"))).cast("double")
+                * F.lit(width)
+            )
+            / F.col("cnt").cast("double"),
+            6,
+        ).alias("est_totalprice"),
+    )
+
+
 def _hll_portable_oracles() -> tuple[str, str]:
     from hbacker_spark.functions import hll as H
 

@@ -110,3 +110,45 @@ def test_portable_hll_accuracy_and_merge(spark, sf_dir):
     )
     full = H.registers(e, ["event_type"], "user_id")
     assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_quantile_histogram_sketch_accuracy_and_merge(spark, sf_dir):
+    """The histogram quantile sketch is hash-oracled for determinism;
+    this pins what the hash can't see: (1) every estimate is within
+    one bin width (500) of the exact quantile — the sketch's error
+    contract; (2) per-bin counts fold across batch splits by plain
+    addition (the merge algebra that makes it a one-pass operator)."""
+    from hbacker_spark.registry import load_all_queries
+    from hbacker_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {
+        r["q"]: r["est_totalprice"]
+        for r in load_all_queries()["quantile_histogram_sketch"].fn(spark, sf_dir).collect()
+    }
+    exact = o.approxQuantile("o_totalprice", qs, 0.0)  # relativeError=0 => exact
+    for q, e in zip(qs, exact):
+        assert abs(est[q] - e) <= 500.0, (q, est[q], e)
+
+    bin_expr = F.least(
+        F.lit(999),
+        F.greatest(
+            F.lit(0), F.floor(F.col("o_totalprice").cast("double") / F.lit(500.0)).cast("int")
+        ),
+    )
+    full = {
+        r["bin"]: r["cnt"]
+        for r in o.groupBy(bin_expr.alias("bin")).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    bucket = F.pmod(F.xxhash64("o_orderkey", F.lit(3)), F.lit(2))
+    folded: dict[int, int] = {}
+    for i in range(2):
+        part = (
+            o.filter(bucket == i)
+            .groupBy(bin_expr.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        for r in part.collect():
+            folded[r["bin"]] = folded.get(r["bin"], 0) + r["cnt"]
+    assert folded == full

@@ -355,6 +355,8 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     "orders_price_decile_boundaries",
     # 1-row max-source-mass budget broadcast into the repeat factors
     "mixture_repeat_upsample",
+    # 1-row total + a 5x<=1000 rank lookup over SKETCH state, never data
+    "quantile_histogram_sketch",
 }
 
 # Queries allowed to compile a Window with an EMPTY partition spec
@@ -386,6 +388,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "nucleus_docs_global": "P-row bucket-offset relation",
     "quality_percent_rank_global": "P-row bucket-offset relation",
     "epoch_shuffle_order": "P-row bucket-offset relation",
+    # <=1000-row fixed-bin histogram relation (constant in data volume)
+    "quantile_histogram_sketch": "BINS-row histogram cumulative sum",
 }
 
 
