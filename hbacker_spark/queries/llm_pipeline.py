@@ -604,7 +604,10 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair scan here; at scale the LSH/IVF bucketing in "
     "operators.similarity prunes candidates first. Norms are "
     "precomputed per vector; the per-pair dot is the Arrow-vectorized "
-    "exact-fold kernel (see functions.similarity.pair_dot_pandas).",
+    "exact-fold kernel (see functions.similarity.pair_dot_pandas). "
+    "Bounded by contract: the kernel fails fast above "
+    "SPARK_GRAFT_EXACT_PAIR_MAX rows (default 50k) with a pointer at "
+    "the sub-quadratic twin ann_near_dup_pairs.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1949,7 +1952,10 @@ def bigram_next_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pointer-doubling label-propagation loop (operators/clustering.py, "
     "O(log n) rounds); the oracle expresses the same fixpoint as a "
     "DuckDB recursive CTE (transitive closure + min-reachable), proving "
-    "the iterative operator against SQL semantics — not just row counts.",
+    "the iterative operator against SQL semantics — not just row counts. "
+    "The O(n²) pair stage is bounded by contract "
+    "(SPARK_GRAFT_EXACT_PAIR_MAX, default 50k rows); the scale path is "
+    "ann_dedup_clusters.",
 )
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.clustering import dedup_clusters
@@ -2008,7 +2014,9 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r6 sf0.1 parity sweep caught the earlier all-documents form "
     "silently emitting singleton clusters for the 3000 unembedded "
     "docs at 10x scale (doc/embedding counts coincide below sf0.1, so "
-    "the sf0.01 gate could not see it).",
+    "the sf0.01 gate could not see it). The O(n²) pair stage is "
+    "bounded by contract (SPARK_GRAFT_EXACT_PAIR_MAX, default 50k "
+    "rows); the scale path is ann_keeper_by_quality.",
 )
 def semantic_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

@@ -542,3 +542,41 @@ def test_int8_quantized_topk_recalls_exact_topk(spark, sf_dir):
 
     scored = sorted(deq, key=lambda v: (-cos(deq[v], q), v))[:10]
     assert len(exact & set(scored)) >= 9, f"int8 recall too low: {exact & set(scored)}"
+
+
+def test_exact_pair_kernel_scale_fuse(spark, monkeypatch):
+    """The O(n²) kernel is bounded by contract (VERDICT r7 #1): above
+    SPARK_GRAFT_EXACT_PAIR_MAX rows it must fail fast — BEFORE any
+    quadratic work — with an error naming the env var and the ANN twin;
+    at or under the bound it runs normally. Both paths pinned here,
+    plus env override in both directions."""
+    import numpy as np
+
+    from hbacker_spark.functions import similarity as S
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # Trip: bound below the row count → ExactPairScaleError, actionable text.
+    monkeypatch.setenv(S.EXACT_PAIR_MAX_ENV, "10")
+    with pytest.raises(S.ExactPairScaleError) as ei:
+        S.brute_force_pair_cosines(spark, df, threshold=0.2)
+    msg = str(ei.value)
+    assert S.EXACT_PAIR_MAX_ENV in msg and "ann_near_dup_pairs" in msg
+    assert "12 rows" in msg  # reports the actual offending size
+
+    # Normal path: bound at exactly n → runs (boundary is inclusive).
+    monkeypatch.setenv(S.EXACT_PAIR_MAX_ENV, "12")
+    got = S.brute_force_pair_cosines(spark, df, threshold=-2.0).count()
+    assert got == 12 * 11 // 2  # threshold -2 keeps every pair
+
+    # Default path: env unset → 50k default, far above the fixture.
+    monkeypatch.delenv(S.EXACT_PAIR_MAX_ENV, raising=False)
+    assert S.exact_pair_bound() == S.DEFAULT_EXACT_PAIR_MAX
+    assert S.brute_force_pair_cosines(spark, df, threshold=-2.0).count() == 66
+
+    # Malformed override raises loudly instead of silently defaulting.
+    monkeypatch.setenv(S.EXACT_PAIR_MAX_ENV, "lots")
+    with pytest.raises(ValueError):
+        S.exact_pair_bound()
