@@ -125,8 +125,16 @@ def merge_chunk_dedup_state(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+# ExactSubstr span width in words — the SINGLE source of truth shared by
+# the batch query family (queries/llm_pipeline.py span_removal_filter /
+# duplicated_span_census and their oracles) and this incremental state
+# (ADVICE r7: a hardcoded default here could silently diverge from the
+# oracle if the width ever changed).
+SPAN_W = 8
+
+
 def span_dedup_state(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = 8
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = SPAN_W
 ) -> DataFrame:
     """(gram_hash, first_doc, first_pos, n_occurrences) state of one
     ingest batch for ExactSubstr SPAN removal (the incremental twin of

@@ -268,6 +268,21 @@ def int_power_components(
         for _ in range(iters):
             w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
             mx = max(abs(x) for x in w)
+            # Oracle-envelope fuse (ADVICE r7): Python ints are
+            # unbounded, but the DuckDB mirror's bitlen pre-shift is
+            # exact only while mx // 2^32 fits BIGINT (bitlen(mx) <=
+            # 95; |w| ~ n^2 * 2^50, so n up to ~4M rows). Past that the
+            # oracle would SILENTLY diverge — fail loudly instead. At
+            # such corpus sizes use the float top_components path,
+            # which has no integer envelope.
+            if mx.bit_length() > 95:
+                raise ValueError(
+                    f"int_power_components iterate magnitude 2^{mx.bit_length()} "
+                    f"exceeds the DuckDB oracle's exact-bitlen envelope (2^95; "
+                    f"corpus ~> 4M rows). Use top_components (float path) — "
+                    f"the integer contract is an oracle-portability device, "
+                    f"not the production PCA."
+                )
             m = 1 << max(mx.bit_length() - VBITS, 0)
             v = [_floordiv(x, m) for x in w]
             for p in comps:
@@ -369,6 +384,19 @@ def sql_int_pca_projection(
             FROM (SELECT MAX(abs(w)) AS mx FROM _w{c}_{t}))
     )""",
         ]
+        # Oracle validity envelope (ADVICE r7): the bitlen-via-2^32
+        # pre-shift above is exact only while mx // 2^32 fits BIGINT,
+        # i.e. max|w| < 2^95, and the three-shift modulus caps the
+        # rescale shift at 90 (bitlen(max|w|) <= VBITS + 90 = 110). The
+        # binding constraint is the pre-shift: |w| <= dim * max|C| *
+        # 2^VBITS with |C| <= n^2 * 2^(2*QP_BITS+4) for unit-ish inputs,
+        # so |w| ~ n^2 * 2^50 and the oracle is exact for corpora up to
+        # n ~ 2^22 (~4M embedding rows) — far above any oracle SF
+        # (DuckDB runs at sf<=1, n<=60k). The ENGINE side (int_pca_
+        # projection) uses unbounded Python ints and has no such bound;
+        # only the DuckDB mirror has this envelope, and int_pca_
+        # projection raises if n exceeds it so a divergence can never
+        # be silent.
         rescaled = f"""(
       SELECT w.k, CAST((w.w - (((w.w % p.m) + p.m) % p.m)) // p.m AS BIGINT) AS v
       FROM _w{c}_{t} w CROSS JOIN _p{c}_{t} p

@@ -68,11 +68,17 @@ from pyspark.sql import functions as F
 # source of truth for what is still held; we keep our own handles so
 # release never touches blocks pinned by OTHER operators (the CC loop's
 # per-round checkpoints manage their own lifecycle). Mutation is
-# lock-guarded; the before/after diff in _tracked_checkpoint holds the
-# lock across the checkpoint call so a concurrent persist by another
-# thread cannot be mis-attributed to this module (ADVICE r6). Release
-# filters on the owning SparkContext, so a handle from a stopped/
-# restarted context is never applied to the wrong JVM state.
+# lock-guarded; the lock serializes THIS MODULE's checkpoint attribution
+# only — two _tracked_checkpoint callers cannot mis-attribute each
+# other's new entries, but an RDD persisted by a thread OUTSIDE this
+# module during the before/after diff window would still be swept into
+# _PINNED and unpinned at the next release (ADVICE r7). Nothing in this
+# codebase persists concurrently with a rank checkpoint (the CC loop's
+# per-round checkpoints run sequentially inside one query), so the diff
+# is sound here; a stronger attribution would match the checkpointed
+# plan's own RDD id instead of diffing the whole map. Release filters on
+# the owning SparkContext, so a handle from a stopped/restarted context
+# is never applied to the wrong JVM state.
 _PINNED: list = []
 _PINNED_LOCK = threading.Lock()
 

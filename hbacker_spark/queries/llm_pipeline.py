@@ -3262,8 +3262,10 @@ def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Exact duplicated-span census: window width in words.
-SPAN_W = 8
+# Exact duplicated-span census: window width in words. Defined next to
+# the incremental state operator so the batch filter, its oracle, and
+# span_dedup_state's default can never drift apart (ADVICE r7).
+from hbacker_spark.operators.incremental import SPAN_W  # noqa: E402
 
 
 @register(

@@ -229,9 +229,18 @@ def stream_join_attribution_shadow(spark: SparkSession, sf_dir: str) -> DataFram
     # evicts a window once window.end <= watermark = max(ts) - delay —
     # so every output cell is DuckDB-computable from the events table.
     # Eviction-timing internals stay out of the checked relation.
+    # Boundary contract (ADVICE r7): Spark's eviction watermark is
+    # MILLISECOND precision (event-time stats are tracked in ms), and
+    # eviction is on window.end <= watermark — a window ending exactly
+    # at the watermark is evicted, strictly-later survives. The oracle
+    # truncates max(ts) to ms before subtracting the delay and uses the
+    # matching strict > survival test, so a sub-ms timestamp fraction
+    # or a window end landing exactly on the watermark agrees between
+    # engine and oracle instead of flipping on precision.
     oracle="""
     WITH e AS (SELECT date_trunc('day', ts) AS d, event_type FROM events),
-    wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM events),
+    wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 DAY AS w
+           FROM events),
     surv AS (
       SELECT DISTINCT d, event_type
       FROM e, wm WHERE d + INTERVAL 1 DAY > wm.w

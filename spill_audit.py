@@ -29,6 +29,7 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hbacker_spark.operators.rank import release_rank_blocks  # noqa: E402
 from hbacker_spark.registry import load_all_queries  # noqa: E402
 from hbacker_spark.session import get_spark  # noqa: E402
 
@@ -82,6 +83,12 @@ def main() -> int:
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             wall = time.monotonic() - t0
+            # Query boundary: free rank/checkpoint-pinned MEMORY_AND_DISK
+            # blocks (as bench.py and the oracle harness do) so each
+            # measured run starts with a clean block manager — prior
+            # queries' resident blocks would skew the peak-memory and
+            # no-spill receipts this audit exists to produce (ADVICE r7).
+            release_rank_blocks()
             time.sleep(0.5)  # let the last stage land in the UI store
             new = [s for s in _stages(ui, app_id) if s["stageId"] not in before]
             row = {k: sum(int(s.get(v, 0)) for s in new) for k, v in STAGE_FIELDS.items()}
