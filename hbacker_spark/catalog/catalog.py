@@ -388,6 +388,52 @@ class Catalog:
             F.col("t.error").alias("table_error"),
         )
 
+    # ---- §2.B: point-in-time restore session pruning ------------------------
+    def restore_sessions(
+        self,
+        table_name: str,
+        dest_root: str,
+        cutoff_ts: int,
+        mode: str = "export",
+        cluster_name: str | None = None,
+    ) -> DataFrame:
+        """Minimal session set for a point-in-time restore of one table
+        (VERDICT r7 #2): the sessions in this ``dest_root`` chain whose
+        recorded export range for ``table_name`` can contain any cell
+        with ts <= cutoff, i.e. ``start_time <= cutoff_ts``
+        (docs/Proposed_HBase_Backup_using_HBASE-1684.txt:94-97 replay
+        semantics — an increment whose whole range begins after the
+        cutoff contributes zero rows, so its snapshot dir need never be
+        read). Empty exports (no dir written) and errored rows are
+        excluded; rows join to their parent sessions so only this
+        chain's dirs qualify (same keying as :meth:`next_start_times`).
+        Returns (session_name, start_time, end_time) sorted by
+        start_time — a metadata-sized relation (catalog rows, not data).
+        """
+        tables = self.read("tables").filter(
+            (F.col("mode") == mode)
+            & (F.col("table_name") == table_name)
+            & (F.col("error") == F.lit(False))
+            & (F.col("empty") == F.lit(False))
+            & (F.col("start_time") <= F.lit(int(cutoff_ts)))
+        )
+        sessions = self.read("sessions").filter(
+            (F.col("mode") == mode)
+            & (F.col("dest_root") == dest_root)
+            & (F.col("error") == F.lit(False))
+        )
+        if cluster_name is not None:
+            sessions = sessions.filter(F.col("cluster_name") == cluster_name)
+        return (
+            tables.join(
+                F.broadcast(sessions.select("session_name").distinct()),
+                "session_name",
+                "left_semi",
+            )
+            .select("session_name", "start_time", "end_time")
+            .orderBy("start_time")
+        )
+
     # ---- §2.B: incremental chain watermark ---------------------------------
     def next_start_times(
         self,
