@@ -14,7 +14,10 @@ Design choices vs the reference:
   (db.rb.old:325) — NULL means "still running".
 - C2's in-place UPDATE becomes a read-modify-overwrite with an atomic
   directory swap (single-writer, like the reference's single master;
-  export.rb:96). The reference's 10x3s read-after-write retry loop
+  export.rb:96) — ENFORCED by an O_EXCL lockfile fence spanning the
+  read and the swap: a racing second writer raises
+  CatalogContentionError instead of silently losing an update.
+  The reference's 10x3s read-after-write retry loop
   (mysql.rb:250-256) is dropped: Parquet reads from one driver are
   consistent.
 - All queries (C5-C10) are DataFrame plans: filters push down, the C5
@@ -31,11 +34,18 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+class CatalogContentionError(RuntimeError):
+    """Two writers raced a catalog read-modify-swap (single-writer
+    contract violated); the loser raises instead of silently dropping
+    the winner's update."""
 
 SESSIONS_SCHEMA = T.StructType(
     [
@@ -147,9 +157,51 @@ class Catalog:
         df = self.spark.createDataFrame([tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
         df.coalesce(1).write.mode("append").parquet(self._path(table))
 
+    @contextmanager
+    def _swap_fence(self, table: str):
+        """Single-writer fence for read-modify-swap updates (VERDICT r7
+        #5): an O_EXCL lockfile beside the table dir. The swap itself
+        was already rename-atomic, but two concurrent updaters could
+        both read the OLD state and rename-over-rename — the loser's
+        update silently vanishes. The fence makes the contract loud:
+        the second writer raises CatalogContentionError instead of
+        silently dropping a row. It deliberately does NOT wait — the
+        catalog is documented single-writer (one driver per backup
+        session); contention is a deployment bug to surface, not a
+        queue to service. The lockfile carries pid+timestamp so a
+        crashed holder is diagnosable (and removable by an operator).
+        """
+        lock = f"{self._path(table)}.lock"
+        os.makedirs(self.root, exist_ok=True)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    holder = fh.read().strip()
+            except OSError:
+                holder = "<unreadable>"
+            raise CatalogContentionError(
+                f"concurrent catalog update on {table!r}: lock {lock} is "
+                f"held by {holder}. The catalog is single-writer by "
+                f"contract; if the holder crashed, remove the lockfile."
+            )
+        try:
+            os.write(fd, f"pid={os.getpid()} at={_now().isoformat()}".encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def _overwrite(self, table: str, df: DataFrame) -> None:
         """Atomic-ish rewrite: write a fresh dir, then swap (C2's UPDATE
-        without Delta; temp-write + rename, never in-place)."""
+        without Delta; temp-write + rename, never in-place). Callers
+        doing read-modify-write must hold :meth:`_swap_fence` across the
+        READ as well — the swap alone being atomic does not stop two
+        writers from both basing their rewrite on the same old state."""
         path = self._path(table)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -223,7 +275,6 @@ class Catalog:
     ) -> None:
         """C2 (mysql.rb:246-267): update ended_at/error on the session row,
         keyed on (mode, cluster_name, session_name, dest_root)."""
-        df = self.read("sessions")
         key = (
             (F.col("mode") == mode)
             & (F.col("cluster_name") == cluster_name)
@@ -231,15 +282,19 @@ class Catalog:
             & (F.col("dest_root") == dest_root)
         )
         ended = ended_at or _now()
-        updated = df.withColumns(
-            {
-                "ended_at": F.when(key, F.lit(ended)).otherwise(F.col("ended_at")),
-                "error": F.when(key, F.lit(error)).otherwise(F.col("error")),
-                "error_info": F.when(key, F.lit(error_info)).otherwise(F.col("error_info")),
-                "updated_at": F.when(key, F.lit(_now())).otherwise(F.col("updated_at")),
-            }
-        )
-        self._overwrite("sessions", updated)
+        # fence spans the read AND the swap: the lost-update race is two
+        # writers reading the same old state, not the renames themselves
+        with self._swap_fence("sessions"):
+            df = self.read("sessions")
+            updated = df.withColumns(
+                {
+                    "ended_at": F.when(key, F.lit(ended)).otherwise(F.col("ended_at")),
+                    "error": F.when(key, F.lit(error)).otherwise(F.col("error")),
+                    "error_info": F.when(key, F.lit(error_info)).otherwise(F.col("error_info")),
+                    "updated_at": F.when(key, F.lit(_now())).otherwise(F.col("updated_at")),
+                }
+            )
+            self._overwrite("sessions", updated)
 
     # ---- C3/C4: per-table results ------------------------------------------
     def exported_table_info(

@@ -133,3 +133,72 @@ def test_u2_u3_helpers():
     assert canonical_cluster_name("hbase-master0.example.com") == "hbase_master0_example_com"
     name = mint_session_name(datetime(2011, 1, 1, 11, 11, 11))
     assert name == "20110101_111111"
+
+
+def test_end_info_concurrent_writer_fence(catalog):
+    """VERDICT r7 #5: two racing end_info calls — one wins, one raises
+    CatalogContentionError, and the catalog never loses a row. The race
+    is made deterministic by stalling the winner's swap while it holds
+    the fence; the loser must fail at fence-acquisition (before any
+    read), then succeed on retry once the winner releases."""
+    import threading
+
+    from hbacker_spark.catalog.catalog import CatalogContentionError
+
+    _start(catalog, "sA")
+    _start(catalog, "sB")
+
+    orig = catalog._overwrite
+    in_swap = threading.Event()
+    release = threading.Event()
+
+    def stalling_overwrite(table, df):
+        in_swap.set()
+        assert release.wait(60), "test deadlock: release never set"
+        orig(table, df)
+
+    catalog._overwrite = stalling_overwrite
+    winner_err: list[BaseException] = []
+
+    def winner():
+        try:
+            catalog.end_info("export", CLUSTER, "sA", DEST)
+        except BaseException as ex:  # noqa: BLE001
+            winner_err.append(ex)
+
+    t = threading.Thread(target=winner)
+    t.start()
+    assert in_swap.wait(60), "winner never reached the swap"
+    # winner holds the fence mid-update: the loser raises, loudly,
+    # with the holder's identity in the message
+    with pytest.raises(CatalogContentionError, match="pid="):
+        catalog.end_info("export", CLUSTER, "sB", DEST)
+    release.set()
+    t.join(60)
+    assert not winner_err, winner_err
+    catalog._overwrite = orig
+
+    # fence released on success → the loser's retry goes through
+    catalog.end_info("export", CLUSTER, "sB", DEST)
+    rows = {r["session_name"]: r for r in catalog.read("sessions").collect()}
+    assert set(rows) == {"sA", "sB"}, "catalog lost a session row"
+    assert rows["sA"]["ended_at"] is not None
+    assert rows["sB"]["ended_at"] is not None
+
+
+def test_fence_releases_on_failure(catalog):
+    """A failed update must not leave the lockfile behind (only a
+    crashed PROCESS should), or every later update would spuriously
+    report contention."""
+    _start(catalog, "sC")
+    orig = catalog._overwrite
+
+    def boom(table, df):
+        raise OSError("disk on fire")
+
+    catalog._overwrite = boom
+    with pytest.raises(OSError, match="disk on fire"):
+        catalog.end_info("export", CLUSTER, "sC", DEST)
+    catalog._overwrite = orig
+    catalog.end_info("export", CLUSTER, "sC", DEST)  # no stale lock
+    assert catalog.read("sessions").collect()[0]["ended_at"] is not None
