@@ -1,0 +1,100 @@
+"""sf1-scale parity sweep of the 20 heaviest oracled queries (VERDICT r7 #6).
+
+Rationale: the r6 `semantic_keeper_by_quality` membership bug was invisible
+below sf0.1 (doc and embedding counts coincide at small SFs) — the same
+class of scale-dependent logic error could hide above sf0.1. This sweep
+runs the top-20 queries by bench wall (BENCH_FULL.json) through the SAME
+DuckDB oracle harness at ~sf1: the x10 replica of sf0.1 built by
+scale_smoke_gen.py (6M lineitem rows, 50k docs, 20k embeddings — the
+constant-dup-rate growth model documented in SCALE_NOTES.md, not
+pathological row copies). Parity is engine-vs-oracle on identical input,
+so the replica's synthetic provenance doesn't weaken the check.
+
+Writes SF1_PARITY.json: per-query status + engine/oracle wall seconds.
+Run: python sf1_parity.py   (builds the x10 replica first if missing)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hbacker_spark.registry import load_all_queries  # noqa: E402
+from hbacker_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+X10 = os.path.join(REPO, ".scale_smoke", "x10")
+
+# Top 20 by BENCH_FULL.json wall at r7 HEAD (pinned so the receipt is
+# reproducible even as bench numbers drift between rounds).
+TOP20 = [
+    "semantic_keeper_by_quality",
+    "ann_cluster_validity",
+    "ann_keeper_by_quality",
+    "embedding_dedup_clusters",
+    "ann_dedup_clusters",
+    "streaming_state_audit",
+    "duplicated_span_census",
+    "copurchase_pagerank",
+    "copurchase_kcore",
+    "minhash_jaccard_calibration",
+    "dedup_cluster_resolution",
+    "pipeline_pretraining_corpus",
+    "wide_orders_denormalized",
+    "copurchase_sssp",
+    "copurchase_triangle_count",
+    "copurchase_bfs_reachable",
+    "ann_ivf_cosine_topk",
+    "orders_rfm_segments",
+    "q21_sole_returner",
+    "bigram_cond_freq_scores",
+]
+
+
+def main() -> int:
+    if not os.path.isdir(os.path.join(X10, "documents.parquet")):
+        print("building x10 replica ...")
+        subprocess.run([sys.executable, os.path.join(REPO, "scale_smoke_gen.py")], check=True)
+
+    from tests.oracle_harness import compare
+
+    spark = get_spark("sf1_parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all_queries()
+    results: dict[str, dict] = {}
+    t_all = time.monotonic()
+    for name in TOP20:
+        spec = specs[name]
+        assert spec.oracle is not None, f"{name} has no oracle"
+        t0 = time.monotonic()
+        try:
+            problems = compare(spec.fn(spark, X10), spec.oracle, X10)
+            status = "ok" if not problems else "; ".join(problems)[:300]
+        except Exception as exc:  # noqa: BLE001 — receipt over crash
+            status = f"err: {exc}"[:300]
+        wall = round(time.monotonic() - t0, 1)
+        results[name] = {"status": status, "wall_sec": wall}
+        print(f"{name:<32} {wall:7.1f}s  {status}")
+
+    receipt = {
+        "sf_dir": X10,
+        "model": "x10 replica of sf0.1 (~sf1): constant-dup-rate growth, see SCALE_NOTES.md",
+        "selection": "top 20 by BENCH_FULL.json wall at r7 HEAD",
+        "n_ok": sum(1 for v in results.values() if v["status"] == "ok"),
+        "n_run": len(results),
+        "total_wall_sec": round(time.monotonic() - t_all, 1),
+        "queries": results,
+    }
+    with open(os.path.join(REPO, "SF1_PARITY.json"), "w") as f:
+        json.dump(receipt, f, indent=1)
+    print(json.dumps({k: receipt[k] for k in ("n_ok", "n_run", "total_wall_sec")}))
+    return 0 if receipt["n_ok"] == receipt["n_run"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -45,7 +46,12 @@ def duckdb_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     try:
         for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
+            p = table_path(sf_dir, t)
+            if os.path.isdir(p):
+                # Spark-written table (e.g. the x10/x100 scale replicas)
+                # is a directory of part files; DuckDB needs the glob.
+                p = os.path.join(p, "*.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
