@@ -13,6 +13,13 @@ quadratically by construction, telling us nothing about real scaling).
   (more blocks), not UP (bigger blocks) — the realistic blocking-key
   assumption, stated explicitly.
 Other tables are copied as-is from sf0.1.
+
+SPARK_GRAFT_SCALE_N sets the replica factor (default 10). N=10 builds
+the full table set under .scale_smoke/x10; any other N (e.g. 100 for
+the VERDICT r7 #3 dedup-route receipt) builds ONLY documents+embeddings
+under .scale_smoke/x{N} — the tables the ANN/span dedup chain reads —
+so the x100 corpus is 500k docs / 200k vectors without 60M-row
+lineitem ballast.
 """
 import os, shutil, sys
 sys.path.insert(0, "/root/repo")
@@ -21,8 +28,9 @@ from pyspark.sql import functions as F
 from hbacker_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/.scale_smoke/x10"  # gitignored, transient
-N = 10
+N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "10"))
+DST = f"/root/repo/.scale_smoke/x{N}"  # gitignored, transient
+DOCS_ONLY = N != 10
 
 spark = get_spark("scale_smoke")
 spark.sparkContext.setLogLevel("ERROR")
@@ -56,6 +64,10 @@ out = eparts[0]
 for p in eparts[1:]:
     out = out.unionByName(p)
 out.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+if DOCS_ONLY:
+    print("built", DST, "(documents+embeddings only)")
+    sys.exit(0)
 
 part = spark.read.parquet(f"{SRC}/part.parquet")
 max_pk = part.agg(F.max("p_partkey")).first()[0] + 1

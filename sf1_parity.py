@@ -10,8 +10,19 @@ constant-dup-rate growth model documented in SCALE_NOTES.md, not
 pathological row copies). Parity is engine-vs-oracle on identical input,
 so the replica's synthetic provenance doesn't weaken the check.
 
+Scale split: the three deliberate O(n²) exactness anchors
+(semantic_keeper_by_quality, embedding_dedup_clusters,
+embedding_near_dup_pairs' keeper twin is ann-side) carry DuckDB oracles
+that are THEMSELVES quadratic — an all-pairs interpreted-lambda cosine
+join. At x10 (20k vectors) that is 2e8 pairs x 2 cosines x 64 lambda
+ops: measured >28 min on 21 cores without completing. Those anchors run
+at an x3 replica instead (6k vectors = 9x the pair count of the sf0.1
+sweep they already pass, and x3 docs=15k vs emb=6k keeps the
+doc/embedding-count divergence that caught the r6 bug). Everything else
+runs at x10. The split is recorded per-query in the receipt.
+
 Writes SF1_PARITY.json: per-query status + engine/oracle wall seconds.
-Run: python sf1_parity.py   (builds the x10 replica first if missing)
+Run: python sf1_parity.py   (builds replicas first if missing)
 """
 
 from __future__ import annotations
@@ -29,6 +40,12 @@ from hbacker_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 X10 = os.path.join(REPO, ".scale_smoke", "x10")
+
+# O(n²)-oracle anchors: swept at x3 (see module docstring).
+QUADRATIC_ORACLE = {
+    "semantic_keeper_by_quality",
+    "embedding_dedup_clusters",
+}
 
 # Top 20 by BENCH_FULL.json wall at r7 HEAD (pinned so the receipt is
 # reproducible even as bench numbers drift between rounds).
@@ -56,10 +73,22 @@ TOP20 = [
 ]
 
 
+def ensure_replica(n: int) -> str:
+    dst = os.path.join(REPO, ".scale_smoke", f"x{n}")
+    if not os.path.isdir(os.path.join(dst, "documents.parquet")):
+        print(f"building x{n} replica ...")
+        env = dict(os.environ, SPARK_GRAFT_SCALE_N=str(n))
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scale_smoke_gen.py")],
+            check=True,
+            env=env,
+        )
+    return dst
+
+
 def main() -> int:
-    if not os.path.isdir(os.path.join(X10, "documents.parquet")):
-        print("building x10 replica ...")
-        subprocess.run([sys.executable, os.path.join(REPO, "scale_smoke_gen.py")], check=True)
+    x10 = ensure_replica(10)
+    x3 = ensure_replica(3)
 
     from tests.oracle_harness import compare
 
@@ -71,19 +100,27 @@ def main() -> int:
     for name in TOP20:
         spec = specs[name]
         assert spec.oracle is not None, f"{name} has no oracle"
+        sf_dir = x3 if name in QUADRATIC_ORACLE else x10
         t0 = time.monotonic()
         try:
-            problems = compare(spec.fn(spark, X10), spec.oracle, X10)
+            problems = compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
             status = "ok" if not problems else "; ".join(problems)[:300]
         except Exception as exc:  # noqa: BLE001 — receipt over crash
             status = f"err: {exc}"[:300]
         wall = round(time.monotonic() - t0, 1)
-        results[name] = {"status": status, "wall_sec": wall}
-        print(f"{name:<32} {wall:7.1f}s  {status}")
+        results[name] = {
+            "status": status,
+            "wall_sec": wall,
+            "scale": "x3" if name in QUADRATIC_ORACLE else "x10",
+        }
+        print(f"{name:<32} {wall:7.1f}s  {status}", flush=True)
 
     receipt = {
-        "sf_dir": X10,
-        "model": "x10 replica of sf0.1 (~sf1): constant-dup-rate growth, see SCALE_NOTES.md",
+        "model": (
+            "x10 replica of sf0.1 (~sf1), constant-dup-rate growth (SCALE_NOTES.md); "
+            "O(n²)-oracle anchors at x3 (their DuckDB oracle is itself quadratic — "
+            "see module docstring)"
+        ),
         "selection": "top 20 by BENCH_FULL.json wall at r7 HEAD",
         "n_ok": sum(1 for v in results.values() if v["status"] == "ok"),
         "n_run": len(results),

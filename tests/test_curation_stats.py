@@ -152,3 +152,48 @@ def test_quantile_histogram_sketch_accuracy_and_merge(spark, sf_dir):
         for r in part.collect():
             folded[r["bin"]] = folded.get(r["bin"], 0) + r["cnt"]
     assert folded == full
+
+
+def test_quality_classifier_distills_heuristic_gate(spark, sf_dir):
+    """VERDICT r7 #8 accuracy pin: the frozen-weight linear scorer must
+    agree with the heuristic gate it was fit against (n_words 10..500,
+    n_chars >= 50, stopword_ratio >= 0.05, not Gopher-repetitive) on
+    >= 95% of docs, with BOTH classes non-degenerate. Measured at fit
+    time: 0.982 (sf0.01), 0.971 (sf0.1), 0.976 (sf0.001)."""
+    from hbacker_spark.functions import text as TX
+    from hbacker_spark.queries.llm_pipeline import quality_classifier_scores
+    from hbacker_spark.sources.tables import load_table
+
+    pred = {r["doc_id"]: r["keep"] for r in quality_classifier_scores(spark, sf_dir).collect()}
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rep = tf.groupBy("doc_id").agg(
+        (F.max("tf") * 5 >= F.sum("tf")).alias("repetitive")
+    )
+    nw = TX.n_words()
+    gate = {
+        r["doc_id"]: r["y"]
+        for r in d.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            (
+                nw.between(10, 500)
+                & (F.col("n_chars") >= 50)
+                & (TX.stopword_count().cast("double") / nw >= 0.05)
+                & ~F.col("repetitive")
+            ).alias("y"),
+        )
+        .collect()
+    }
+    assert set(pred) == set(gate)
+    agree = sum(pred[k] == gate[k] for k in pred) / len(pred)
+    assert agree >= 0.95, f"classifier/gate agreement {agree}"
+    # non-degenerate: a scorer that answers one class for everything
+    # can look accurate on a skewed corpus — require a real split
+    pos = sum(pred.values()) / len(pred)
+    assert 0.2 <= pos <= 0.9, f"degenerate keep rate {pos}"
