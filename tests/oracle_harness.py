@@ -47,6 +47,11 @@ def duckdb_oracle(sql: str, sf_dir: str):
     try:
         for t in TABLES:
             p = table_path(sf_dir, t)
+            if not os.path.exists(p):
+                # partial replica dirs (e.g. x3/x100 carry only
+                # documents+embeddings) — a query referencing a missing
+                # table fails at ITS view lookup, not at setup
+                continue
             if os.path.isdir(p):
                 # Spark-written table (e.g. the x10/x100 scale replicas)
                 # is a directory of part files; DuckDB needs the glob.
