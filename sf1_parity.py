@@ -10,16 +10,24 @@ constant-dup-rate growth model documented in SCALE_NOTES.md, not
 pathological row copies). Parity is engine-vs-oracle on identical input,
 so the replica's synthetic provenance doesn't weaken the check.
 
-Scale split: the three deliberate O(n²) exactness anchors
-(semantic_keeper_by_quality, embedding_dedup_clusters,
-embedding_near_dup_pairs' keeper twin is ann-side) carry DuckDB oracles
-that are THEMSELVES quadratic — an all-pairs interpreted-lambda cosine
-join. At x10 (20k vectors) that is 2e8 pairs x 2 cosines x 64 lambda
-ops: measured >28 min on 21 cores without completing. Those anchors run
-at an x3 replica instead (6k vectors = 9x the pair count of the sf0.1
-sweep they already pass, and x3 docs=15k vs emb=6k keeps the
-doc/embedding-count divergence that caught the r6 bug). Everything else
-runs at x10. The split is recorded per-query in the receipt.
+Scale split: five queries run at an x3 replica instead of x10 because
+their DUCKDB ORACLE (not the engine) is the binding constraint:
+
+- the deliberate O(n²) exactness anchors (semantic_keeper_by_quality,
+  embedding_dedup_clusters): an all-pairs interpreted-lambda cosine
+  join — at x10 (20k vectors) that is 2e8 pairs x 2 cosines x 64
+  lambda ops, measured >28 min on 21 cores without completing;
+- the ANN cluster family (ann_dedup_clusters, ann_keeper_by_quality,
+  ann_cluster_validity): the engine side is sub-quadratic and clears
+  x10 in under a minute (SPILL_AUDIT), but the oracle rescans 25.6M
+  candidate pairs through interpreted list_reduce folds plus a
+  recursive-CTE closure — measured >20 min/query at x10 even with a
+  24GB cap + disk spill.
+
+x3 (6k vectors) is 9x the pair count of the sf0.1 sweep they already
+pass, probes 3x LSH bucket density, and keeps the doc(15k)/emb(6k)
+cardinality divergence that caught the r6 membership bug. Everything
+else runs at x10. The split is recorded per-query in the receipt.
 
 Writes SF1_PARITY.json: per-query status + engine/oracle wall seconds.
 Run: python sf1_parity.py   (builds replicas first if missing)
@@ -41,10 +49,22 @@ from hbacker_spark.session import get_spark  # noqa: E402
 REPO = os.path.dirname(os.path.abspath(__file__))
 X10 = os.path.join(REPO, ".scale_smoke", "x10")
 
-# O(n²)-oracle anchors: swept at x3 (see module docstring).
+# Queries whose DUCKDB ORACLE is the binding constraint at x10 — swept
+# at x3 instead (see module docstring). Two classes:
+# - the deliberate O(n²) exactness anchors (all-pairs cosine join);
+# - the ANN cluster family: the ENGINE side is sub-quadratic and runs
+#   x10 in under a minute (SPILL_AUDIT receipts), but the oracle's
+#   rescore is 25.6M candidate pairs x three 64-step interpreted
+#   list_reduce folds at x10 (measured ~10µs/pair + recursive-CTE CC on
+#   top: >20 min/query even with a 24GB memory cap + disk spill). At x3
+#   the same oracle is 2.3M pairs (~1-2 min) and still probes 3x bucket
+#   density and doc/emb cardinality divergence.
 QUADRATIC_ORACLE = {
     "semantic_keeper_by_quality",
     "embedding_dedup_clusters",
+    "ann_dedup_clusters",
+    "ann_keeper_by_quality",
+    "ann_cluster_validity",
 }
 
 # Top 20 by BENCH_FULL.json wall at r7 HEAD (pinned so the receipt is

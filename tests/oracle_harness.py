@@ -43,7 +43,19 @@ def _canon(v):
 
 
 def duckdb_oracle(sql: str, sf_dir: str):
-    con = duckdb.connect()
+    # Bounded memory + a spill dir: at replica scales (x10 sweeps) the
+    # heavy pair/recursive-CTE oracles otherwise grow until malloc fails
+    # ("bad allocation") while sharing the machine with the Spark JVM.
+    # With a temp_directory DuckDB spills spillable operators to disk
+    # instead of dying; tiny test SFs never notice the cap.
+    spill = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con = duckdb.connect(
+        config={
+            "memory_limit": os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB"),
+            "temp_directory": spill,
+        }
+    )
     try:
         for t in TABLES:
             p = table_path(sf_dir, t)
