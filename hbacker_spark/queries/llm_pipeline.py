@@ -619,10 +619,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_resolution",
     oracle=f"""
     WITH RECURSIVE
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT doc_a AS va, doc_b AS vb FROM ({D.sql_lsh_candidate_pairs()})
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT va AS u, vb AS v FROM prs
       UNION
       SELECT vb AS u, va AS v FROM prs
@@ -956,14 +956,14 @@ def _ann_rescored_pairs(e: DataFrame) -> DataFrame:
     "ann_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT c.vec_a AS va, c.vec_b AS vb
       FROM ({SIM.sql_ann_candidate_pairs(dim=EMB_DIM)}) c
       JOIN embeddings a ON a.vec_id = c.vec_a
       JOIN embeddings b ON b.vec_id = c.vec_b
       WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT va AS u, vb AS v FROM prs
       UNION
       SELECT vb AS u, va AS v FROM prs
@@ -1003,14 +1003,14 @@ def ann_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_keeper_by_quality",
     oracle=f"""
     WITH RECURSIVE
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT c.vec_a AS va, c.vec_b AS vb
       FROM ({SIM.sql_ann_candidate_pairs(dim=EMB_DIM)}) c
       JOIN embeddings a ON a.vec_id = c.vec_a
       JOIN embeddings b ON b.vec_id = c.vec_b
       WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT va AS u, vb AS v FROM prs
       UNION
       SELECT vb AS u, va AS v FROM prs
@@ -1020,7 +1020,7 @@ def ann_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     ),
-    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+    comp AS MATERIALIZED (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
     m AS (
       SELECT c.doc_id, c.component, d.n_chars
       FROM comp c JOIN documents d ON d.doc_id = c.doc_id
@@ -1063,7 +1063,7 @@ def ann_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_cluster_validity",
     oracle=f"""
     WITH RECURSIVE
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT c.vec_a AS va, c.vec_b AS vb,
              round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
       FROM ({SIM.sql_ann_candidate_pairs(dim=EMB_DIM)}) c
@@ -1071,7 +1071,7 @@ def ann_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN embeddings b ON b.vec_id = c.vec_b
       WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT va AS u, vb AS v FROM prs
       UNION
       SELECT vb AS u, va AS v FROM prs
@@ -1081,7 +1081,7 @@ def ann_keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     ),
-    comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u),
+    comp AS MATERIALIZED (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u),
     sizes AS (
       SELECT cluster_id, COUNT(*) AS size
       FROM comp GROUP BY cluster_id HAVING COUNT(*) >= 2
@@ -1925,12 +1925,12 @@ def bigram_next_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT a.vec_id AS va, b.vec_id AS vb
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT va AS u, vb AS v FROM prs
       UNION
       SELECT vb AS u, va AS v FROM prs
@@ -1972,12 +1972,12 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_keeper_by_quality",
     oracle=f"""
     WITH RECURSIVE
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT a.vec_id AS va, b.vec_id AS vb
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE round({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {NEAR_DUP_COS}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT va AS u, vb AS v FROM prs
       UNION
       SELECT vb AS u, va AS v FROM prs
@@ -1987,7 +1987,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     ),
-    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+    comp AS MATERIALIZED (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
     m AS (
       SELECT c.doc_id, c.component, d.n_chars
       FROM comp c JOIN documents d ON d.doc_id = c.doc_id

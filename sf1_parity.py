@@ -116,8 +116,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all_queries()
     results: dict[str, dict] = {}
+    # retry mode: SPARK_GRAFT_SF1_ONLY=a,b runs a subset and merges into
+    # the existing receipt (for re-running environment-caused failures
+    # without repeating the whole sweep)
+    only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
+    todo = [n for n in TOP20 if not only or n in only.split(",")]
+    receipt_path = os.path.join(REPO, "SF1_PARITY.json")
+    if only and os.path.exists(receipt_path):
+        results = json.load(open(receipt_path))["queries"]
     t_all = time.monotonic()
-    for name in TOP20:
+    for name in todo:
         spec = specs[name]
         assert spec.oracle is not None, f"{name} has no oracle"
         sf_dir = x3 if name in QUADRATIC_ORACLE else x10
@@ -147,7 +155,7 @@ def main() -> int:
         "total_wall_sec": round(time.monotonic() - t_all, 1),
         "queries": results,
     }
-    with open(os.path.join(REPO, "SF1_PARITY.json"), "w") as f:
+    with open(receipt_path, "w") as f:
         json.dump(receipt, f, indent=1)
     print(json.dumps({k: receipt[k] for k in ("n_ok", "n_run", "total_wall_sec")}))
     return 0 if receipt["n_ok"] == receipt["n_run"] else 1

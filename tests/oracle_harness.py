@@ -12,6 +12,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 import os
+import shutil
+import tempfile
 from decimal import Decimal
 
 import duckdb
@@ -47,9 +49,13 @@ def duckdb_oracle(sql: str, sf_dir: str):
     # heavy pair/recursive-CTE oracles otherwise grow until malloc fails
     # ("bad allocation") while sharing the machine with the Spark JVM.
     # With a temp_directory DuckDB spills spillable operators to disk
-    # instead of dying; tiny test SFs never notice the cap.
-    spill = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".duckdb_spill")
-    os.makedirs(spill, exist_ok=True)
+    # instead of dying; tiny test SFs never notice the cap. The temp dir
+    # is UNIQUE PER CONNECTION: two DuckDB processes sharing one spill
+    # dir clobber each other's numbered temp files (observed abort:
+    # "Could not remove duckdb_temp_storage-2.tmp").
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".duckdb_spill")
+    os.makedirs(base, exist_ok=True)
+    spill = tempfile.mkdtemp(dir=base)
     con = duckdb.connect(
         config={
             "memory_limit": os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB"),
@@ -75,6 +81,7 @@ def duckdb_oracle(sql: str, sf_dir: str):
         return cols, rows
     finally:
         con.close()
+        shutil.rmtree(spill, ignore_errors=True)
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
