@@ -38,6 +38,30 @@ SEED = 42
 QUANT = 1 << 20  # vector quantization scale (exact power of two)
 
 
+def recommended_planes(
+    n_rows: int, target_bucket: int = 256, lo: int = 4, hi: int = 24
+) -> int:
+    """Size the LSH bucket count with the corpus: the smallest
+    ``n_planes`` whose expected bucket occupancy n_rows/2^planes is at
+    or under ``target_bucket``. The registered queries PIN n_planes=6
+    for oracle determinism at test SFs; production calls pass
+    ``n_planes=recommended_planes(df.count())`` so buckets never
+    saturate the hot-bucket cap as the corpus grows — the measured x100
+    lever (X100_RECEIPT.json: at 200k vectors, planes 6→12 cuts
+    candidate pairs 255M→58M and candidate-gen wall 113s→26s; with the
+    pinned geometry 100x over capacity every bucket hits the cap and
+    the pair aggregation spills 44.5GB — bounded, but avoidable).
+    target_bucket=256 keeps per-bucket expansion ≤ ~32k pairs while
+    leaving density for recall; clamp [4, 24] guards degenerate inputs.
+    """
+    if n_rows <= 0:
+        return lo
+    planes = lo
+    while planes < hi and (n_rows >> planes) > target_bucket:
+        planes += 1
+    return planes
+
+
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = SEED) -> np.ndarray:
     """(n_tables, n_planes, dim) INT64 hyperplanes from md5 — the
     portable construction DuckDB mirrors cell-for-cell (sql_lsh_sig).

@@ -580,3 +580,23 @@ def test_exact_pair_kernel_scale_fuse(spark, monkeypatch):
     monkeypatch.setenv(S.EXACT_PAIR_MAX_ENV, "lots")
     with pytest.raises(ValueError):
         S.exact_pair_bound()
+
+
+def test_recommended_planes_tracks_corpus():
+    """The geometry helper from the x100 spill finding: expected bucket
+    occupancy n/2^planes must land at or under the target, planes only
+    grow with the corpus, and the clamps hold at degenerate sizes."""
+    from hbacker_spark.operators.similarity import recommended_planes
+
+    assert recommended_planes(0) == 4
+    assert recommended_planes(2_000) == 4       # sf0.1-ish: default-scale
+    assert recommended_planes(20_000) == 7      # x10
+    assert recommended_planes(200_000) == 10    # x100
+    assert recommended_planes(2_000_000_000) == 23
+    assert recommended_planes(10**15) == 24     # hi clamp
+    prev = 0
+    for n in (10, 1000, 10**5, 10**7, 10**9):
+        p = recommended_planes(n)
+        assert p >= prev, "planes must be monotone in corpus size"
+        prev = p
+        assert (n >> p) <= 256 or p == 24
