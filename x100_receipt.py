@@ -175,6 +175,15 @@ def main() -> int:
     # the cap's core claim: candidate pairs grow ~linearly in corpus
     # size (10x data -> ~10x pairs), never quadratically (100x)
     assert growth["ann_candidate_pairs"] < 30, growth
+    # recall regression bars at x100 (measured r8: lsh 0.625 / mp2 0.838
+    # / ivf 0.562) — same floors as ann_recall_smoke.py, so a geometry
+    # or cap change that destroys recall at density fails the receipt
+    r = receipt["recall10_x100"]
+    assert r["lsh"] >= 0.3 and r["lsh_multiprobe2"] >= 0.5 and r["ivf"] >= 0.4, r
+    # span removal must never spill: its keys are uniform by construction
+    for tag in ("x10", "x100"):
+        row = results[f"{tag}/span_removal_filter"]
+        assert row["memory_spilled"] + row["disk_spilled"] == 0, (tag, row)
     return 0
 
 
