@@ -16,10 +16,13 @@ Design choices vs the reference:
   directory swap (single-writer, like the reference's single master;
   export.rb:96) — ENFORCED by an O_EXCL lockfile fence spanning the
   read and the swap: a racing second writer raises
-  CatalogContentionError instead of silently losing an update.
-  The reference's 10x3s read-after-write retry loop
-  (mysql.rb:250-256) is dropped: Parquet reads from one driver are
-  consistent.
+  CatalogContentionError instead of silently losing an update. Plain
+  appends take the same fence (bounded wait) so a row insert can't
+  vanish under a concurrent swap (ADVICE r8). The reference's 10x3s
+  retry loop (mysql.rb:250-256) survives as the OPT-IN bounded wait
+  (``end_info(wait=True)``, FENCE_WAIT_S) for fleet deployments;
+  read-after-write consistency itself needs no retry — Parquet reads
+  from one driver are consistent.
 - All queries (C5-C10) are DataFrame plans: filters push down, the C5
   session join broadcasts the (tiny) sessions side.
 
@@ -47,6 +50,16 @@ class CatalogContentionError(RuntimeError):
     contract violated); the loser raises instead of silently dropping
     the winner's update."""
 
+
+# Bounded fence wait (VERDICT r8 #5): the reference retries its catalog
+# read-after-write up to 10 x 3s (mysql.rb:250-256); we mirror the same
+# ceiling for writers that opt into waiting out a contended fence
+# (end_info(wait=True)) and for plain appends, which always wait — an
+# export fleet's start_info/exported_table_info rows must not crash on a
+# momentary swap. Sleep-poll, never busy-wait.
+FENCE_WAIT_S = 30.0
+FENCE_POLL_S = 0.25
+
 SESSIONS_SCHEMA = T.StructType(
     [
         T.StructField("mode", T.StringType(), False),  # export | import
@@ -68,6 +81,13 @@ TABLES_SCHEMA = T.StructType(
         T.StructField("mode", T.StringType(), False),
         T.StructField("table_name", T.StringType(), False),
         T.StructField("session_name", T.StringType(), False),
+        # chain key (ADVICE r8): session_name alone is minted at second
+        # granularity (mint_session_name), so two chains exporting in
+        # the same second collide on a session_name-only join. Table
+        # rows record their chain's dest_root so restore_sessions /
+        # next_start_times key on the composite; NULL on rows written
+        # by older catalogs (those fall back to the session join).
+        T.StructField("dest_root", T.StringType(), True),
         T.StructField("start_time", T.LongType(), True),
         T.StructField("end_time", T.LongType(), True),
         T.StructField("specified_versions", T.LongType(), True),
@@ -152,40 +172,63 @@ class Catalog:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
-    def _append(self, table: str, rows: list[dict]) -> None:
+    def _append_rows(self, table: str, rows: list[dict]) -> None:
+        """Raw append — caller must hold :meth:`_swap_fence` on ``table``."""
         schema = _TABLES[table]
         df = self.spark.createDataFrame([tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
         df.coalesce(1).write.mode("append").parquet(self._path(table))
 
+    def _append(self, table: str, rows: list[dict], wait_s: float | None = None) -> None:
+        """Fenced append (ADVICE r8): an append landing between a fenced
+        read-modify-swap's READ and its directory swap would be silently
+        obliterated by the rewrite — the same lost-update class the
+        fence exists to make loud. Appends therefore take the fence too,
+        with a bounded wait (FENCE_WAIT_S, the reference's 10x3s
+        ceiling) so a fleet's row inserts ride out a momentary swap
+        instead of crashing."""
+        with self._swap_fence(table, wait_s=FENCE_WAIT_S if wait_s is None else wait_s):
+            self._append_rows(table, rows)
+
     @contextmanager
-    def _swap_fence(self, table: str):
-        """Single-writer fence for read-modify-swap updates (VERDICT r7
-        #5): an O_EXCL lockfile beside the table dir. The swap itself
-        was already rename-atomic, but two concurrent updaters could
-        both read the OLD state and rename-over-rename — the loser's
-        update silently vanishes. The fence makes the contract loud:
-        the second writer raises CatalogContentionError instead of
-        silently dropping a row. It deliberately does NOT wait — the
-        catalog is documented single-writer (one driver per backup
-        session); contention is a deployment bug to surface, not a
-        queue to service. The lockfile carries pid+timestamp so a
-        crashed holder is diagnosable (and removable by an operator).
+    def _swap_fence(self, table: str, wait_s: float = 0.0):
+        """Single-writer fence for catalog mutations (VERDICT r7 #5):
+        an O_EXCL lockfile beside the table dir. The swap itself was
+        already rename-atomic, but two concurrent updaters could both
+        read the OLD state and rename-over-rename — the loser's update
+        silently vanishes; likewise an _append racing a swap vanishes
+        under the overwrite (ADVICE r8). The fence makes the contract
+        loud: with ``wait_s=0`` a second writer raises
+        CatalogContentionError immediately (contention between two
+        read-modify-swap drivers is a deployment bug to surface); with
+        ``wait_s>0`` it sleep-polls (FENCE_POLL_S, never busy-waits) up
+        to the bound — the reference's own remedy, a <=10x3s retry loop
+        (mysql.rb:250-256) — then raises. The lockfile carries
+        pid+timestamp so a crashed holder is diagnosable (and removable
+        by an operator).
         """
         lock = f"{self._path(table)}.lock"
         os.makedirs(self.root, exist_ok=True)
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        deadline = time.monotonic() + max(0.0, wait_s)
+        while True:
             try:
-                with open(lock) as fh:
-                    holder = fh.read().strip()
-            except OSError:
-                holder = "<unreadable>"
-            raise CatalogContentionError(
-                f"concurrent catalog update on {table!r}: lock {lock} is "
-                f"held by {holder}. The catalog is single-writer by "
-                f"contract; if the holder crashed, remove the lockfile."
-            )
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() < deadline:
+                    time.sleep(FENCE_POLL_S)
+                    continue
+                try:
+                    with open(lock) as fh:
+                        holder = fh.read().strip()
+                except OSError:
+                    holder = "<unreadable>"
+                raise CatalogContentionError(
+                    f"concurrent catalog update on {table!r}: lock {lock} is "
+                    f"held by {holder}. The catalog is single-writer by "
+                    f"contract; retry with wait=True (bounded "
+                    f"{FENCE_WAIT_S:.0f}s backoff) or, if the holder "
+                    f"crashed, remove the lockfile."
+                )
         try:
             os.write(fd, f"pid={os.getpid()} at={_now().isoformat()}".encode())
             os.close(fd)
@@ -229,38 +272,42 @@ class Catalog:
         Rejects a duplicate natural key by default — the reference
         appends blindly and its C2 UPDATE then clobbers every row with
         that key (observed in round-1 verification); opt in with
-        ``allow_duplicate`` to reproduce that behavior.
+        ``allow_duplicate`` to reproduce that behavior. The dup-check
+        and the append run under ONE fence hold (bounded wait) so two
+        racing start_infos cannot both pass the check, and the append
+        cannot vanish under a concurrent end_info swap (ADVICE r8).
         """
-        if not allow_duplicate:
-            dup = self.read("sessions").filter(
-                (F.col("mode") == mode)
-                & (F.col("cluster_name") == cluster_name)
-                & (F.col("session_name") == session_name)
-                & (F.col("dest_root") == dest_root)
-            )
-            if not dup.limit(1).isEmpty():
-                raise ValueError(
-                    f"session already recorded: mode={mode!r} cluster={cluster_name!r} "
-                    f"session={session_name!r} dest_root={dest_root!r}"
+        with self._swap_fence("sessions", wait_s=FENCE_WAIT_S):
+            if not allow_duplicate:
+                dup = self.read("sessions").filter(
+                    (F.col("mode") == mode)
+                    & (F.col("cluster_name") == cluster_name)
+                    & (F.col("session_name") == session_name)
+                    & (F.col("dest_root") == dest_root)
                 )
-        self._append(
-            "sessions",
-            [
-                {
-                    "mode": mode,
-                    "cluster_name": cluster_name,
-                    "session_name": session_name,
-                    "dest_root": dest_root,
-                    "specified_start": specified_start,
-                    "specified_end": specified_end,
-                    "started_at": started_at or _now(),
-                    "ended_at": None,
-                    "error": False,
-                    "error_info": None,
-                    "updated_at": _now(),
-                }
-            ],
-        )
+                if not dup.limit(1).isEmpty():
+                    raise ValueError(
+                        f"session already recorded: mode={mode!r} cluster={cluster_name!r} "
+                        f"session={session_name!r} dest_root={dest_root!r}"
+                    )
+            self._append_rows(
+                "sessions",
+                [
+                    {
+                        "mode": mode,
+                        "cluster_name": cluster_name,
+                        "session_name": session_name,
+                        "dest_root": dest_root,
+                        "specified_start": specified_start,
+                        "specified_end": specified_end,
+                        "started_at": started_at or _now(),
+                        "ended_at": None,
+                        "error": False,
+                        "error_info": None,
+                        "updated_at": _now(),
+                    }
+                ],
+            )
 
     # ---- C2: session end (point update) ------------------------------------
     def end_info(
@@ -272,9 +319,19 @@ class Catalog:
         ended_at: datetime | None = None,
         error: bool = False,
         error_info: str | None = None,
+        wait: bool | float = False,
     ) -> None:
         """C2 (mysql.rb:246-267): update ended_at/error on the session row,
-        keyed on (mode, cluster_name, session_name, dest_root)."""
+        keyed on (mode, cluster_name, session_name, dest_root).
+
+        ``wait`` (VERDICT r8 #5): False (default) raises
+        CatalogContentionError immediately if another writer holds the
+        fence — the single-writer contract stays loud. ``wait=True``
+        sleep-polls up to FENCE_WAIT_S (the reference's own <=10x3s
+        retry, mysql.rb:250-256) so a 16-session export fleet's
+        end-brackets serialize without caller-side retry loops; a
+        number is a custom bound in seconds."""
+        wait_s = FENCE_WAIT_S if wait is True else (0.0 if wait is False else float(wait))
         key = (
             (F.col("mode") == mode)
             & (F.col("cluster_name") == cluster_name)
@@ -284,7 +341,7 @@ class Catalog:
         ended = ended_at or _now()
         # fence spans the read AND the swap: the lost-update race is two
         # writers reading the same old state, not the renames themselves
-        with self._swap_fence("sessions"):
+        with self._swap_fence("sessions", wait_s=wait_s):
             df = self.read("sessions")
             updated = df.withColumns(
                 {
@@ -308,8 +365,12 @@ class Catalog:
         empty: bool = False,
         error: bool = False,
         error_info: str | None = None,
+        dest_root: str | None = None,
     ) -> None:
-        """C3 (mysql.rb:154-190): table row + child descriptor rows."""
+        """C3 (mysql.rb:154-190): table row + child descriptor rows.
+        ``dest_root`` records the chain key on the table row itself
+        (ADVICE r8 — session_name is second-granularity and can collide
+        across chains)."""
         self._append(
             "tables",
             [
@@ -317,6 +378,7 @@ class Catalog:
                     "mode": "export",
                     "table_name": table_name,
                     "session_name": session_name,
+                    "dest_root": dest_root,
                     "start_time": start_time,
                     "end_time": end_time,
                     "specified_versions": versions,
@@ -344,7 +406,13 @@ class Catalog:
             self._append("column_descriptors", rows)
 
     def imported_table_info(
-        self, table_name: str, session_name: str, empty: bool = False, error: bool = False, error_info: str | None = None
+        self,
+        table_name: str,
+        session_name: str,
+        empty: bool = False,
+        error: bool = False,
+        error_info: str | None = None,
+        dest_root: str | None = None,
     ) -> None:
         """C4 (mysql.rb:200-215): import result row (no descriptor children)."""
         self._append(
@@ -354,6 +422,7 @@ class Catalog:
                     "mode": "import",
                     "table_name": table_name,
                     "session_name": session_name,
+                    "dest_root": dest_root,
                     "start_time": None,
                     "end_time": None,
                     "specified_versions": None,
@@ -370,8 +439,14 @@ class Catalog:
         """C5 (mysql.rb:274-288): tables of a session, optional LIKE
         wildcard, validated against the parent session's dest_root (the
         reference reaches through the FK association — here an explicit
-        broadcast join)."""
-        tables = self.read("tables").filter((F.col("mode") == mode) & (F.col("session_name") == session_name))
+        broadcast join). Table rows carrying their own dest_root (r9)
+        are keyed on it directly; legacy NULL rows rely on the session
+        join alone."""
+        tables = self.read("tables").filter(
+            (F.col("mode") == mode)
+            & (F.col("session_name") == session_name)
+            & ((F.col("dest_root") == dest_root) | F.col("dest_root").isNull())
+        )
         if pattern is not None:
             tables = tables.filter(F.col("table_name").like(pattern))
         sessions = self.read("sessions").filter((F.col("dest_root") == dest_root) & (F.col("mode") == mode))
@@ -427,7 +502,10 @@ class Catalog:
         tables = self.read("tables").filter(F.col("mode") == mode).alias("t")
         return sessions.join(
             tables,
-            (F.col("s.session_name") == F.col("t.session_name")),
+            (F.col("s.session_name") == F.col("t.session_name"))
+            # composite chain key when the table row carries it (ADVICE
+            # r8); legacy NULL rows keep the session-name-only match
+            & (F.col("t.dest_root").isNull() | (F.col("t.dest_root") == F.col("s.dest_root"))),
             "left",
         ).select(
             F.col("s.session_name").alias("session_name"),
@@ -459,9 +537,20 @@ class Catalog:
         (docs/Proposed_HBase_Backup_using_HBASE-1684.txt:94-97 replay
         semantics — an increment whose whole range begins after the
         cutoff contributes zero rows, so its snapshot dir need never be
-        read). Empty exports (no dir written) and errored rows are
-        excluded; rows join to their parent sessions so only this
-        chain's dirs qualify (same keying as :meth:`next_start_times`).
+        read). Empty exports (no dir written) and errored TABLE rows
+        are excluded. Session-level error is deliberately NOT a filter
+        (ADVICE r8, high): export_tables marks the whole session
+        error=True when ANY table in it fails — after earlier tables
+        already committed clean snapshot dirs and clean table rows. A
+        clean table row proves its dir was written, so those valid
+        increments stay restorable; pruning them would silently return
+        stale cells (and next_start_times has already advanced the
+        watermark past such sessions, so the range would never be
+        re-exported). Chain isolation keys on the table row's own
+        ``dest_root`` (composite with session_name — ADVICE r8:
+        session names are second-granularity and collide across
+        chains); rows from older catalogs without the column fall back
+        to the session-name join alone.
         Returns (session_name, start_time, end_time) sorted by
         start_time — a metadata-sized relation (catalog rows, not data).
         """
@@ -471,11 +560,10 @@ class Catalog:
             & (F.col("error") == F.lit(False))
             & (F.col("empty") == F.lit(False))
             & (F.col("start_time") <= F.lit(int(cutoff_ts)))
+            & ((F.col("dest_root") == dest_root) | F.col("dest_root").isNull())
         )
         sessions = self.read("sessions").filter(
-            (F.col("mode") == mode)
-            & (F.col("dest_root") == dest_root)
-            & (F.col("error") == F.lit(False))
+            (F.col("mode") == mode) & (F.col("dest_root") == dest_root)
         )
         if cluster_name is not None:
             sessions = sessions.filter(F.col("cluster_name") == cluster_name)
@@ -506,12 +594,18 @@ class Catalog:
         would inherit another chain's watermark and silently omit every
         older cell from the new chain (ADVICE r1). ``dest_root=None``
         keeps the legacy across-all-chains behavior for callers that
-        genuinely want a global watermark.
+        genuinely want a global watermark. Since r9 the chain key also
+        uses the table row's own dest_root when present (ADVICE r8 —
+        second-granularity session names collide across chains; legacy
+        NULL rows fall back to the session-name join).
         """
         tables = self.read("tables").filter(
             (F.col("mode") == mode) & (F.col("error") == F.lit(False))
         )
         if dest_root is not None:
+            tables = tables.filter(
+                (F.col("dest_root") == dest_root) | F.col("dest_root").isNull()
+            )
             sessions = self.read("sessions").filter(
                 (F.col("mode") == mode) & (F.col("dest_root") == dest_root)
             )

@@ -137,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
                     "name": name,
                     "tags": sorted(spec.tags),
                     "oracled": spec.oracle is not None,
+                    # full contract note: for the O(n²) exactness
+                    # anchors this carries the scale fuse
+                    # (SPARK_GRAFT_EXACT_PAIR_MAX) and the registered
+                    # sub-quadratic twin (VERDICT r8 #6) — the listing
+                    # is the user-facing surface, so the contract must
+                    # be visible here, not only in source docstrings
+                    "doc": spec.doc,
                 }))
             return 0
         if args.name not in specs:

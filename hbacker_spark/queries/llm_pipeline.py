@@ -694,7 +694,8 @@ def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller passes the query vector in directly. Deliberate, not a
     # hidden scan (VERDICT r3 minor #3).
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_topk(spark, e, list(qvec), k=KNN_K)
+    # pinned oracle geometry — production callers omit n_planes for auto sizing
+    return ann_topk(spark, e, list(qvec), k=KNN_K, n_planes=SIM.DEFAULT_PLANES)
 
 
 _MULTIPROBE = 2  # Hamming-1 flips per table (least-confident bits)
@@ -740,7 +741,8 @@ def ann_multiprobe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # Same deliberate point lookup as ann_lsh_cosine_topk above.
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_topk(spark, e, list(qvec), k=KNN_K, multiprobe=_MULTIPROBE)
+    # pinned oracle geometry — production callers omit n_planes for auto sizing
+    return ann_topk(spark, e, list(qvec), k=KNN_K, multiprobe=_MULTIPROBE, n_planes=SIM.DEFAULT_PLANES)
 
 
 @register(
@@ -766,7 +768,9 @@ def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # Same deliberate point lookup as ann_lsh_cosine_topk above.
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(spark, e, list(qvec), k=KNN_K)
+    # pinned oracle geometry (16 centroids / 4 probes) — production
+    # callers omit both for the sqrt(n) auto sizing (VERDICT r8 #2)
+    return ivf_topk(spark, e, list(qvec), k=KNN_K, n_centroids=16, nprobe=4)
 
 
 @register(
@@ -819,7 +823,8 @@ def ann_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.similarity import ann_candidate_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ann_candidate_pairs(e)
+    # pinned oracle geometry — production callers omit n_planes for auto sizing
+    return ann_candidate_pairs(e, n_planes=SIM.DEFAULT_PLANES)
 
 
 @register(
@@ -887,7 +892,8 @@ def ann_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.similarity import ann_bucket_stats
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ann_bucket_stats(e)
+    # pinned oracle geometry — production callers omit n_planes for auto sizing
+    return ann_bucket_stats(e, n_planes=SIM.DEFAULT_PLANES)
 
 
 @register(
@@ -914,10 +920,13 @@ def ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_rescored_pairs(e)
 
 
-def _ann_rescored_pairs(e: DataFrame) -> DataFrame:
+def _ann_rescored_pairs(e: DataFrame, n_planes: int | None = -1) -> DataFrame:
     """LSH candidate pairs → exact-fold rescore → threshold: the shared
     sub-quadratic pair stage for ann_near_dup_pairs and the ANN-fed
-    cluster/keeper queries below.
+    cluster/keeper queries below. ``n_planes`` defaults to the PINNED
+    oracle geometry (registered queries must be engine-deterministic);
+    pass ``None`` explicitly for the production auto sizing
+    (recommended_planes — x100_receipt.py measures that leg).
 
     Per-vector norms via the JVM fold (n rows, cheap); the PER-PAIR
     dot via the Arrow-batched exact-fold kernel — the interpreted HOF
@@ -928,7 +937,9 @@ def _ann_rescored_pairs(e: DataFrame) -> DataFrame:
     """
     from hbacker_spark.operators.similarity import ann_candidate_pairs
 
-    cand = ann_candidate_pairs(e).select("vec_a", "vec_b")
+    if n_planes == -1:  # sentinel: pinned oracle geometry
+        n_planes = SIM.DEFAULT_PLANES
+    cand = ann_candidate_pairs(e, n_planes=n_planes).select("vec_a", "vec_b")
     ea = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("_ea"),

@@ -202,3 +202,123 @@ def test_fence_releases_on_failure(catalog):
     catalog._overwrite = orig
     catalog.end_info("export", CLUSTER, "sC", DEST)  # no stale lock
     assert catalog.read("sessions").collect()[0]["ended_at"] is not None
+
+
+def test_end_info_wait_serializes_writers(catalog, monkeypatch):
+    """VERDICT r8 #5: ``end_info(wait=True)`` sleep-polls a contended
+    fence (bounded, the reference's own <=10x3s remedy, mysql.rb:250-256)
+    instead of raising — a 16-session export fleet needs no caller-side
+    retry loop. Deterministic: the winner stalls mid-swap holding the
+    fence; the waiting loser must block, then succeed once released."""
+    import threading
+
+    from hbacker_spark.catalog import catalog as C
+
+    monkeypatch.setattr(C, "FENCE_POLL_S", 0.05)
+    _start(catalog, "sW1")
+    _start(catalog, "sW2")
+
+    orig = catalog._overwrite
+    in_swap = threading.Event()
+    release = threading.Event()
+
+    def stalling_overwrite(table, df):
+        in_swap.set()
+        assert release.wait(60), "test deadlock: release never set"
+        orig(table, df)
+
+    catalog._overwrite = stalling_overwrite
+    errs: list[BaseException] = []
+
+    def winner():
+        try:
+            catalog.end_info("export", CLUSTER, "sW1", DEST)
+        except BaseException as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    t = threading.Thread(target=winner)
+    t.start()
+    assert in_swap.wait(60)
+
+    done = threading.Event()
+
+    def waiter():
+        try:
+            catalog.end_info("export", CLUSTER, "sW2", DEST, wait=30)
+        except BaseException as ex:  # noqa: BLE001
+            errs.append(ex)
+        done.set()
+
+    t2 = threading.Thread(target=waiter)
+    t2.start()
+    assert not done.wait(1.0), "waiter should be blocked on the fence"
+    release.set()
+    t.join(60)
+    catalog._overwrite = orig
+    assert done.wait(60), "waiter never finished after release"
+    t2.join(60)
+    assert not errs, errs
+    rows = {r["session_name"]: r for r in catalog.read("sessions").collect()}
+    assert rows["sW1"]["ended_at"] is not None
+    assert rows["sW2"]["ended_at"] is not None
+
+
+def test_append_fenced_against_concurrent_swap(catalog, monkeypatch):
+    """ADVICE r8 (medium): a start_info append landing between a fenced
+    end_info's READ and its directory swap used to be silently
+    obliterated by the overwrite. _append now takes the same fence
+    (bounded wait), so the append blocks until the swap completes and
+    BOTH rows survive."""
+    import threading
+
+    from hbacker_spark.catalog import catalog as C
+
+    monkeypatch.setattr(C, "FENCE_POLL_S", 0.05)
+    _start(catalog, "sE")
+
+    orig = catalog._overwrite
+    in_swap = threading.Event()
+    release = threading.Event()
+
+    def stalling_overwrite(table, df):
+        in_swap.set()
+        # the swap is stalled AFTER end_info's read: an unfenced append
+        # here would be wiped out by the overwrite below
+        assert release.wait(60), "test deadlock: release never set"
+        orig(table, df)
+
+    catalog._overwrite = stalling_overwrite
+    errs: list[BaseException] = []
+
+    def ender():
+        try:
+            catalog.end_info("export", CLUSTER, "sE", DEST)
+        except BaseException as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    t = threading.Thread(target=ender)
+    t.start()
+    assert in_swap.wait(60)
+
+    appended = threading.Event()
+
+    def appender():
+        try:
+            _start(catalog, "sNEW")  # start_info → fenced append
+        except BaseException as ex:  # noqa: BLE001
+            errs.append(ex)
+        appended.set()
+
+    t2 = threading.Thread(target=appender)
+    t2.start()
+    assert not appended.wait(1.0), "append should be blocked by the held fence"
+    release.set()
+    t.join(60)
+    catalog._overwrite = orig
+    assert appended.wait(60), "append never completed after fence release"
+    t2.join(60)
+    assert not errs, errs
+    rows = {r["session_name"]: r for r in catalog.read("sessions").collect()}
+    assert set(rows) == {"sE", "sNEW"}, "a fenced append was lost under the swap"
+    assert rows["sE"]["ended_at"] is not None
+    assert rows["sNEW"]["ended_at"] is None

@@ -144,8 +144,21 @@ def test_cli_query_surface(tmp_path):
     ls = run_cli("queries", "--tag", "dedup")
     names = [json.loads(line)["name"] for line in ls.stdout.splitlines() if line.strip()]
     assert "dedup_exact_groups" in names
-    assert all(json.loads(line).keys() == {"name", "tags", "oracled"}
+    assert all(json.loads(line).keys() == {"name", "tags", "oracled", "doc"}
                for line in ls.stdout.splitlines() if line.strip())
+    # the listing surfaces each query's contract note (VERDICT r8 #6):
+    # the O(n²) exactness anchors must show the scale fuse + their
+    # sub-quadratic twin right in the user-facing surface
+    by_name = {json.loads(line)["name"]: json.loads(line)
+               for line in ls.stdout.splitlines() if line.strip()}
+    for anchor, twin in (
+        ("embedding_near_dup_pairs", "ann_near_dup_pairs"),
+        ("embedding_dedup_clusters", "ann_dedup_clusters"),
+        ("semantic_keeper_by_quality", "ann_keeper_by_quality"),
+    ):
+        doc = by_name[anchor]["doc"]
+        assert "SPARK_GRAFT_EXACT_PAIR_MAX" in doc, anchor
+        assert twin in doc, anchor
 
     out = str(tmp_path / "res")
     r = run_cli(

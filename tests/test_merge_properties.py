@@ -242,13 +242,21 @@ def test_incremental_ann_index_fold_equals_full_build(spark, sf_dir):
     from hbacker_spark.operators.similarity import ann_bucket_stats, ann_candidate_pairs
     from hbacker_spark.sources.tables import load_table
 
+    from hbacker_spark.operators.similarity import DEFAULT_PLANES
+
     e = load_table(spark, sf_dir, "embeddings")
-    # no hot-bucket cap bites at test scale -> batch path is exact
+    # no hot-bucket cap bites at test scale -> batch path is exact.
+    # Geometry pinned to the incremental state's (lsh_postings_state
+    # uses DEFAULT_PLANES): the r9 auto default would size to the
+    # corpus, which is exactly what a persistent index must NOT do
+    # between ingest batches.
     assert (
-        ann_bucket_stats(e).agg(F.sum("n_capped_buckets")).collect()[0][0] == 0
+        ann_bucket_stats(e, n_planes=DEFAULT_PLANES).agg(F.sum("n_capped_buckets")).collect()[0][0] == 0
     )
     full_pairs = sorted(map(tuple, ann_pairs_state(e).collect()))
-    assert full_pairs == sorted(map(tuple, ann_candidate_pairs(e).collect()))
+    assert full_pairs == sorted(
+        map(tuple, ann_candidate_pairs(e, n_planes=DEFAULT_PLANES).collect())
+    )
 
     bucket = F.pmod(F.xxhash64("vec_id", F.lit(11)), F.lit(3))
     parts = [e.filter(bucket == i) for i in range(3)]

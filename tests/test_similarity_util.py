@@ -88,7 +88,7 @@ def test_ivf_probe_prunes_and_recalls(spark, embeddings):
 
     qvec = list(embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     n = embeddings.count()
-    assigned, cents = ivf_assign(embeddings, dim=len(qvec))
+    assigned, cents = ivf_assign(embeddings, n_centroids=16, dim=len(qvec))
     assert assigned.count() == n  # every vector in exactly one list
     assert cents.shape[0] == 16
     # dim is required (deriving it would cost a driver job at scale)
@@ -107,9 +107,54 @@ def test_ivf_probe_prunes_and_recalls(spark, embeddings):
 
 
 def test_ann_pairs_subquadratic(spark, embeddings):
+    # pinned geometry: this pin is about the bucketing mechanics, not
+    # the sizing rule (auto sizing has its own tests below)
+    from hbacker_spark.operators.similarity import DEFAULT_PLANES
+
     n = embeddings.count()
-    pairs = ann_candidate_pairs(embeddings).count()
+    pairs = ann_candidate_pairs(embeddings, n_planes=DEFAULT_PLANES).count()
     assert pairs < n * (n - 1) // 2 * 0.5, "bucketing should prune most pairs"
+
+
+def test_auto_geometry_defaults(spark, embeddings):
+    """VERDICT r8 #1/#2: the production entrypoints auto-size their
+    geometry from the corpus when none is given. The sizing rules are
+    pure functions (unit-pinned here, incl. the x100 scale where the
+    pinned test geometry measurably spilled), and the auto path is
+    plan-identical to passing the recommendation explicitly."""
+    from hbacker_spark.operators.similarity import (
+        recommended_centroids,
+        recommended_nprobe,
+        recommended_planes,
+    )
+
+    # x10 replica scale (~20k vectors) and x100 (~200k): auto must pick
+    # >= 10 planes at x100 — the measured no-spill geometry
+    # (X100_RECEIPT.json: 6 planes over-capacity spilled 44.5GB)
+    assert recommended_planes(20_000) >= 7
+    assert recommended_planes(200_000) >= 10
+    assert recommended_planes(0) == 4 and recommended_planes(10) == 4
+    assert recommended_planes(1 << 60) == 24  # clamp
+
+    # sqrt(n) centroids, clamped; nprobe holds the 25% scan fraction
+    assert recommended_centroids(200_000) == 447
+    assert recommended_centroids(20_000) == 141
+    assert recommended_centroids(10) == 16 and recommended_centroids(10**9) == 4096
+    assert recommended_nprobe(16) == 4  # the pinned test geometry's ratio
+    assert recommended_nprobe(447) == 112
+
+    # auto == explicit-at-recommendation on a real corpus (identical
+    # pair relation — checked on count + shared-bucket mass, cheap)
+    def _sig(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_shared_buckets").alias("m")
+        ).collect()[0]
+        return (row["n"], row["m"])
+
+    n = embeddings.count()
+    assert _sig(ann_candidate_pairs(embeddings)) == _sig(
+        ann_candidate_pairs(embeddings, n_planes=recommended_planes(n))
+    )
 
 
 def test_ann_candidate_recall_on_planted_near_dups(spark):

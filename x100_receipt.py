@@ -18,6 +18,16 @@ the UI REST API, the spill_audit.py pattern), and measures:
   cosine kernel, so the cap's recall cost as bucket density grows 10x
   is measured, not assumed
 
+r9 additions (VERDICT r8 #1/#2 — the auto geometry is now the DEFAULT):
+- an AUTO-geometry leg of the pair chain (n_planes=None ->
+  recommended_planes, production shuffle partitions) at both scales,
+  proving the pinned-geometry 44.5GB x100 spill disappears when users
+  take the defaults;
+- recall@10 measured at BOTH the pinned oracle geometry and the auto
+  defaults, asserting the auto IVF (sqrt(n) centroids, 25%-fraction
+  nprobe) recovers at x100 at least the recall the pinned 16-centroid
+  index had at x10 (0.637).
+
 Writes X100_RECEIPT.json; summary table goes in SCALE_NOTES.md.
 Run: python x100_receipt.py   (~builds replicas on first run)
 """
@@ -89,29 +99,71 @@ def main() -> int:
     specs = load_all_queries()
 
     results: dict[str, dict] = {}
+
+    def measure(label: str, fn) -> dict:
+        before = {s["stageId"] for s in _stages(ui, app_id)}
+        t0 = time.monotonic()
+        n_rows = fn().count()
+        wall = time.monotonic() - t0
+        release_rank_blocks()
+        time.sleep(0.5)
+        new = [s for s in _stages(ui, app_id) if s["stageId"] not in before]
+        row = {
+            k: sum(int(s.get(v, 0)) for s in new) for k, v in STAGE_FIELDS.items()
+        }
+        row["peak_execution_memory"] = max(
+            (int(s.get("peakExecutionMemory", 0)) for s in new), default=0
+        )
+        row["wall_sec"] = round(wall, 1)
+        row["rows"] = n_rows
+        results[label] = row
+        print(
+            f"{label:<32} rows={n_rows:>9} wall={wall:6.1f}s "
+            f"shuf_w={row['shuffle_write'] / 1e6:9.1f}MB "
+            f"spill={row['memory_spilled'] + row['disk_spilled']}B"
+        )
+        return row
+
     for tag, sf_dir in (("x10", x10), ("x100", x100)):
         for name in CHAIN:
-            before = {s["stageId"] for s in _stages(ui, app_id)}
-            t0 = time.monotonic()
-            n_rows = specs[name].fn(spark, sf_dir).count()
-            wall = time.monotonic() - t0
-            release_rank_blocks()
-            time.sleep(0.5)
-            new = [s for s in _stages(ui, app_id) if s["stageId"] not in before]
-            row = {
-                k: sum(int(s.get(v, 0)) for s in new) for k, v in STAGE_FIELDS.items()
-            }
-            row["peak_execution_memory"] = max(
-                (int(s.get("peakExecutionMemory", 0)) for s in new), default=0
+            measure(f"{tag}/{name}", lambda n=name, d=sf_dir: specs[n].fn(spark, d))
+
+    # ---- AUTO-geometry leg (VERDICT r8 #1): the production DEFAULT ----
+    # Same chain stages, but n_planes=None -> recommended_planes
+    # (auto-sized from one count), at production-sized shuffle
+    # partitions. The pinned x100 run above reproduces the documented
+    # 44.5GB spill class; this leg proves taking the defaults removes it.
+    from hbacker_spark.operators.clustering import dedup_clusters
+    from hbacker_spark.operators.similarity import (
+        ann_candidate_pairs,
+        recommended_planes,
+    )
+    from hbacker_spark.queries.llm_pipeline import _ann_rescored_pairs
+
+    auto_planes: dict[str, int] = {}
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")  # production-sized
+    try:
+        for tag, sf_dir in (("x10", x10), ("x100", x100)):
+            e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            auto_planes[tag] = recommended_planes(e.count())
+            measure(f"{tag}/auto_candidate_pairs", lambda e=e: ann_candidate_pairs(e))
+            measure(
+                f"{tag}/auto_near_dup_pairs",
+                lambda e=e: _ann_rescored_pairs(e, n_planes=None),
             )
-            row["wall_sec"] = round(wall, 1)
-            row["rows"] = n_rows
-            results[f"{tag}/{name}"] = row
-            print(
-                f"{tag:>5} {name:<24} rows={n_rows:>9} wall={wall:6.1f}s "
-                f"shuf_w={row['shuffle_write'] / 1e6:9.1f}MB "
-                f"spill={row['memory_spilled'] + row['disk_spilled']}B"
+            measure(
+                f"{tag}/auto_dedup_clusters",
+                lambda e=e: dedup_clusters(
+                    e,
+                    _ann_rescored_pairs(e, n_planes=None).select(
+                        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+                    ),
+                    id_col="vec_id",
+                ),
             )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
 
     # growth ratios: corpus grew 10x from x10 to x100 — the hot-bucket
     # cap claims candidate pairs grow ~linearly (ratio ~10, never ~100)
@@ -120,9 +172,9 @@ def main() -> int:
         for name in CHAIN
     }
 
-    # ---- recall@10 at x100 (ann_recall_smoke method, denser buckets) ----
+    # ---- recall@10 at x100: pinned oracle geometry vs auto defaults ----
     from hbacker_spark.functions.similarity import cosine
-    from hbacker_spark.operators.similarity import ann_topk, ivf_topk
+    from hbacker_spark.operators.similarity import DEFAULT_PLANES, ann_topk, ivf_topk
 
     e = spark.read.parquet(f"{x100}/embeddings.parquet").cache()
     n_vec = e.count()
@@ -131,7 +183,10 @@ def main() -> int:
         r["vec_id"]: list(r["embedding"])
         for r in e.filter(F.col("vec_id").isin(qids)).collect()
     }
-    lsh_r, mp_r, ivf_r = [], [], []
+    acc = {
+        k: []
+        for k in ("lsh", "mp", "ivf", "lsh_auto", "mp_auto", "ivf_auto")
+    }
     for qid in qids:
         qv = qvecs[qid]
         q = spark.createDataFrame([(qv,)], "q_emb array<float>")
@@ -143,16 +198,25 @@ def main() -> int:
             .limit(K)
             .collect()
         }
-        lsh = {r["vec_id"] for r in ann_topk(spark, e, qv, k=K).collect()}
-        mp = {
-            r["vec_id"]
-            for r in ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE).collect()
-        }
-        ivf = {r["vec_id"] for r in ivf_topk(spark, e, qv, k=K).collect()}
-        lsh_r.append(len(lsh & exact) / K)
-        mp_r.append(len(mp & exact) / K)
-        ivf_r.append(len(ivf & exact) / K)
+
+        def rec(df):
+            return len({r["vec_id"] for r in df.collect()} & exact) / K
+
+        acc["lsh"].append(rec(ann_topk(spark, e, qv, k=K, n_planes=DEFAULT_PLANES)))
+        acc["mp"].append(
+            rec(ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE, n_planes=DEFAULT_PLANES))
+        )
+        acc["ivf"].append(rec(ivf_topk(spark, e, qv, k=K, n_centroids=16, nprobe=4)))
+        # production defaults: auto planes / sqrt(n) centroids, 25% nprobe
+        acc["lsh_auto"].append(rec(ann_topk(spark, e, qv, k=K)))
+        acc["mp_auto"].append(rec(ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE)))
+        acc["ivf_auto"].append(rec(ivf_topk(spark, e, qv, k=K)))
     e.unpersist()
+    mean = {k: round(sum(v) / len(v), 3) for k, v in acc.items()}
+
+    def spill_of(label: str) -> int:
+        r = results[label]
+        return r["memory_spilled"] + r["disk_spilled"]
 
     receipt = {
         "model": "x100 replica of sf0.1 docs/embeddings (constant dup rate); x10 baseline",
@@ -162,24 +226,50 @@ def main() -> int:
         "spilled_anywhere": any(
             r["memory_spilled"] + r["disk_spilled"] > 0 for r in results.values()
         ),
+        "auto_geometry": {
+            "n_planes": auto_planes,
+            "shuffle_partitions": 64,
+            "x100_pinned_candidate_spill_bytes": spill_of("x100/ann_candidate_pairs"),
+            "x100_auto_candidate_spill_bytes": spill_of("x100/auto_candidate_pairs"),
+            "x100_auto_near_dup_over_pinned_rows": round(
+                results["x100/auto_near_dup_pairs"]["rows"]
+                / max(results["x100/ann_near_dup_pairs"]["rows"], 1),
+                3,
+            ),
+        },
         "recall10_x100": {
-            "lsh": round(sum(lsh_r) / len(lsh_r), 3),
-            "lsh_multiprobe2": round(sum(mp_r) / len(mp_r), 3),
-            "ivf": round(sum(ivf_r) / len(ivf_r), 3),
+            "lsh": mean["lsh"],
+            "lsh_multiprobe2": mean["mp"],
+            "ivf": mean["ivf"],
+        },
+        "recall10_x100_auto": {
+            "lsh": mean["lsh_auto"],
+            "lsh_multiprobe2": mean["mp_auto"],
+            "ivf": mean["ivf_auto"],
         },
     }
     with open(os.path.join(REPO, "X100_RECEIPT.json"), "w") as f:
         json.dump(receipt, f, indent=1)
-    print(json.dumps({k: receipt[k] for k in ("rows_growth_x100_over_x10", "spilled_anywhere", "recall10_x100")}))
+    print(json.dumps({
+        k: receipt[k]
+        for k in ("rows_growth_x100_over_x10", "spilled_anywhere", "auto_geometry",
+                  "recall10_x100", "recall10_x100_auto")
+    }))
 
     # the cap's core claim: candidate pairs grow ~linearly in corpus
     # size (10x data -> ~10x pairs), never quadratically (100x)
     assert growth["ann_candidate_pairs"] < 30, growth
-    # recall regression bars at x100 (measured r8: lsh 0.625 / mp2 0.838
-    # / ivf 0.562) — same floors as ann_recall_smoke.py, so a geometry
-    # or cap change that destroys recall at density fails the receipt
+    # recall regression bars at x100, pinned geometry (measured r8:
+    # lsh 0.625 / mp2 0.838 / ivf 0.562)
     r = receipt["recall10_x100"]
     assert r["lsh"] >= 0.3 and r["lsh_multiprobe2"] >= 0.5 and r["ivf"] >= 0.4, r
+    # VERDICT r8 #1: the production default (auto planes) must remove
+    # the pinned-geometry x100 spill entirely, or at worst the measured
+    # 12-plane floor (10.3GB)
+    assert spill_of("x100/auto_candidate_pairs") <= 11_000_000_000, receipt["auto_geometry"]
+    # VERDICT r8 #2: auto IVF at x100 must recover at least the recall
+    # the pinned 16-centroid index had at x10 (0.637)
+    assert receipt["recall10_x100_auto"]["ivf"] >= 0.637, receipt["recall10_x100_auto"]
     # span removal must never spill: its keys are uniform by construction
     for tag in ("x10", "x100"):
         row = results[f"{tag}/span_removal_filter"]
