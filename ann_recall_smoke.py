@@ -29,7 +29,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from hbacker_spark.functions.similarity import cosine
-from hbacker_spark.operators.similarity import ann_topk, ivf_topk
+from hbacker_spark.operators.similarity import DEFAULT_PLANES, ann_topk, ivf_topk
 from hbacker_spark.session import get_spark
 
 X10 = "/root/repo/.scale_smoke/x10"
@@ -66,20 +66,27 @@ def main():
         for r in e.filter(F.col("vec_id").isin(qids)).collect()
     }
 
+    # r9: measure BOTH the pinned oracle geometry (6 planes; 16/4 IVF)
+    # and the production AUTO defaults (recommended_planes /
+    # sqrt(n)-centroids + 25% nprobe) — the auto path is what users get
     lsh_r, mp_r, ivf_r = [], [], []
+    lsh_a, mp_a, ivf_a = [], [], []
     t0 = time.perf_counter()
     for qid in qids:
         qv = qvecs[qid]
         exact = {r["vec_id"] for r in exact_topk(spark, e, qv).collect()}
-        lsh = {r["vec_id"] for r in ann_topk(spark, e, qv, k=K).collect()}
-        mp = {
-            r["vec_id"]
-            for r in ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE).collect()
-        }
-        ivf = {r["vec_id"] for r in ivf_topk(spark, e, qv, k=K).collect()}
-        lsh_r.append(len(lsh & exact) / K)
-        mp_r.append(len(mp & exact) / K)
-        ivf_r.append(len(ivf & exact) / K)
+
+        def rec(df):
+            return len({r["vec_id"] for r in df.collect()} & exact) / K
+
+        lsh_r.append(rec(ann_topk(spark, e, qv, k=K, n_planes=DEFAULT_PLANES)))
+        mp_r.append(
+            rec(ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE, n_planes=DEFAULT_PLANES))
+        )
+        ivf_r.append(rec(ivf_topk(spark, e, qv, k=K, n_centroids=16, nprobe=4)))
+        lsh_a.append(rec(ann_topk(spark, e, qv, k=K)))
+        mp_a.append(rec(ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE)))
+        ivf_a.append(rec(ivf_topk(spark, e, qv, k=K)))
     wall = round(time.perf_counter() - t0, 1)
 
     receipt = {
@@ -92,6 +99,9 @@ def main():
         "lsh_per_query": lsh_r,
         "lsh_multiprobe_per_query": mp_r,
         "ivf_per_query": ivf_r,
+        "recall10_lsh_auto": round(sum(lsh_a) / len(lsh_a), 3),
+        "recall10_lsh_multiprobe2_auto": round(sum(mp_a) / len(mp_a), 3),
+        "recall10_ivf_auto": round(sum(ivf_a) / len(ivf_a), 3),
         "wall_sec": wall,
     }
     print(json.dumps(receipt))
@@ -101,6 +111,13 @@ def main():
     # candidate-superset monotonicity: multiprobe can never lose recall
     # vs single-probe on the same query (its candidate set is a superset)
     assert all(m >= s for m, s in zip(mp_r, lsh_r)), receipt
+    assert all(m >= s for m, s in zip(mp_a, lsh_a)), receipt
+    # auto-default floors (r9): auto IVF (sqrt(n) centroids, 25% nprobe)
+    # must hold the pinned floor; auto LSH runs sparser buckets by
+    # design (recall traded for the no-spill pair path) — multiprobe is
+    # its recall knob and must stay serviceable
+    assert receipt["recall10_ivf_auto"] >= IVF_FLOOR, receipt
+    assert receipt["recall10_lsh_multiprobe2_auto"] >= 0.4, receipt
 
 
 if __name__ == "__main__":

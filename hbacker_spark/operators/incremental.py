@@ -303,17 +303,32 @@ def merge_bloom_state(a: DataFrame, b: DataFrame) -> DataFrame:
 # applies per ingest batch (each batch's within/cross expansion is
 # bounded by max_bucket × batch density) and ann_bucket_stats publishes
 # where it bit — recall accounting identical to the batch path.
+#
+# Geometry caveat (r9, since the batch entrypoints auto-size): a
+# PERSISTENT index must keep ONE fixed geometry across every ingest
+# batch — signatures hashed under different n_planes don't share
+# buckets, so auto-sizing per batch would silently fragment the state.
+# lsh_postings_state therefore stays pinned to DEFAULT_PLANES; size a
+# new index ONCE at creation (recommended_planes over the expected
+# corpus) and pass that value explicitly to every batch, or accept the
+# pinned default.
 # ---------------------------------------------------------------------------
 
 
 def lsh_postings_state(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """(table_idx, bucket, ds) posting-list state of ONE batch — one
-    Arrow signature pass over the batch + one bucket shuffle."""
-    from hbacker_spark.operators.similarity import lsh_signatures
+    Arrow signature pass over the batch + one bucket shuffle.
+    ``n_planes`` is the INDEX-CREATION-TIME geometry (see the geometry
+    caveat above): it must be the same value for every batch of one
+    index; None = the pinned DEFAULT_PLANES."""
+    from hbacker_spark.operators.similarity import DEFAULT_PLANES, lsh_signatures
 
-    sigs = lsh_signatures(df, id_col, vec_col)
+    sigs = lsh_signatures(df, id_col, vec_col, DEFAULT_PLANES if n_planes is None else n_planes)
     return sigs.groupBy("table_idx", "bucket").agg(
         F.sort_array(F.collect_list("vec_id")).alias("ds")
     )
@@ -351,10 +366,14 @@ def _pairs_from_postings(posts: DataFrame) -> DataFrame:
 
 
 def ann_pairs_state(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
-    """Within-batch candidate pairs of ONE batch (uncapped form)."""
-    return _pairs_from_postings(lsh_postings_state(df, id_col, vec_col))
+    """Within-batch candidate pairs of ONE batch (uncapped form).
+    ``n_planes``: fixed index geometry, same value every batch."""
+    return _pairs_from_postings(lsh_postings_state(df, id_col, vec_col, n_planes))
 
 
 def ann_ingest_batch(

@@ -2301,17 +2301,13 @@ def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production pattern. Weights are frozen literals over four cheap
 # per-row features; measured agreement with the gate: 0.982 (sf0.01),
 # 0.971 (sf0.1), 0.976 (sf0.001) — pinned >= 0.95 in
-# tests/test_curation_stats.py. Feature order: (n_words/100,
-# stopword_ratio, distinct_word_ratio, mean_word_len/10).
-QC_WEIGHTS = (-0.262, 150.217, -1.089, -12.665)
-QC_BIAS = -1.034
-_QC_FEATS_SQL = (
-    "CAST(len(string_split(text, ' ')) AS DOUBLE) / CAST(100.0 AS DOUBLE)",
-    f"CAST({TX.sql_stopword_count('text')} AS DOUBLE) / len(string_split(text, ' '))",
-    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))",
-    "(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)"
-    " / len(string_split(text, ' '))) / CAST(10.0 AS DOUBLE)",
-)
+# tests/test_curation_stats.py. Since r9 the weights and the scoring
+# chain live in functions/scoring.py, shared verbatim by this batch
+# query and the streaming ingest gate (stream_quality_gate_rates) —
+# one definition, two execution modes.
+QC_WEIGHTS = SC.QC_WEIGHTS
+QC_BIAS = SC.QC_BIAS
+_QC_FEATS_SQL = SC.qc_feats_sql(TX.sql_stopword_count("text"))
 
 
 @register(
@@ -2344,31 +2340,12 @@ _QC_FEATS_SQL = (
     "Arrow stage: no shuffle, no model file, no driver state.",
 )
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the whole chain (features → Arrow margin → floor-quantized
+    # micro-margin; see scoring.quality_gate_scored for the float64 /
+    # rounding-portability notes) is the SHARED definition the
+    # streaming ingest gate runs verbatim
     d = widen(load_table(spark, sf_dir, "documents"))
-    nw = TX.n_words()
-    feats = d.select(
-        "doc_id",
-        (nw.cast("double") / F.lit(100.0)).alias("f_nw"),
-        (TX.stopword_count().cast("double") / nw).alias("f_swr"),
-        (F.size(F.array_distinct(F.split("text", " "))).cast("double") / nw).alias("f_dwr"),
-        (
-            ((F.length("text") - (nw - F.lit(1))).cast("double") / nw) / F.lit(10.0)
-        ).alias("f_mwl"),
-    )
-    margin = SC.affine_margin_pandas(QC_WEIGHTS, QC_BIAS)
-    scored = feats.withColumn("_m", margin("f_nw", "f_swr", "f_dwr", "f_mwl"))
-    # floor-quantized micro-margin, NOT round(x, 6): the raw doubles are
-    # bit-identical across engines (verified), but decimal ROUNDING is
-    # not portable at scaled-.5 boundaries — Spark's BigDecimal HALF_UP
-    # is decimal-correct while DuckDB rounds on x*1e6, which can land
-    # exactly on .5 (hit in practice: margin -3.4871624999999984 at
-    # sf0.01 rounds -3.487162 vs -3.487163). floor(x*1e6) uses only two
-    # IEEE-exact ops, so it cannot disagree.
-    return scored.select(
-        "doc_id",
-        F.floor(F.col("_m") * F.lit(1000000.0)).cast("bigint").alias("margin_micro"),
-        (F.col("_m") > F.lit(0.0)).alias("keep"),
-    )
+    return SC.quality_gate_scored(d, keep_cols=("doc_id",))
 
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

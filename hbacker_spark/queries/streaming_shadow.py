@@ -329,3 +329,49 @@ def streaming_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "operator_name string, operator_id long, n_state_rows long, "
         "n_distinct_keys long, n_windows long",
     )
+
+
+def _qc_rates_oracle() -> str:
+    from hbacker_spark.functions import text as TX
+    from hbacker_spark.functions.scoring import (
+        QC_BIAS,
+        QC_WEIGHTS,
+        qc_feats_sql,
+        sql_affine_margin,
+    )
+
+    margin = sql_affine_margin(QC_WEIGHTS, QC_BIAS, qc_feats_sql(TX.sql_stopword_count("text")))
+    return f"""
+    WITH m AS (
+      SELECT source, ({margin}) > CAST(0 AS DOUBLE) AS keep
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+    FROM m GROUP BY source
+    """
+
+
+@register(
+    "stream_quality_gate_rates",
+    oracle=_qc_rates_oracle(),
+    tags=("streaming", "llm", "quality", "inference", "aggregation"),
+    doc="Streaming ingest twin of the model-based quality gate (VERDICT "
+    "r8 #7): per-source keep/drop counts + keep rate from the frozen "
+    "logistic classifier, built from the SAME quality_gate_rates "
+    "definition the live stream runs (functions/scoring.py — stateless "
+    "Arrow margin, so it is legal verbatim under Structured Streaming; "
+    "stream==batch pinned in tests/test_streaming.py like the dedup/CMS "
+    "instantiations). keep_rate is an exact-int IEEE division, so the "
+    "oracle reproduces the double bit-for-bit. At ingest this completes "
+    "the 'gates run in ingest' story: zero state per doc, |sources| "
+    "rows of aggregate state for the dashboard.",
+)
+def stream_quality_gate_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.functions.scoring import quality_gate_rates
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_gate_rates(d)
+

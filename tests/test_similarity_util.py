@@ -156,6 +156,21 @@ def test_auto_geometry_defaults(spark, embeddings):
         ann_candidate_pairs(embeddings, n_planes=recommended_planes(n))
     )
 
+    # IVF: auto == explicit-at-recommendation (same trained index, same
+    # probe list, same top-k)
+    from hbacker_spark.operators.similarity import ivf_topk
+
+    qvec = list(embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    auto_ids = [tuple(r) for r in ivf_topk(spark, embeddings, qvec, k=10).orderBy("rnk").collect()]
+    nc = recommended_centroids(n)
+    expl_ids = [
+        tuple(r)
+        for r in ivf_topk(
+            spark, embeddings, qvec, k=10, n_centroids=nc, nprobe=recommended_nprobe(nc)
+        ).orderBy("rnk").collect()
+    ]
+    assert auto_ids == expl_ids
+
 
 def test_ann_candidate_recall_on_planted_near_dups(spark):
     """LSH candidate generation must have recall 1.0 in the regime it is
