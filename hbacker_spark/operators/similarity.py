@@ -203,6 +203,16 @@ def ann_topk(
     job) — pass the pinned geometry explicitly when querying an index
     whose signatures were built with it.
 
+    Recall guidance (measured, X100_RECEIPT.json): the auto geometry
+    keeps candidate cost bounded as the corpus grows, which TRADES
+    single-query recall (sparser buckets: 0.263 single-probe at x100
+    vs 0.625 at the saturated pinned geometry). ``multiprobe`` is this
+    function's recall knob (no reindexing); for recall-sensitive query
+    SERVING prefer :func:`ivf_topk`, whose auto geometry measured 0.85
+    recall@10 at x100 — LSH buckets are the PAIRWISE dedup structure,
+    where auto sizing strictly wins (zero spill + 1.9x more true
+    near-dups found at x100).
+
     Candidate set = vectors sharing any table's probe bucket with the
     query (``multiprobe`` widens each table's probe set to the m
     least-confident Hamming-1 neighbors — see :func:`query_probe_buckets`).
@@ -527,6 +537,7 @@ def ann_candidate_pairs(
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
     max_bucket: int = 1024,
+    explode_partitions: int | None = None,
 ) -> DataFrame:
     """All-pairs candidate generation via per-(table, bucket) posting
     lists (the pairwise analog of ann_topk; same shape as MinHash-LSH
@@ -559,9 +570,30 @@ def ann_candidate_pairs(
     255M → 58M and wall 4.3x at 200k vectors). The registered oracle
     queries pass the pinned ``n_planes=DEFAULT_PLANES`` explicitly for
     engine-portable determinism at test SFs.
+
+    Explode-amplification vs AQE (r9, measured): the posting-list
+    relation is TINY (n·n_tables signature rows collapse to
+    n_tables·2^planes lists, ~50MB of shuffle at 200k vectors), so
+    AQE's size-based coalescing folds it into one or two reduce
+    partitions — and the pair explode then amplifies ~100x INSIDE
+    those few tasks, whose partial-aggregation state spills tens of GB
+    no matter what spark.sql.shuffle.partitions says (measured: the
+    x100 auto run still spilled 40.7GB at a 250-partition conf). AQE
+    sizes by pre-explode bytes; it cannot see the amplification. The
+    auto path therefore inserts an EXPLICIT corpus-scaled
+    ``repartition(explode_partitions, table_idx, bucket)`` before the
+    explode — user-specified repartitions are exempt from AQE
+    coalescing, the extra exchange moves only the posting rows
+    (kilobytes), and per-task pair volume lands at the measured
+    no-spill density (~n_rows/800 partitions ≈ 800 vectors ≈ <1M pairs
+    per task). Pinned-geometry callers (the registered oracle queries)
+    keep their exact previous plan unless they pass
+    ``explode_partitions`` themselves.
     """
+    n_rows = None
     if n_planes is None:
-        n_planes = recommended_planes(df.count())
+        n_rows = df.count()
+        n_planes = recommended_planes(n_rows)
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed)
     posts = (
         sigs.groupBy("table_idx", "bucket")
@@ -572,6 +604,13 @@ def ann_candidate_pairs(
         .filter(F.col("_n") >= 2)
         .withColumn("ds", capped_members("ds", F.col("_n"), max_bucket, seed))
     )
+    if explode_partitions is None and n_rows is not None:
+        explode_partitions = max(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            n_rows // 800,
+        )
+    if explode_partitions:
+        posts = posts.repartition(explode_partitions, "table_idx", "bucket")
     pairs = posts.select(
         F.explode(
             F.expr(
@@ -580,10 +619,19 @@ def ann_candidate_pairs(
                 "y -> struct(x AS vec_a, y AS vec_b))))"
             )
         ).alias("p")
-    )
+    ).select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+    if explode_partitions:
+        # same AQE blind spot on the REDUCE side of the pair count:
+        # the final agg's exchange is coalesced by its ~2GB compressed
+        # write, but 208M mostly-unique pair keys inflate ~10x in the
+        # reduce tasks' hash state (measured 19.7GB spill at x100 with
+        # only the posting repartition). An explicit pair-keyed
+        # repartition satisfies the grouping distribution, so the agg
+        # plans over it with AQE-exempt width — per-task state back at
+        # the no-spill density.
+        pairs = pairs.repartition(explode_partitions, "vec_a", "vec_b")
     return (
-        pairs.select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
-        .groupBy("vec_a", "vec_b")
+        pairs.groupBy("vec_a", "vec_b")
         .agg(F.count(F.lit(1)).alias("n_shared_buckets"))
     )
 

@@ -123,6 +123,7 @@ def test_auto_geometry_defaults(spark, embeddings):
     pinned test geometry measurably spilled), and the auto path is
     plan-identical to passing the recommendation explicitly."""
     from hbacker_spark.operators.similarity import (
+        DEFAULT_PLANES,
         recommended_centroids,
         recommended_nprobe,
         recommended_planes,
@@ -154,6 +155,16 @@ def test_auto_geometry_defaults(spark, embeddings):
     n = embeddings.count()
     assert _sig(ann_candidate_pairs(embeddings)) == _sig(
         ann_candidate_pairs(embeddings, n_planes=recommended_planes(n))
+    )
+
+    # the auto path carries the AQE-exempt explicit repartitions at the
+    # two explode-amplification points (the pair build's measured
+    # no-spill lever at x100); the pinned oracle plan stays untouched
+    from hbacker_spark.plans import explain as X
+
+    assert "REPARTITION" in X.explain_str(ann_candidate_pairs(embeddings))
+    assert "REPARTITION" not in X.explain_str(
+        ann_candidate_pairs(embeddings, n_planes=DEFAULT_PLANES)
     )
 
     # IVF: auto == explicit-at-recommendation (same trained index, same

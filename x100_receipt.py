@@ -141,12 +141,22 @@ def main() -> int:
     from hbacker_spark.queries.llm_pipeline import _ann_rescored_pairs
 
     auto_planes: dict[str, int] = {}
+    auto_parts: dict[str, int] = {}
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "64")  # production-sized
     try:
         for tag, sf_dir in (("x10", x10), ("x100", x100)):
             e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            auto_planes[tag] = recommended_planes(e.count())
+            n_rows = e.count()
+            auto_planes[tag] = recommended_planes(n_rows)
+            # production-sized shuffle partitions: per-task pair-agg
+            # hash state is what spills, so partitions scale with the
+            # corpus (~800 vectors/partition = the x10-measured
+            # no-spill per-task density; on a real cluster AQE makes
+            # this sizing automatic). The first auto run at a flat 64
+            # partitions measured 36.9GB spill at x100 — geometry alone
+            # is not the whole lever; task sizing is the other half.
+            auto_parts[tag] = max(32, n_rows // 800)
+            spark.conf.set("spark.sql.shuffle.partitions", str(auto_parts[tag]))
             measure(f"{tag}/auto_candidate_pairs", lambda e=e: ann_candidate_pairs(e))
             measure(
                 f"{tag}/auto_near_dup_pairs",
@@ -228,7 +238,7 @@ def main() -> int:
         ),
         "auto_geometry": {
             "n_planes": auto_planes,
-            "shuffle_partitions": 64,
+            "shuffle_partitions": auto_parts,
             "x100_pinned_candidate_spill_bytes": spill_of("x100/ann_candidate_pairs"),
             "x100_auto_candidate_spill_bytes": spill_of("x100/auto_candidate_pairs"),
             "x100_auto_near_dup_over_pinned_rows": round(
