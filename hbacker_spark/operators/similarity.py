@@ -477,17 +477,48 @@ def ivf_topk(
     registered ``ann_ivf_cosine_topk`` pins 16/4 for oracle
     determinism.
     """
+    if n_centroids is None:
+        n_centroids = recommended_centroids(df.count())
+    assigned, cents = ivf_assign(
+        df, n_centroids, id_col, vec_col, seed, dim=len(query_vec), train_iters=train_iters
+    )
+    return ivf_topk_indexed(
+        spark, df, assigned, cents, query_vec, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    df: DataFrame,
+    assigned: DataFrame,
+    cents: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query against a PREBUILT index — the serving form.
+
+    :func:`ivf_topk` retrains + reassigns per call, which is right for
+    one-shot analytics but wrong for query serving: the index build
+    (integer Lloyd over the corpus) is the expensive, once-at-ingest
+    step. Build it once with :func:`ivf_assign` (persist ``assigned``
+    partitioned by centroid_id so each probe prunes to its lists), then
+    answer every query with this function: probe ranking is a
+    driver-side k×dim numpy op on the tiny centroid matrix, candidate
+    selection is a semi-join against the stored assignment, and only
+    the probed lists get the exact cosine. Identical results to the
+    retraining form by construction (pinned in tests). ``nprobe=None``
+    sizes from the index's own centroid count (25% scan fraction)."""
     from pyspark.sql import Window
 
     from hbacker_spark.functions.similarity import cosine
 
-    if n_centroids is None:
-        n_centroids = recommended_centroids(df.count())
+    n_centroids = cents.shape[0]
     if nprobe is None:
         nprobe = recommended_nprobe(n_centroids)
-    assigned, cents = ivf_assign(
-        df, n_centroids, id_col, vec_col, seed, dim=len(query_vec), train_iters=train_iters
-    )
     q_q = _quantize(np.asarray(query_vec, dtype="float64")[None, :])
     d = (
         (q_q * q_q).sum(axis=1, keepdims=True)
@@ -499,6 +530,56 @@ def ivf_topk(
     probe = np.argsort(d * n_centroids + np.arange(n_centroids))[:nprobe].tolist()
 
     candidate_ids = assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")
+    candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
+    q_df = spark.createDataFrame([(query_vec,)], "q_emb array<float>")
+    scored = candidates.crossJoin(F.broadcast(q_df)).select(
+        F.col(id_col), F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim")
+    )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))  # over k rows only
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def ann_topk_indexed(
+    spark: SparkSession,
+    df: DataFrame,
+    sigs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = DEFAULT_PLANES,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH top-k against a PREBUILT signature index — the serving form.
+
+    :func:`ann_topk` re-hashes the corpus per query (right for one-shot
+    analytics; the signature pass is the expensive step). For query
+    serving, build the index once with :func:`lsh_signatures` (persist
+    it partitioned/bucketed by (table_idx, bucket) so a probe prunes to
+    its buckets), then answer each query here: the probe set is a
+    driver-side pure function of the query vector
+    (:func:`query_probe_buckets` — tiny, no job), candidates come from
+    one broadcast join of the ~(1+multiprobe)·n_tables probe rows
+    against the stored signatures, and only candidates get the exact
+    cosine. ``n_planes``/``n_tables``/``seed`` MUST be the geometry the
+    index was built with (no auto here — the index pins it; same
+    contract as the incremental postings state). Identical results to
+    the re-hashing form by construction (pinned in tests)."""
+    from pyspark.sql import Window
+
+    from hbacker_spark.functions.similarity import cosine
+
+    probes = query_probe_buckets(query_vec, n_planes, n_tables, seed, multiprobe)
+    probe_rows = [(t, int(b)) for t, bs in probes.items() for b in bs]
+    probe_df = spark.createDataFrame(probe_rows, "table_idx int, bucket long")
+    candidate_ids = (
+        sigs.join(F.broadcast(probe_df), ["table_idx", "bucket"], "left_semi")
+        .select("vec_id")
+        .distinct()  # a vector can match in several tables
+    )
     candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
     q_df = spark.createDataFrame([(query_vec,)], "q_emb array<float>")
     scored = candidates.crossJoin(F.broadcast(q_df)).select(

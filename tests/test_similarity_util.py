@@ -671,3 +671,42 @@ def test_recommended_planes_tracks_corpus():
         assert p >= prev, "planes must be monotone in corpus size"
         prev = p
         assert (n >> p) <= 256 or p == 24
+
+
+def test_indexed_serving_forms_match_per_call_forms(spark, embeddings):
+    """Index-once/query-many serving forms (r9): ann_topk_indexed over a
+    prebuilt signature table and ivf_topk_indexed over a prebuilt
+    (assigned, centroids) index must return EXACTLY the per-call forms'
+    results — the per-call functions are one-shot analytics; serving
+    reuses the stored index and pays only the probe + rerank."""
+    from hbacker_spark.operators.similarity import (
+        DEFAULT_PLANES,
+        ann_topk,
+        ann_topk_indexed,
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    qvec = list(embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+    sigs = lsh_signatures(embeddings, n_planes=DEFAULT_PLANES)
+    for mp in (0, 2):
+        per_call = ann_topk(
+            spark, embeddings, qvec, k=10, n_planes=DEFAULT_PLANES, multiprobe=mp
+        ).orderBy("rnk")
+        served = ann_topk_indexed(
+            spark, embeddings, sigs, qvec, k=10, n_planes=DEFAULT_PLANES, multiprobe=mp
+        ).orderBy("rnk")
+        assert [tuple(r) for r in per_call.collect()] == [tuple(r) for r in served.collect()]
+
+    assigned, cents = ivf_assign(
+        embeddings, n_centroids=16, dim=len(qvec), train_iters=3
+    )
+    per_call = ivf_topk(
+        spark, embeddings, qvec, k=10, n_centroids=16, nprobe=4
+    ).orderBy("rnk")
+    served = ivf_topk_indexed(
+        spark, embeddings, assigned, cents, qvec, k=10, nprobe=4
+    ).orderBy("rnk")
+    assert [tuple(r) for r in per_call.collect()] == [tuple(r) for r in served.collect()]
