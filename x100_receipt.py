@@ -101,6 +101,17 @@ def main() -> int:
     results: dict[str, dict] = {}
 
     def measure(label: str, fn) -> dict:
+        # cold-measurement hygiene (the spill_audit methodology): drop
+        # cached blocks and collect dead checkpoint RDD references
+        # before each stage, so a stage's spill reflects ITS memory
+        # pressure, not residual storage blocks from the previous
+        # stage squeezing the unified execution pool (measured: the
+        # auto leg read 8.0GB of spill when run warm after the full
+        # pinned chain vs 0B in a fresh session).
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
         before = {s["stageId"] for s in _stages(ui, app_id)}
         t0 = time.monotonic()
         n_rows = fn().count()
