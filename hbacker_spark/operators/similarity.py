@@ -691,7 +691,19 @@ def ann_candidate_pairs(
             n_rows // 800,
         )
     if explode_partitions:
-        posts = posts.repartition(explode_partitions, "table_idx", "bucket")
+        # ROUND-ROBIN on purpose, not hash-by-(table_idx, bucket): a
+        # hash repartition on the grouping keys is plan-time identical
+        # to the groupBy's own exchange whenever explode_partitions ==
+        # spark.sql.shuffle.partitions, so Catalyst elides it as
+        # redundant and AQE then coalesces the surviving agg exchange
+        # by its tiny pre-explode bytes — the measured 11-task/8GB-spill
+        # re-exposure of the exact blind spot this repartition exists to
+        # close. Round-robin never satisfies a hash requirement (always
+        # kept, always AQE-exempt), and the explode needs no
+        # co-location — any even spread of posting rows bounds per-task
+        # pair volume, with better balance than bucket-hash under
+        # capped hot buckets.
+        posts = posts.repartition(explode_partitions)
     pairs = posts.select(
         F.explode(
             F.expr(

@@ -284,10 +284,12 @@ def main() -> int:
     # lsh 0.625 / mp2 0.838 / ivf 0.562)
     r = receipt["recall10_x100"]
     assert r["lsh"] >= 0.3 and r["lsh_multiprobe2"] >= 0.5 and r["ivf"] >= 0.4, r
-    # VERDICT r8 #1: the production default (auto planes) must remove
-    # the pinned-geometry x100 spill entirely, or at worst the measured
-    # 12-plane floor (10.3GB)
-    assert spill_of("x100/auto_candidate_pairs") <= 11_000_000_000, receipt["auto_geometry"]
+    # VERDICT r8 #1: the production default (auto planes + the
+    # AQE-exempt explode repartitions) must remove the pinned-geometry
+    # x100 spill ENTIRELY — measured 0B at conf 32/96/250 after the
+    # round-robin fix (SCALE_NOTES r9), so the pin is zero, the same
+    # standard span_removal_filter is held to
+    assert spill_of("x100/auto_candidate_pairs") == 0, receipt["auto_geometry"]
     # VERDICT r8 #2: auto IVF at x100 must recover at least the recall
     # the pinned 16-centroid index had at x10 (0.637)
     assert receipt["recall10_x100_auto"]["ivf"] >= 0.637, receipt["recall10_x100_auto"]
