@@ -70,7 +70,7 @@ def main():
     # and the production AUTO defaults (recommended_planes /
     # sqrt(n)-centroids + 25% nprobe) — the auto path is what users get
     lsh_r, mp_r, ivf_r = [], [], []
-    lsh_a, mp_a, ivf_a = [], [], []
+    lsh_a, mp_a, ivf_a, mpx2_a = [], [], [], []
     t0 = time.perf_counter()
     for qid in qids:
         qv = qvecs[qid]
@@ -86,6 +86,10 @@ def main():
         ivf_r.append(rec(ivf_topk(spark, e, qv, k=K, n_centroids=16, nprobe=4)))
         lsh_a.append(rec(ann_topk(spark, e, qv, k=K)))
         mp_a.append(rec(ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE)))
+        # the auto-geometry recall knob: 8 probes from the 2-bit
+        # perturbation sequence (sparser auto buckets need more probes
+        # than the n_planes 1-bit flips can express)
+        mpx2_a.append(rec(ann_topk(spark, e, qv, k=K, multiprobe=8, multiprobe_bits=2)))
         ivf_a.append(rec(ivf_topk(spark, e, qv, k=K)))
     wall = round(time.perf_counter() - t0, 1)
 
@@ -101,6 +105,7 @@ def main():
         "ivf_per_query": ivf_r,
         "recall10_lsh_auto": round(sum(lsh_a) / len(lsh_a), 3),
         "recall10_lsh_multiprobe2_auto": round(sum(mp_a) / len(mp_a), 3),
+        "recall10_lsh_multiprobe8x2bit_auto": round(sum(mpx2_a) / len(mpx2_a), 3),
         "recall10_ivf_auto": round(sum(ivf_a) / len(ivf_a), 3),
         "wall_sec": wall,
     }
@@ -118,6 +123,9 @@ def main():
     # its recall knob and must stay serviceable
     assert receipt["recall10_ivf_auto"] >= IVF_FLOOR, receipt
     assert receipt["recall10_lsh_multiprobe2_auto"] >= 0.4, receipt
+    # the 2-bit perturbation sequence is the auto-geometry LSH recall
+    # knob (measured 0.938 at x10 — above even the pinned-geometry mp2)
+    assert receipt["recall10_lsh_multiprobe8x2bit_auto"] >= 0.6, receipt
 
 
 if __name__ == "__main__":

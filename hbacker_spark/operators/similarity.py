@@ -156,21 +156,32 @@ def query_probe_buckets(
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
     multiprobe: int = 0,
+    multiprobe_bits: int = 1,
 ) -> dict[int, list[int]]:
     """Per-table probe buckets for a query vector.
 
     ``multiprobe=0`` is classic single-probe (the query's own bucket per
-    table). ``multiprobe=m`` adds the m Hamming-1 neighbors obtained by
-    flipping the LEAST-CONFIDENT signature bits — the planes whose
-    int64 dot with the quantized query has the smallest |margin| (Lv et
-    al.'s multi-probe LSH, restricted to 1-bit perturbations). Ties
-    break on plane index. All arithmetic is the same exact int64 as the
-    signatures themselves, so the probe set is engine-portable: the SQL
-    mirror (:func:`sql_lsh_query_probes`) ranks the identical margins
-    and flips the identical bits. Multi-probe is the operational recall
-    knob that needs NO reindexing — the index is the same signature
-    table; only the query-side probe set widens (candidate cost grows
-    ~(1+m)× per table, recall measured in ann_recall_smoke.py)."""
+    table). ``multiprobe=m`` adds the m nearest perturbations of the
+    query's signature — Lv et al.'s multi-probe LSH: perturbation sets
+    ranked ascending by the SUM of the flipped planes' |int64 margins|
+    (the least-confident bits are the likeliest to be on the wrong
+    side), ties to fewer flipped bits then plane order.
+    ``multiprobe_bits=1`` (default) restricts to Hamming-1 flips —
+    byte-identical ordering to the pre-r9 implementation, which the
+    registered ``ann_multiprobe_cosine_topk`` and its SQL mirror
+    (:func:`sql_lsh_query_probes`) pin. ``multiprobe_bits=2`` adds
+    2-bit perturbations to the candidate sequence — the recall knob the
+    AUTO geometry needs at scale: sparse auto buckets exhaust the
+    n_planes 1-bit flips quickly, while the 2-bit sequence gives
+    m up to n_planes·(n_planes+1)/2 probes per table with the same
+    no-reindex property (first min(m, per-size counts) entries of the
+    generalized sequence with bits=2 still begin with the 1-bit flips
+    whose single margins are smallest, so widening bits only APPENDS
+    probes for m beyond what 1-bit can express — superset, never a
+    reordering of the 1-bit prefix... precisely: any 2-bit set's score
+    ≥ its larger member's 1-bit score, and ties break to fewer bits).
+    All arithmetic is the same exact int64 as the signatures, so the
+    probe set stays a deterministic pure function of the query."""
     q = _quantize(np.asarray(query_vec, dtype="float64"))
     planes = _hyperplanes(len(q), n_planes, n_tables, seed)
     weights = 1 << np.arange(n_planes)
@@ -180,8 +191,21 @@ def query_probe_buckets(
         base = int((((dots > 0) * weights)).sum())
         buckets = [base]
         if multiprobe > 0:
-            order = np.lexsort((np.arange(n_planes), np.abs(dots)))
-            buckets += [base ^ (1 << int(p)) for p in order[:multiprobe]]
+            margins = np.abs(dots)
+            # perturbation candidates: (score, n_bits, plane tuple) —
+            # sorted ascending; bits=1 reduces exactly to the legacy
+            # lexsort((plane_idx), |margin|) ordering
+            cands: list[tuple[int, int, tuple[int, ...], int]] = [
+                (int(margins[p]), 1, (p,), 1 << p) for p in range(n_planes)
+            ]
+            if multiprobe_bits >= 2:
+                cands += [
+                    (int(margins[p] + margins[r]), 2, (p, r), (1 << p) | (1 << r))
+                    for p in range(n_planes)
+                    for r in range(p + 1, n_planes)
+                ]
+            cands.sort(key=lambda c: (c[0], c[1], c[2]))
+            buckets += [base ^ mask for _, _, _, mask in cands[:multiprobe]]
         probes[t] = buckets
     return probes
 
@@ -197,21 +221,26 @@ def ann_topk(
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
     multiprobe: int = 0,
+    multiprobe_bits: int = 1,
 ) -> DataFrame:
     """Top-k by cosine to ``query_vec``, LSH-pruned. ``n_planes=None``
     auto-sizes with the corpus (:func:`recommended_planes`, one count
     job) — pass the pinned geometry explicitly when querying an index
     whose signatures were built with it.
 
-    Recall guidance (measured, X100_RECEIPT.json): the auto geometry
-    keeps candidate cost bounded as the corpus grows, which TRADES
-    single-query recall (sparser buckets: 0.263 single-probe at x100
-    vs 0.625 at the saturated pinned geometry). ``multiprobe`` is this
-    function's recall knob (no reindexing); for recall-sensitive query
-    SERVING prefer :func:`ivf_topk`, whose auto geometry measured 0.85
-    recall@10 at x100 — LSH buckets are the PAIRWISE dedup structure,
-    where auto sizing strictly wins (zero spill + 1.9x more true
-    near-dups found at x100).
+    Recall guidance (measured, X100_RECEIPT.json / ann_recall_smoke):
+    the auto geometry keeps candidate cost bounded as the corpus
+    grows, which TRADES single-probe recall (sparser buckets: 0.263 at
+    x100 vs 0.625 at the saturated pinned geometry). ``multiprobe`` is
+    this function's recall knob (no reindexing) — and with
+    ``multiprobe_bits=2`` the full perturbation sequence recovers it
+    outright (x10 auto: 0.412 single → 0.938 at multiprobe=8/bits=2,
+    above even the pinned-geometry 0.838; registered and oracled as
+    ``ann_multiprobe2bit_cosine_topk``). :func:`ivf_topk`'s auto
+    geometry (0.85 recall@10 at x100) is the other serving-grade
+    option — LSH buckets are the PAIRWISE dedup structure, where auto
+    sizing strictly wins (zero spill + 1.9x more true near-dups found
+    at x100).
 
     Candidate set = vectors sharing any table's probe bucket with the
     query (``multiprobe`` widens each table's probe set to the m
@@ -235,7 +264,7 @@ def ann_topk(
     if n_planes is None:
         n_planes = recommended_planes(df.count())
     weights = 1 << np.arange(n_planes)
-    q_probes = query_probe_buckets(query_vec, n_planes, n_tables, seed, multiprobe)
+    q_probes = query_probe_buckets(query_vec, n_planes, n_tables, seed, multiprobe, multiprobe_bits)
 
     def candidate_batches(it):
         local_planes = None
@@ -550,6 +579,7 @@ def ann_topk_indexed(
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
     multiprobe: int = 0,
+    multiprobe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -572,7 +602,7 @@ def ann_topk_indexed(
 
     from hbacker_spark.functions.similarity import cosine
 
-    probes = query_probe_buckets(query_vec, n_planes, n_tables, seed, multiprobe)
+    probes = query_probe_buckets(query_vec, n_planes, n_tables, seed, multiprobe, multiprobe_bits)
     probe_rows = [(t, int(b)) for t, bs in probes.items() for b in bs]
     probe_df = spark.createDataFrame(probe_rows, "table_idx int, bucket long")
     candidate_ids = (
@@ -821,12 +851,27 @@ def sql_lsh_query_probes(
     n_tables: int = DEFAULT_TABLES,
     seed: int = SEED,
     multiprobe: int = 0,
+    multiprobe_bits: int = 1,
 ) -> str:
     """(table_idx, bucket) probe set for the query row ``query_id`` —
     DuckDB mirror of :func:`query_probe_buckets`. The base bucket plus
-    the ``multiprobe`` Hamming-1 flips of the smallest-|margin| planes
-    (ties on plane index), all in the same exact int64 arithmetic, so
-    the probe set matches the engine's bit-for-bit."""
+    the top-``multiprobe`` entries of the perturbation sequence:
+    candidate sets ranked by the sum of the flipped planes' |int64
+    margins|, ties to fewer bits then plane order — identical ordering
+    key to the engine's (score, n_bits, plane tuple), all in the same
+    exact int64 arithmetic, so the probe set matches bit-for-bit.
+    ``multiprobe_bits=1`` is the legacy Hamming-1 mirror;
+    ``multiprobe_bits=2`` adds the 2-bit perturbations (the
+    auto-geometry recall knob, registered as
+    ``ann_multiprobe2bit_cosine_topk``)."""
+    two_bit = ""
+    if multiprobe_bits >= 2:
+        two_bit = """
+      UNION ALL
+      SELECT a.t, a.p AS p1, b.p AS p2,
+             abs(a.dot) + abs(b.dot) AS score, 2 AS nbits,
+             CAST((1 << a.p) | (1 << b.p) AS BIGINT) AS mask
+      FROM _dots a JOIN _dots b ON a.t = b.t AND a.p < b.p"""
     return f"""
     WITH _h AS (
       SELECT t.t AS t, p.p AS p, k.k AS k,
@@ -851,16 +896,23 @@ def sql_lsh_query_probes(
       SELECT t, CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
       FROM _dots GROUP BY t
     ),
+    _cands AS (
+      SELECT t, p AS p1, NULL AS p2, abs(dot) AS score, 1 AS nbits,
+             CAST(1 << p AS BIGINT) AS mask
+      FROM _dots{two_bit}
+    ),
     _flips AS (
-      SELECT t, p FROM (
-        SELECT t, p, row_number() OVER (PARTITION BY t ORDER BY abs(dot), p) AS r
-        FROM _dots
+      SELECT t, mask FROM (
+        SELECT t, mask,
+               row_number() OVER (PARTITION BY t
+                                  ORDER BY score, nbits, p1, p2 NULLS FIRST) AS r
+        FROM _cands
       ) WHERE r <= {int(multiprobe)}
     )
     SELECT CAST(t AS INT) AS table_idx, bucket FROM _base
     UNION
     SELECT CAST(b.t AS INT) AS table_idx,
-           xor(b.bucket, CAST(1 << f.p AS BIGINT)) AS bucket
+           xor(b.bucket, f.mask) AS bucket
     FROM _base b JOIN _flips f ON f.t = b.t
     """
 

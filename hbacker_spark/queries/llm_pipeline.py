@@ -745,6 +745,59 @@ def ann_multiprobe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(spark, e, list(qvec), k=KNN_K, multiprobe=_MULTIPROBE, n_planes=SIM.DEFAULT_PLANES)
 
 
+_MULTIPROBE_2BIT = 8  # probes from the 2-bit perturbation sequence
+
+
+@register(
+    "ann_multiprobe2bit_cosine_topk",
+    oracle=f"""
+    WITH _sig AS ({SIM.sql_lsh_sig(dim=EMB_DIM)}),
+    _probes AS ({SIM.sql_lsh_query_probes(dim=EMB_DIM, multiprobe=_MULTIPROBE_2BIT, multiprobe_bits=2)}),
+    _cand AS (
+      SELECT DISTINCT s.vec_id
+      FROM _sig s JOIN _probes q
+        ON s.table_idx = q.table_idx AND s.bucket = q.bucket
+    ),
+    _qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    _scored AS (
+      SELECT e.vec_id,
+             round({S.sql_cosine('e.embedding', 'q.q_emb')}, 6) AS cos_sim
+      FROM embeddings e
+      JOIN _cand c ON c.vec_id = e.vec_id
+      CROSS JOIN _qv q
+    )
+    SELECT vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM _scored)
+    WHERE rnk <= {KNN_K}
+    """,
+    tags=("similarity", "llm", "ann", "lsh"),
+    doc="Multi-probe LSH top-10 over the FULL Lv-et-al perturbation "
+    "sequence (r9): probe sets of 1 AND 2 bits ranked by the sum of "
+    "the flipped planes' |int64 margins| (ties to fewer bits, then "
+    "plane order), top-8 probes per table. This is the recall knob the "
+    "AUTO geometry needs at scale — sparser corpus-sized buckets "
+    "exhaust the n_planes 1-bit flips, while the 2-bit sequence "
+    "expresses up to n·(n+1)/2 probes per table with zero reindexing. "
+    "Measured (ann_recall_smoke/X100_RECEIPT): at x10 auto geometry "
+    "recall@10 0.938 vs 0.688 for the 1-bit m=2 form — above even the "
+    "pinned-geometry 0.838. Margins, ranking key and flips are exact "
+    "int64, so DuckDB rebuilds the identical probe set; registered at "
+    "the pinned 6-plane oracle geometry like the rest of the family.",
+)
+def ann_multiprobe2bit_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.similarity import ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # Same deliberate point lookup as ann_lsh_cosine_topk above.
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_topk(
+        spark, e, list(qvec), k=KNN_K,
+        multiprobe=_MULTIPROBE_2BIT, multiprobe_bits=2,
+        n_planes=SIM.DEFAULT_PLANES,
+    )
+
+
 @register(
     "ann_ivf_cosine_topk",
     oracle=SIM.sql_ivf_topk(dim=EMB_DIM, k=KNN_K),

@@ -327,6 +327,7 @@ _SINGLE_ROW_BNLJ_ALLOWED = {
     "ann_ivf_cosine_topk",
     "ann_lsh_cosine_topk",
     "ann_multiprobe_cosine_topk",
+    "ann_multiprobe2bit_cosine_topk",  # same 1-row query-vector broadcast
     "event_type_lift",
     # 1-row corpus-token-total aggregate broadcast (divergence complement)
     "source_divergence_stats",
@@ -370,6 +371,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ann_ivf_cosine_topk": "ranks the k-row top-k output",
     "ann_lsh_cosine_topk": "ranks the k-row top-k output",
     "ann_multiprobe_cosine_topk": "ranks the k-row top-k output",
+    "ann_multiprobe2bit_cosine_topk": "ranks the k-row top-k output",
     "knn_cosine_top10": "ranks the k-row top-k output",
     "cms_heavy_hitters": "ranks the CMS_TOPK-row result",
     # bounded-domain post-agg spines: cardinality is the key DOMAIN

@@ -710,3 +710,44 @@ def test_indexed_serving_forms_match_per_call_forms(spark, embeddings):
         spark, embeddings, assigned, cents, qvec, k=10, nprobe=4
     ).orderBy("rnk")
     assert [tuple(r) for r in per_call.collect()] == [tuple(r) for r in served.collect()]
+
+
+def test_multibit_multiprobe_sequence(spark, embeddings):
+    """Lv-et-al perturbation sequence generalized to 2-bit sets (r9):
+    bits=1 stays byte-identical to the legacy ordering (the registered
+    multiprobe query pins it); bits=2 is the recall knob for the AUTO
+    geometry — probe counts beyond the n_planes 1-bit flips, same
+    prefix property (larger m extends, never reorders), candidate-
+    superset dominance within the sequence."""
+    from hbacker_spark.operators.similarity import ann_topk, query_probe_buckets
+
+    qvec = list(embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+    # top-2 of the generalized sequence == the two smallest 1-bit flips
+    # (any pair's margin-sum >= its larger member's margin; size ties
+    # break to fewer bits) — exactly the pinned registered behavior
+    assert query_probe_buckets(qvec, multiprobe=2) == query_probe_buckets(
+        qvec, multiprobe=2, multiprobe_bits=2
+    )
+
+    # bits=2 expresses m beyond the n_planes 1-bit flips; every probe
+    # differs from the base bucket by <= 2 bits and all are distinct
+    wide = query_probe_buckets(qvec, multiprobe=20, multiprobe_bits=2)
+    narrow = query_probe_buckets(qvec, multiprobe=5, multiprobe_bits=2)
+    for t, buckets in wide.items():
+        assert len(set(buckets)) == 21
+        base = buckets[0]
+        for b in buckets[1:]:
+            assert bin(b ^ base).count("1") <= 2
+        # prefix property: m=5 is the head of the m=20 sequence
+        assert buckets[:6] == narrow[t]
+
+    # same-sequence candidate-superset dominance through the rerank
+    lo = ann_topk(
+        spark, embeddings, qvec, k=10, multiprobe=2, multiprobe_bits=2
+    ).orderBy("rnk").collect()
+    hi = ann_topk(
+        spark, embeddings, qvec, k=10, multiprobe=8, multiprobe_bits=2
+    ).orderBy("rnk").collect()
+    for s, m in zip(lo, hi):
+        assert m["cos_sim"] >= s["cos_sim"], (s, m)

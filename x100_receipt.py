@@ -206,7 +206,7 @@ def main() -> int:
     }
     acc = {
         k: []
-        for k in ("lsh", "mp", "ivf", "lsh_auto", "mp_auto", "ivf_auto")
+        for k in ("lsh", "mp", "ivf", "lsh_auto", "mp_auto", "mpx2_auto", "ivf_auto")
     }
     for qid in qids:
         qv = qvecs[qid]
@@ -231,6 +231,12 @@ def main() -> int:
         # production defaults: auto planes / sqrt(n) centroids, 25% nprobe
         acc["lsh_auto"].append(rec(ann_topk(spark, e, qv, k=K)))
         acc["mp_auto"].append(rec(ann_topk(spark, e, qv, k=K, multiprobe=MULTIPROBE)))
+        # the auto-geometry LSH recall knob: the 2-bit perturbation
+        # sequence expresses probe counts beyond the n_planes 1-bit
+        # flips (sparser auto buckets need them) — no reindexing
+        acc["mpx2_auto"].append(
+            rec(ann_topk(spark, e, qv, k=K, multiprobe=8, multiprobe_bits=2))
+        )
         acc["ivf_auto"].append(rec(ivf_topk(spark, e, qv, k=K)))
     e.unpersist()
     mean = {k: round(sum(v) / len(v), 3) for k, v in acc.items()}
@@ -266,6 +272,7 @@ def main() -> int:
         "recall10_x100_auto": {
             "lsh": mean["lsh_auto"],
             "lsh_multiprobe2": mean["mp_auto"],
+            "lsh_multiprobe8x2bit": mean["mpx2_auto"],
             "ivf": mean["ivf_auto"],
         },
     }
