@@ -81,6 +81,23 @@ def recommended_centroids(n_rows: int, lo: int = 16, hi: int = 4096) -> int:
     return max(lo, min(hi, int(math.isqrt(n_rows))))
 
 
+def recommended_multiprobe(n_planes: int, lo: int = 2, hi: int = 64) -> int:
+    """Probe count for :func:`ann_topk`'s 2-bit perturbation sequence
+    at a given plane count: ``2^(n_planes - DEFAULT_PLANES + 1)``,
+    clamped — i.e. hold ~2x the PINNED geometry's per-table candidate
+    mass as buckets get 2x thinner per extra plane. Measured against
+    exact top-10 (ann_recall_smoke / SCALE_NOTES r9): at x10 auto
+    (7 planes → m=4..8) recall 0.85-0.938 vs pinned mp2's 0.838; at
+    x100 auto (10 planes → m=32) recall **0.925**, above the pinned
+    0.838, at <3% of the corpus scanned per table. Pass the result as
+    ``ann_topk(..., multiprobe=recommended_multiprobe(p),
+    multiprobe_bits=2)``; the knob needs no reindexing, so it can be
+    raised per query."""
+    if n_planes <= DEFAULT_PLANES:
+        return lo
+    return max(lo, min(hi, 1 << (n_planes - DEFAULT_PLANES + 1)))
+
+
 def recommended_nprobe(n_centroids: int, scan_fraction: float = 0.25) -> int:
     """Probe-list count holding the expected scanned-corpus fraction at
     the pinned test geometry's (nprobe=4 of 16 = 25%): finer lists at

@@ -144,6 +144,16 @@ def test_auto_geometry_defaults(spark, embeddings):
     assert recommended_nprobe(16) == 4  # the pinned test geometry's ratio
     assert recommended_nprobe(447) == 112
 
+    # multi-probe sizing: ~2x the pinned geometry's candidate mass as
+    # buckets thin (2^(p-6+1), clamped) — x100's 10 planes → m=32, the
+    # measured 0.925-recall point (SCALE_NOTES r9 m-sweep)
+    from hbacker_spark.operators.similarity import recommended_multiprobe
+
+    assert recommended_multiprobe(6) == 2 and recommended_multiprobe(4) == 2
+    assert recommended_multiprobe(7) == 4
+    assert recommended_multiprobe(10) == 32
+    assert recommended_multiprobe(24) == 64  # clamp
+
     # auto == explicit-at-recommendation on a real corpus (identical
     # pair relation — checked on count + shared-bucket mass, cheap)
     def _sig(df):
