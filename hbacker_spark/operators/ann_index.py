@@ -1,0 +1,322 @@
+"""Persisted ANN indexes: build at ingest, serve from storage.
+
+The r9 serving forms (`ann_topk_indexed` / `ivf_topk_indexed`,
+operators/similarity.py) answer many queries against ONE in-session
+index DataFrame. This module is the missing third leg: the index as a
+STORED artifact that outlives the session — built once by the ingest
+pipeline, persisted in a layout whose directory structure IS the probe
+structure, and served by readers whose per-query IO is provably a few
+partitions, not the index.
+
+Layouts (both under one ``index_path`` root, all Spark-native parquet —
+works on any scheme the session's Hadoop conf can reach, same contract
+as the incremental state dirs):
+
+- LSH:  ``signatures/`` partitioned by ``(table_idx, shard)`` where
+  ``shard = bucket % n_shards`` — a probe touches at most
+  n_tables·(1+multiprobe) (table, shard) directories out of
+  n_tables·n_shards, and the full probe-set predicate is a driver-side
+  LITERAL (the probe buckets are a pure function of the query vector),
+  so it pushes as PartitionFilters + parquet row-group stats instead of
+  a join. Files are sorted by ``bucket`` within each partition so the
+  residual bucket membership prunes row groups too.
+- IVF:  ``assignments/`` partitioned by ``centroid_id`` — a probe reads
+  exactly its ``nprobe`` list directories; ``centroids/`` holds the
+  (tiny) int64 centroid matrix as (j, k, c) rows.
+- Both: ``geometry/`` — a one-row parquet recording the build geometry
+  (planes/tables/centroids/seed/quant/shards). Serving reads geometry
+  from the index, never from caller arguments, so a query can never
+  silently probe with a mismatched geometry (the bug class the
+  in-memory serving forms push onto the caller). A QUANT mismatch
+  against the running code raises instead of returning wrong buckets.
+
+Why this matters at 100 TB: the index itself is corpus-sized (n_tables
+rows per vector for LSH, one per vector for IVF). The in-memory serving
+forms re-scan it per query; partition layout turns a query into
+O(probed directories) of IO. Query-time knobs that need no reindex
+(``multiprobe``, ``multiprobe_bits``, ``nprobe``, ``k``) stay per-call
+arguments; everything baked into the stored artifact comes from
+``geometry/``.
+
+Reference parity note: the reference has no ANN surface; this extends
+the training-data pipeline family (SURVEY.md §2.C similarity search)
+with the serve-from-storage shape its export/import snapshots use for
+table data (lib/hbacker/hbacker.rb export/import pairing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbacker_spark.operators.similarity import (
+    DEFAULT_TABLES,
+    QUANT,
+    SEED,
+    TRAIN_ITERS,
+    ivf_assign,
+    ivf_topk_indexed,
+    lsh_signatures,
+    query_probe_buckets,
+    recommended_centroids,
+    recommended_nprobe,
+    recommended_planes,
+)
+
+DEFAULT_SHARDS = 64
+
+_GEOMETRY_SCHEMA = (
+    "kind string, n_planes int, n_tables int, n_centroids int, dim int, "
+    "seed int, quant long, n_shards int, train_iters int"
+)
+
+
+class IndexGeometryError(ValueError):
+    """The stored index was built under a geometry the running code
+    cannot reproduce (e.g. a different QUANT fixed-point scale) —
+    probing would silently return wrong buckets, so refuse loudly."""
+
+
+def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
+    base = {
+        "kind": None, "n_planes": None, "n_tables": None, "n_centroids": None,
+        "dim": None, "seed": None, "quant": QUANT, "n_shards": None,
+        "train_iters": None,
+    }
+    base.update(row)
+    spark.createDataFrame([tuple(base.values())], _GEOMETRY_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/geometry")
+
+
+def read_geometry(spark: SparkSession, index_path: str) -> dict:
+    geo = spark.read.parquet(f"{index_path}/geometry").first().asDict()
+    if geo["quant"] != QUANT:
+        raise IndexGeometryError(
+            f"index at {index_path} was built at fixed-point scale "
+            f"{geo['quant']}, running code uses {QUANT} — rebuild the index"
+        )
+    return geo
+
+
+# ---------------------------------------------------------------------------
+# LSH
+# ---------------------------------------------------------------------------
+
+
+def build_lsh_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = DEFAULT_TABLES,
+    seed: int = SEED,
+    n_shards: int = DEFAULT_SHARDS,
+) -> dict:
+    """Hash the corpus once and persist the signature index.
+
+    ``n_planes=None`` auto-sizes with the corpus (the production
+    default, same contract as ann_candidate_pairs). The write is ONE
+    pass over the corpus: signature mapInPandas → shuffle on the
+    partition keys → sorted parquet. ``repartition(table_idx, shard)``
+    bounds output files to one per partition directory (without it,
+    every input task writes a sliver into every directory — the
+    small-files problem at scale), and ``sortWithinPartitions(bucket)``
+    gives the files monotone bucket row groups so the residual bucket
+    predicate prunes inside each shard. Returns the geometry dict (also
+    persisted under ``geometry/``).
+    """
+    if n_planes is None:
+        n_planes = recommended_planes(df.count())
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed).withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(int(n_shards))).cast("int")
+    )
+    (
+        sigs.repartition("table_idx", "shard")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("table_idx", "shard")
+        .parquet(f"{index_path}/signatures")
+    )
+    geo = {
+        "kind": "lsh",
+        "n_planes": int(n_planes),
+        "n_tables": int(n_tables),
+        "seed": int(seed),
+        "n_shards": int(n_shards),
+    }
+    _write_geometry(df.sparkSession, index_path, geo)
+    geo["quant"] = QUANT
+    return geo
+
+
+def lsh_probe_scan(
+    sigs: DataFrame, probes: dict[int, list[int]], n_shards: int
+) -> DataFrame:
+    """The probed slice of a stored signature index: candidate vec_ids
+    whose (table_idx, bucket) matches any probe bucket.
+
+    The predicate is split into two conjuncts ON PURPOSE: the first
+    references only the PARTITION columns (table_idx, shard), so the
+    planner turns it into PartitionFilters — directory pruning before a
+    single byte is read; the second is the exact (table_idx, bucket)
+    membership, evaluated against the surviving files' row-group stats.
+    A semi-join against a probe DataFrame (the in-memory serving form)
+    could not prune directories — the probe set must be plan literals,
+    which it is: a pure driver-side function of the query vector.
+    """
+    part_pred = F.lit(False)
+    row_pred = F.lit(False)
+    for t, buckets in probes.items():
+        bs = [int(b) for b in buckets]
+        shards = sorted({b % n_shards for b in bs})
+        part_pred = part_pred | (
+            (F.col("table_idx") == int(t)) & F.col("shard").isin(shards)
+        )
+        row_pred = row_pred | (
+            (F.col("table_idx") == int(t)) & F.col("bucket").isin(bs)
+        )
+    return sigs.filter(part_pred & row_pred).select("vec_id").distinct()
+
+
+def ann_topk_stored(
+    spark: SparkSession,
+    df: DataFrame,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: int = 0,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH top-k served from a stored index (build_lsh_index).
+
+    Geometry comes from the index, never the caller; ``multiprobe`` /
+    ``multiprobe_bits`` stay query-time knobs (no reindex needed — the
+    perturbation sequence probes MORE stored buckets, it never changes
+    them). Identical results to the in-memory ``ann_topk_indexed`` by
+    construction (pinned in tests): the probed-bucket filter is the
+    same set membership the semi-join evaluates, minus the full index
+    scan. Per-query IO = the probed (table, shard) directories.
+    """
+    from pyspark.sql import Window
+
+    from hbacker_spark.functions.similarity import cosine
+
+    geo = read_geometry(spark, index_path)
+    if geo["kind"] != "lsh":
+        raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not lsh")
+    probes = query_probe_buckets(
+        query_vec, geo["n_planes"], geo["n_tables"], geo["seed"], multiprobe, multiprobe_bits
+    )
+    sigs = spark.read.parquet(f"{index_path}/signatures")
+    candidate_ids = lsh_probe_scan(sigs, probes, geo["n_shards"])
+    candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
+    q_df = spark.createDataFrame([(query_vec,)], "q_emb array<float>")
+    scored = candidates.crossJoin(F.broadcast(q_df)).select(
+        F.col(id_col), F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim")
+    )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))  # over k rows only
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    seed: int = SEED,
+    train_iters: int = TRAIN_ITERS,
+) -> dict:
+    """Train + assign once and persist the IVF index.
+
+    ``n_centroids=None`` auto-sizes (sqrt(n), the production default).
+    Assignments land partitioned by ``centroid_id`` — the inverted
+    lists ARE directories, so a probe's IO is its ``nprobe`` lists and
+    nothing else. The centroid matrix (n_centroids × dim int64 — a few
+    KB) is stored as rows; serving collects just that.
+    """
+    if n_centroids is None:
+        n_centroids = recommended_centroids(df.count())
+    assigned, cents = ivf_assign(
+        df, n_centroids, id_col, vec_col, seed, dim=dim, train_iters=train_iters
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_path}/assignments")
+    )
+    spark = df.sparkSession
+    cent_rows = [
+        (int(j), int(kk), int(cents[j, kk]))
+        for j in range(cents.shape[0])
+        for kk in range(cents.shape[1])
+    ]
+    spark.createDataFrame(cent_rows, "j int, k int, c long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/centroids")
+    geo = {
+        "kind": "ivf",
+        "n_centroids": int(n_centroids),
+        "dim": int(dim),
+        "seed": int(seed),
+        "train_iters": int(train_iters),
+    }
+    _write_geometry(spark, index_path, geo)
+    geo["quant"] = QUANT
+    return geo
+
+
+def read_ivf_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, np.ndarray, dict]:
+    """(assignments, centroid matrix, geometry) of a stored IVF index.
+    The centroid collect is n_centroids·dim rows — metadata-sized."""
+    geo = read_geometry(spark, index_path)
+    if geo["kind"] != "ivf":
+        raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not ivf")
+    assigned = spark.read.parquet(f"{index_path}/assignments")
+    cents = np.zeros((geo["n_centroids"], geo["dim"]), dtype=np.int64)
+    for r in spark.read.parquet(f"{index_path}/centroids").collect():
+        cents[r["j"], r["k"]] = r["c"]
+    return assigned, cents, geo
+
+
+def ivf_topk_stored(
+    spark: SparkSession,
+    df: DataFrame,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k served from a stored index (build_ivf_index).
+
+    Probe ranking is a driver-side numpy op over the stored centroid
+    matrix; the ``centroid_id IN probes`` filter is a pure
+    partition-column literal → the scan's PartitionFilters prune to the
+    nprobe list directories. Identical results to ``ivf_topk_indexed``
+    over the same index by construction (pinned in tests).
+    ``nprobe=None`` sizes from the stored centroid count (25% scan
+    fraction, recommended_nprobe)."""
+    assigned, cents, geo = read_ivf_index(spark, index_path)
+    if nprobe is None:
+        nprobe = recommended_nprobe(geo["n_centroids"])
+    return ivf_topk_indexed(
+        spark, df, assigned, cents, query_vec, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )

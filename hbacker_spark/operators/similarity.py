@@ -487,8 +487,11 @@ def ivf_assign(
                 }
             )
 
+    # id keeps its incoming type (same ADVICE-r3 class as lsh_signatures:
+    # a hardcoded long schema silently corrupts non-long ids)
+    id_type = df.schema[id_col].dataType.simpleString()
     assigned = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
-        batches, schema="vec_id long, centroid_id int"
+        batches, schema=f"vec_id {id_type}, centroid_id int"
     )
     return assigned, cents
 

@@ -1,0 +1,163 @@
+"""Persisted ANN index storage: build-at-ingest / serve-from-storage.
+
+What these pin (operators/ann_index.py):
+- stored-index serving returns EXACTLY the in-memory serving forms'
+  results (which themselves pin the per-call forms) — three forms, one
+  answer;
+- probe-time IO is provably pruned: the LSH probe scan plans
+  PartitionFilters over (table_idx, shard) and the IVF probe scan over
+  centroid_id — directory pruning visible in the physical plan, the
+  property that makes a stored query O(probed lists) at 100 TB;
+- geometry travels WITH the index: serving reads it from storage, a
+  kind/quant mismatch raises instead of silently mis-probing;
+- ids keep their incoming type through ivf_assign (the lsh_signatures
+  ADVICE-r3 class — a hardcoded long schema corrupts string ids).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbacker_spark.operators.ann_index import (
+    IndexGeometryError,
+    ann_topk_stored,
+    build_ivf_index,
+    build_lsh_index,
+    ivf_topk_stored,
+    lsh_probe_scan,
+    read_geometry,
+    read_ivf_index,
+)
+from hbacker_spark.operators.similarity import (
+    DEFAULT_PLANES,
+    ann_topk_indexed,
+    ivf_assign,
+    ivf_topk_indexed,
+    lsh_signatures,
+    query_probe_buckets,
+)
+from hbacker_spark.plans import explain as X
+from hbacker_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(embeddings):
+    return list(embeddings.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("rnk").collect()]
+
+
+def test_lsh_stored_matches_in_memory_and_prunes(spark, embeddings, qvec, tmp_path):
+    path = str(tmp_path / "lsh_idx")
+    geo = build_lsh_index(
+        embeddings, path, n_planes=DEFAULT_PLANES, n_shards=8
+    )
+    assert geo["kind"] == "lsh" and geo["n_planes"] == DEFAULT_PLANES
+
+    sigs = lsh_signatures(embeddings, n_planes=DEFAULT_PLANES)
+    for mp, bits in ((0, 1), (2, 1), (8, 2)):
+        stored = ann_topk_stored(
+            spark, embeddings, path, qvec, k=10, multiprobe=mp, multiprobe_bits=bits
+        )
+        in_mem = ann_topk_indexed(
+            spark, embeddings, sigs, qvec, k=10,
+            n_planes=DEFAULT_PLANES, multiprobe=mp, multiprobe_bits=bits,
+        )
+        assert _rows(stored) == _rows(in_mem), (mp, bits)
+
+    # the probed slice plans directory pruning: PartitionFilters over
+    # (table_idx, shard), and the residual bucket membership stays a
+    # data filter under it
+    probes = query_probe_buckets(qvec, DEFAULT_PLANES)
+    scan = lsh_probe_scan(
+        spark.read.parquet(f"{path}/signatures"), probes, geo["n_shards"]
+    )
+    plan = X.explain_str(scan)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("shard" in l and "table_idx" in l for l in part_lines), plan
+
+
+def test_ivf_stored_matches_in_memory_and_prunes(spark, embeddings, qvec, tmp_path):
+    path = str(tmp_path / "ivf_idx")
+    geo = build_ivf_index(
+        embeddings, path, dim=len(qvec), n_centroids=16, train_iters=3
+    )
+    assert geo["kind"] == "ivf" and geo["n_centroids"] == 16
+
+    assigned_mem, cents_mem = ivf_assign(
+        embeddings, n_centroids=16, dim=len(qvec), train_iters=3
+    )
+    in_mem = ivf_topk_indexed(
+        spark, embeddings, assigned_mem, cents_mem, qvec, k=10, nprobe=4
+    )
+    stored = ivf_topk_stored(spark, embeddings, path, qvec, k=10, nprobe=4)
+    assert _rows(stored) == _rows(in_mem)
+
+    # stored centroids round-trip bit-exactly (int64 fixed-point)
+    _, cents_stored, _ = read_ivf_index(spark, path)
+    assert (cents_stored == cents_mem).all()
+
+    # the assignment scan prunes to the probed list directories
+    assigned = spark.read.parquet(f"{path}/assignments")
+    probe_scan = assigned.filter(F.col("centroid_id").isin([0, 3, 7, 11]))
+    plan = X.explain_str(probe_scan)
+    assert any(
+        "PartitionFilters" in l and "centroid_id" in l for l in plan.splitlines()
+    ), plan
+
+
+def test_geometry_travels_with_index(spark, embeddings, qvec, tmp_path):
+    """Serving must take geometry from storage, not the caller: an
+    index built at a non-default geometry answers correctly with no
+    geometry arguments at query time; kind mismatches raise."""
+    path = str(tmp_path / "lsh_idx9")
+    build_lsh_index(embeddings, path, n_planes=9, n_shards=4)
+    geo = read_geometry(spark, path)
+    assert geo["n_planes"] == 9
+
+    sigs = lsh_signatures(embeddings, n_planes=9)
+    stored = ann_topk_stored(spark, embeddings, path, qvec, k=10, multiprobe=4)
+    in_mem = ann_topk_indexed(
+        spark, embeddings, sigs, qvec, k=10, n_planes=9, multiprobe=4
+    )
+    assert _rows(stored) == _rows(in_mem)
+
+    with pytest.raises(IndexGeometryError, match="not ivf"):
+        ivf_topk_stored(spark, embeddings, path, qvec)
+
+    ivf_path = str(tmp_path / "ivf_small")
+    build_ivf_index(embeddings.limit(64), ivf_path, dim=len(qvec), n_centroids=4)
+    with pytest.raises(IndexGeometryError, match="not lsh"):
+        ann_topk_stored(spark, embeddings, ivf_path, qvec)
+
+
+def test_ivf_assign_keeps_id_type(spark, embeddings):
+    """ADVICE-r3 class regression: ivf_assign must follow the incoming
+    id type (it hardcoded `vec_id long` until r9, silently corrupting
+    string ids the way lsh_signatures once did)."""
+    tagged = embeddings.limit(50).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    assigned, _ = ivf_assign(tagged, n_centroids=4, dim=64, train_iters=0)
+    assert assigned.schema["vec_id"].dataType.simpleString() == "string"
+    ids = {r["vec_id"] for r in assigned.collect()}
+    assert len(ids) == 50 and all(i.startswith("doc-") for i in ids)
+
+
+def test_build_auto_geometry_defaults(spark, embeddings, tmp_path):
+    """Production default: builders auto-size from the corpus (the same
+    recommended_* rules the per-call forms apply), and the stored
+    geometry records what the build actually used."""
+    path = str(tmp_path / "lsh_auto")
+    geo = build_lsh_index(embeddings, path)
+    from hbacker_spark.operators.similarity import recommended_planes
+
+    assert geo["n_planes"] == recommended_planes(embeddings.count())
