@@ -68,7 +68,7 @@ DEFAULT_SHARDS = 64
 
 _GEOMETRY_SCHEMA = (
     "kind string, n_planes int, n_tables int, n_centroids int, dim int, "
-    "seed int, quant long, n_shards int, train_iters int"
+    "seed int, quant long, n_shards int, train_iters int, n_rows long"
 )
 
 
@@ -82,7 +82,7 @@ def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
     base = {
         "kind": None, "n_planes": None, "n_tables": None, "n_centroids": None,
         "dim": None, "seed": None, "quant": QUANT, "n_shards": None,
-        "train_iters": None,
+        "train_iters": None, "n_rows": None,
     }
     base.update(row)
     spark.createDataFrame([tuple(base.values())], _GEOMETRY_SCHEMA).coalesce(
@@ -128,8 +128,9 @@ def build_lsh_index(
     predicate prunes inside each shard. Returns the geometry dict (also
     persisted under ``geometry/``).
     """
+    n_rows = df.count()
     if n_planes is None:
-        n_planes = recommended_planes(df.count())
+        n_planes = recommended_planes(n_rows)
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed).withColumn(
         "shard", F.pmod(F.col("bucket"), F.lit(int(n_shards))).cast("int")
     )
@@ -146,9 +147,51 @@ def build_lsh_index(
         "n_tables": int(n_tables),
         "seed": int(seed),
         "n_shards": int(n_shards),
+        "n_rows": int(n_rows),
     }
     _write_geometry(df.sparkSession, index_path, geo)
     geo["quant"] = QUANT
+    return geo
+
+
+def append_lsh_index(
+    df_new: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental ingest into a stored LSH index — NO rebuild.
+
+    Signatures are a pure per-row function of the STORED geometry, so
+    hashing only the new vectors and appending their rows into the same
+    (table_idx, shard) directories yields byte-for-byte the signature
+    SET a full rebuild over old∪new would produce (pinned in tests —
+    the same fold==rebuild contract as ann_pairs_state). Geometry is
+    read from the index, never passed: an append can't drift the hash
+    function. ``n_rows`` in the geometry row advances so
+    :func:`index_health` can tell when the corpus has outgrown the
+    build-time plane count (the knob that does NOT need a reindex first
+    is ``multiprobe`` — widen probes; reindex when health says so).
+    Single-writer contract like the catalog: two concurrent appends
+    both land rows (parquet append), but the geometry n_rows update is
+    last-writer-wins — serialize appenders.
+    """
+    geo = read_geometry(df_new.sparkSession, index_path)
+    if geo["kind"] != "lsh":
+        raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not lsh")
+    n_new = df_new.count()
+    sigs = lsh_signatures(
+        df_new, id_col, vec_col, geo["n_planes"], geo["n_tables"], geo["seed"]
+    ).withColumn("shard", F.pmod(F.col("bucket"), F.lit(geo["n_shards"])).cast("int"))
+    (
+        sigs.repartition("table_idx", "shard")
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .partitionBy("table_idx", "shard")
+        .parquet(f"{index_path}/signatures")
+    )
+    geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
+    _write_geometry(df_new.sparkSession, index_path, geo)
     return geo
 
 
@@ -247,8 +290,9 @@ def build_ivf_index(
     nothing else. The centroid matrix (n_centroids × dim int64 — a few
     KB) is stored as rows; serving collects just that.
     """
+    n_rows = df.count()
     if n_centroids is None:
-        n_centroids = recommended_centroids(df.count())
+        n_centroids = recommended_centroids(n_rows)
     assigned, cents = ivf_assign(
         df, n_centroids, id_col, vec_col, seed, dim=dim, train_iters=train_iters
     )
@@ -273,10 +317,106 @@ def build_ivf_index(
         "dim": int(dim),
         "seed": int(seed),
         "train_iters": int(train_iters),
+        "n_rows": int(n_rows),
     }
     _write_geometry(spark, index_path, geo)
     geo["quant"] = QUANT
     return geo
+
+
+def assign_with_centroids(
+    df: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id) for ``df`` against a FIXED centroid matrix
+    — the assignment half of ivf_assign without the training half.
+    Exact integer L2 argmin, ids keep their incoming type."""
+    import pandas as pd
+
+    from hbacker_spark.operators.similarity import _int_assign, _quantize
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m_q = _quantize(np.stack(pdf[vec_col].to_numpy()))
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "centroid_id": _int_assign(m_q, cents)}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+        batches, schema=f"vec_id {id_type}, centroid_id int"
+    )
+
+
+def append_ivf_index(
+    df_new: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental ingest into a stored IVF index — assign the new
+    vectors against the STORED centroids (centroids are deliberately
+    NOT retrained: retraining moves list boundaries, which would strand
+    every already-stored assignment — the standard IVF ingest contract;
+    FAISS's add-without-train shape). Assignment against fixed
+    centroids is a pure per-row function, so appended rows equal what a
+    fixed-centroid rebuild over old∪new would assign (pinned in tests).
+    Distribution drift is :func:`index_health`'s job: when the corpus
+    outgrows sqrt(n) centroids (or shifts), rebuild. Same single-writer
+    note as :func:`append_lsh_index`."""
+    spark = df_new.sparkSession
+    assigned_old, cents, geo = read_ivf_index(spark, index_path)
+    n_new = df_new.count()
+    assigned = assign_with_centroids(df_new, cents, id_col, vec_col)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_path}/assignments")
+    )
+    geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
+    _write_geometry(spark, index_path, geo)
+    return geo
+
+
+def index_health(spark: SparkSession, index_path: str) -> dict:
+    """Is the stored geometry still right for the corpus it now holds?
+
+    Appends keep the build-time geometry (they must — the stored rows
+    were hashed/assigned under it), so a long-running ingest chain
+    eventually outgrows it: LSH buckets densify past the hot-bucket
+    cap, IVF lists coarsen past the sqrt(n) balance. This is the
+    measured x100 failure mode (X100_RECEIPT.json: pinned planes at
+    100x capacity → 44.5GB spill; pinned 16 centroids → recall
+    0.637→0.562). Returns the stored vs recommended geometry and
+    ``reindex_recommended`` — cheap (reads one geometry row, zero data
+    scans), so run it per ingest batch. Until a rebuild lands, the
+    query-time mitigations need no reindex: ``multiprobe``/``bits``
+    for LSH, ``nprobe`` for IVF."""
+    geo = read_geometry(spark, index_path)
+    n = int(geo["n_rows"] or 0)
+    out = {"kind": geo["kind"], "n_rows": n}
+    if geo["kind"] == "lsh":
+        rec = recommended_planes(n)
+        out |= {
+            "stored_planes": geo["n_planes"],
+            "recommended_planes": rec,
+            "reindex_recommended": rec > geo["n_planes"],
+        }
+    else:
+        rec = recommended_centroids(n)
+        out |= {
+            "stored_centroids": geo["n_centroids"],
+            "recommended_centroids": rec,
+            # sqrt(n) drifts continuously; re-list only past 2x to keep
+            # rebuild cadence O(log n) over an append chain
+            "reindex_recommended": rec > 2 * geo["n_centroids"],
+        }
+    return out
 
 
 def read_ivf_index(

@@ -152,6 +152,81 @@ def test_ivf_assign_keeps_id_type(spark, embeddings):
     assert len(ids) == 50 and all(i.startswith("doc-") for i in ids)
 
 
+def test_lsh_append_equals_rebuild(spark, embeddings, qvec, tmp_path):
+    """Incremental stored-index ingest: build on the first half, append
+    the second half → the stored signature SET (and therefore every
+    stored query) must equal a full rebuild over the union. Signatures
+    are a pure per-row function of the stored geometry, so this is the
+    fold==rebuild contract of the incremental state algebras applied to
+    the storage layer."""
+    from hbacker_spark.operators.ann_index import append_lsh_index, index_health
+
+    old = embeddings.filter(F.col("vec_id") % 2 == 0)
+    new = embeddings.filter(F.col("vec_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "lsh_inc")
+    build_lsh_index(old, inc_path, n_planes=DEFAULT_PLANES, n_shards=8)
+    geo = append_lsh_index(new, inc_path)
+    assert geo["n_rows"] == embeddings.count()
+
+    full_path = str(tmp_path / "lsh_full")
+    build_lsh_index(embeddings, full_path, n_planes=DEFAULT_PLANES, n_shards=8)
+
+    inc_sigs = spark.read.parquet(f"{inc_path}/signatures")
+    full_sigs = spark.read.parquet(f"{full_path}/signatures")
+    assert sorted(map(tuple, inc_sigs.collect())) == sorted(map(tuple, full_sigs.collect()))
+
+    stored = ann_topk_stored(spark, embeddings, inc_path, qvec, k=10, multiprobe=2)
+    rebuilt = ann_topk_stored(spark, embeddings, full_path, qvec, k=10, multiprobe=2)
+    assert _rows(stored) == _rows(rebuilt)
+
+    # health: the appended corpus still fits 6 planes at this SF; a
+    # simulated 100x n_rows flips reindex_recommended
+    h = index_health(spark, inc_path)
+    assert h["kind"] == "lsh" and h["stored_planes"] == DEFAULT_PLANES
+    from hbacker_spark.operators.ann_index import _write_geometry, read_geometry
+
+    big = read_geometry(spark, inc_path) | {"n_rows": 2_000_000}
+    _write_geometry(spark, inc_path, big)
+    assert index_health(spark, inc_path)["reindex_recommended"]
+
+
+def test_ivf_append_equals_fixed_centroid_rebuild(spark, embeddings, qvec, tmp_path):
+    """IVF append assigns new vectors against the STORED centroids (no
+    retrain — retraining would strand stored assignments). The appended
+    assignment set must equal assigning the union against those same
+    centroids, and stored queries must match."""
+    from hbacker_spark.operators.ann_index import (
+        append_ivf_index,
+        assign_with_centroids,
+        index_health,
+    )
+
+    old = embeddings.filter(F.col("vec_id") % 2 == 0)
+    new = embeddings.filter(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivf_inc")
+    build_ivf_index(old, path, dim=len(qvec), n_centroids=8, train_iters=2)
+    geo = append_ivf_index(new, path)
+    assert geo["n_rows"] == embeddings.count()
+
+    assigned, cents, _ = read_ivf_index(spark, path)
+    expect = assign_with_centroids(embeddings, cents)
+    assert sorted(map(tuple, assigned.collect())) == sorted(map(tuple, expect.collect()))
+
+    stored = ivf_topk_stored(spark, embeddings, path, qvec, k=10, nprobe=3)
+    via_mem = ivf_topk_indexed(spark, embeddings, expect, cents, qvec, k=10, nprobe=3)
+    assert _rows(stored) == _rows(via_mem)
+
+    h = index_health(spark, path)
+    assert h["kind"] == "ivf" and h["stored_centroids"] == 8
+    from hbacker_spark.operators.similarity import recommended_centroids
+
+    assert h["reindex_recommended"] == (
+        recommended_centroids(embeddings.count()) > 2 * 8
+    )
+
+
 def test_build_auto_geometry_defaults(spark, embeddings, tmp_path):
     """Production default: builders auto-size from the corpus (the same
     recommended_* rules the per-call forms apply), and the stored
