@@ -1,0 +1,207 @@
+"""Stored-index serving receipt at 10x scale (round 9).
+
+Three forms answer the same ANN query (operators/similarity.py,
+operators/ann_index.py):
+  per-call  — re-hash / re-train+assign the corpus per query (one-shot
+              analytics; the honest baseline);
+  in-memory — prebuilt index DataFrame persisted in the session
+              (index-once/query-many, but every probe still scans the
+              whole index relation);
+  stored    — index persisted partitioned by its probe structure;
+              a query's scan is partition-pruned to its probed
+              directories (PartitionFilters, asserted in
+              tests/test_ann_index.py).
+
+This smoke MEASURES per-query wall for all three at the x10 replica
+(.scale_smoke/x10, 20k vectors — run scale_smoke_gen.py first),
+ASSERTS the three forms return identical rows per query (the pinned
+contract, re-checked at scale), and accounts the IO shape: how many of
+the index's partition directories a stored probe touches vs the total.
+Wall-clock on local[\\*] understates the stored win (local parquet, no
+network, scheduler floor dominates small scans); the directory
+accounting is the part that scales — at 100 TB the probed-dirs
+fraction IS the IO fraction.
+
+Usage: python stored_serving_smoke.py  (prints one JSON receipt line;
+writes STORED_SERVING.json)
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from hbacker_spark.operators.ann_index import (
+    StoredIvfIndex,
+    StoredLshIndex,
+    ann_topk_stored,
+    build_ivf_index,
+    build_lsh_index,
+    ivf_topk_stored,
+    read_geometry,
+    read_ivf_index,
+)
+from hbacker_spark.operators.similarity import (
+    ann_topk,
+    ann_topk_indexed,
+    ivf_topk,
+    ivf_topk_indexed,
+    lsh_signatures,
+    query_probe_buckets,
+    recommended_multiprobe,
+    recommended_nprobe,
+)
+from hbacker_spark.session import get_spark
+
+X10 = "/root/repo/.scale_smoke/x10"
+IDX = "/root/repo/.scale_smoke/stored_idx"
+K = 10
+N_QUERIES = 8
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("rnk").collect()]
+
+
+def _timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return out, round(time.monotonic() - t0, 3)
+
+
+def main():
+    spark = get_spark("stored_serving_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    e = spark.read.parquet(f"{X10}/embeddings.parquet")
+    n = e.count()
+    qids = sorted({(i * 2503) % n for i in range(N_QUERIES)})  # same draw as ann_recall_smoke
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.filter(F.col("vec_id").isin(qids)).collect()
+    }
+
+    shutil.rmtree(IDX, ignore_errors=True)
+    lsh_path, ivf_path = f"{IDX}/lsh", f"{IDX}/ivf"
+
+    # ---- build (the once-at-ingest cost, auto geometry) ----
+    _, lsh_build_s = _timed(lambda: build_lsh_index(e, lsh_path))
+    geo = read_geometry(spark, lsh_path)
+    mp = recommended_multiprobe(geo["n_planes"])
+    _, ivf_build_s = _timed(
+        lambda: build_ivf_index(e, ivf_path, dim=64)
+    )
+    ivf_geo = read_geometry(spark, ivf_path)
+
+    # in-memory serving baseline: the index DataFrame persisted
+    sigs = lsh_signatures(e, n_planes=geo["n_planes"]).persist()
+    sigs.count()
+    assigned_mem, cents_mem, _ = read_ivf_index(spark, ivf_path)
+    assigned_mem = assigned_mem.persist()
+    assigned_mem.count()
+
+    # stored serving handles: open once (geometry read + directory
+    # listing), query many — the deployment shape
+    lsh_idx, lsh_open_s = _timed(lambda: StoredLshIndex(spark, lsh_path))
+    ivf_idx, ivf_open_s = _timed(lambda: StoredIvfIndex(spark, ivf_path))
+
+    # directory accounting: probed (table, shard) dirs vs total
+    sig_root = f"{lsh_path}/signatures"
+    total_lsh_dirs = sum(
+        1
+        for t in os.listdir(sig_root)
+        if t.startswith("table_idx=")
+        for s in os.listdir(f"{sig_root}/{t}")
+        if s.startswith("shard=")
+    )
+    total_ivf_dirs = sum(
+        1
+        for d in os.listdir(f"{ivf_path}/assignments")
+        if d.startswith("centroid_id=")
+    )
+
+    lsh = {"per_call": [], "in_memory": [], "stored": [], "stored_reopen": [], "probed_dirs": []}
+    ivf = {"per_call": [], "in_memory": [], "stored": [], "stored_reopen": []}
+    for qid, qv in sorted(qvecs.items()):
+        r_pc, s = _timed(
+            lambda: _rows(ann_topk(spark, e, qv, k=K, n_planes=geo["n_planes"],
+                                   multiprobe=mp, multiprobe_bits=2))
+        )
+        lsh["per_call"].append(s)
+        r_im, s = _timed(
+            lambda: _rows(ann_topk_indexed(spark, e, sigs, qv, k=K,
+                                           n_planes=geo["n_planes"],
+                                           multiprobe=mp, multiprobe_bits=2))
+        )
+        lsh["in_memory"].append(s)
+        r_st, s = _timed(
+            lambda: _rows(lsh_idx.topk(e, qv, k=K, multiprobe=mp, multiprobe_bits=2))
+        )
+        lsh["stored"].append(s)
+        # the naive re-open form: geometry job + 512-dir relisting per
+        # query — measured to justify the handle's existence
+        r_ro, s = _timed(
+            lambda: _rows(ann_topk_stored(spark, e, lsh_path, qv, k=K,
+                                          multiprobe=mp, multiprobe_bits=2))
+        )
+        lsh["stored_reopen"].append(s)
+        assert r_pc == r_im == r_st == r_ro, f"LSH forms disagree at qid {qid}"
+        probes = query_probe_buckets(qv, geo["n_planes"], geo["n_tables"],
+                                     geo["seed"], mp, 2)
+        lsh["probed_dirs"].append(
+            len({(t, b % geo["n_shards"]) for t, bs in probes.items() for b in bs})
+        )
+
+        r_pc, s = _timed(
+            lambda: _rows(ivf_topk(spark, e, qv, k=K,
+                                   n_centroids=ivf_geo["n_centroids"]))
+        )
+        ivf["per_call"].append(s)
+        r_im, s = _timed(
+            lambda: _rows(ivf_topk_indexed(spark, e, assigned_mem, cents_mem,
+                                           qv, k=K))
+        )
+        ivf["in_memory"].append(s)
+        r_st, s = _timed(lambda: _rows(ivf_idx.topk(e, qv, k=K)))
+        ivf["stored"].append(s)
+        r_ro, s = _timed(lambda: _rows(ivf_topk_stored(spark, e, ivf_path, qv, k=K)))
+        ivf["stored_reopen"].append(s)
+        assert r_pc == r_im == r_st == r_ro, f"IVF forms disagree at qid {qid}"
+
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    receipt = {
+        "smoke": "stored_serving_x10",
+        "n_vectors": n,
+        "lsh": {
+            "geometry": {k: geo[k] for k in ("n_planes", "n_tables", "n_shards")},
+            "multiprobe": mp,
+            "build_s": lsh_build_s,
+            "open_s": lsh_open_s,
+            "median_query_s": {
+                f: med(lsh[f]) for f in ("per_call", "in_memory", "stored", "stored_reopen")
+            },
+            "probed_dirs_median": med(lsh["probed_dirs"]),
+            "total_dirs": total_lsh_dirs,
+        },
+        "ivf": {
+            "n_centroids": ivf_geo["n_centroids"],
+            "build_s": ivf_build_s,
+            "open_s": ivf_open_s,
+            "median_query_s": {
+                f: med(ivf[f]) for f in ("per_call", "in_memory", "stored", "stored_reopen")
+            },
+            "probed_dirs": recommended_nprobe(ivf_geo["n_centroids"]),
+            "total_dirs": total_ivf_dirs,
+        },
+        "forms_identical_all_queries": True,
+    }
+    print(json.dumps(receipt))
+    with open("/root/repo/STORED_SERVING.json", "w") as fh:
+        json.dump(receipt, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
