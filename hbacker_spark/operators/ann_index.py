@@ -79,15 +79,32 @@ class IndexGeometryError(ValueError):
 
 
 def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
+    """Swap-write the geometry row: Spark's overwrite mode deletes the
+    directory before writing, so a serving handle opening mid-append
+    would hit a half-missing geometry. Same tmp-write + rename pattern
+    as the catalog's _overwrite (catalog.py) — the rename is atomic on
+    the filesystems the catalog already assumes."""
+    import os
+    import shutil
+    import uuid
+
     base = {
         "kind": None, "n_planes": None, "n_tables": None, "n_centroids": None,
         "dim": None, "seed": None, "quant": QUANT, "n_shards": None,
         "train_iters": None, "n_rows": None,
     }
     base.update(row)
+    path = f"{index_path}/geometry"
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     spark.createDataFrame([tuple(base.values())], _GEOMETRY_SCHEMA).coalesce(
         1
-    ).write.mode("overwrite").parquet(f"{index_path}/geometry")
+    ).write.mode("overwrite").parquet(tmp)
+    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
 
 
 def read_geometry(spark: SparkSession, index_path: str) -> dict:
@@ -422,6 +439,55 @@ def append_ivf_index(
     geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
     _write_geometry(spark, index_path, geo)
     return geo
+
+
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Collapse an append chain's file fragmentation — the maintenance
+    twin of compact_snapshot for index dirs.
+
+    Every :func:`append_lsh_index` / :func:`append_ivf_index` batch
+    adds one file per touched partition directory, so a K-batch ingest
+    chain leaves up to K files per directory; probe reads then pay K
+    footer reads + K row-group seeks per probed dir. This rewrites the
+    index relation into one file per partition directory (re-sorted by
+    bucket for LSH, so row-group pruning is restored too), swaps it in
+    atomically (tmp + rename, the catalog pattern), and returns
+    before/after file counts. Geometry and rows are unchanged —
+    results are byte-identical by construction (pinned in tests).
+    Run it when file counts per dir grow past a handful, same cadence
+    discipline as snapshot compaction."""
+    import os
+    import shutil
+    import uuid
+
+    geo = read_geometry(spark, index_path)
+    if geo["kind"] == "lsh":
+        sub, sort_col = "signatures", "bucket"
+        part_cols = ["table_idx", "shard"]
+    else:
+        sub, sort_col = "assignments", None
+        part_cols = ["centroid_id"]
+    path = f"{index_path}/{sub}"
+
+    def n_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = n_files(path)
+    df = spark.read.parquet(path).repartition(*part_cols)
+    if sort_col:
+        df = df.sortWithinPartitions(sort_col)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return {"kind": geo["kind"], "files_before": before, "files_after": n_files(path)}
 
 
 def index_health(spark: SparkSession, index_path: str) -> dict:

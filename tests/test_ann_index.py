@@ -227,6 +227,39 @@ def test_ivf_append_equals_fixed_centroid_rebuild(spark, embeddings, qvec, tmp_p
     )
 
 
+def test_compact_index_collapses_append_fragmentation(spark, embeddings, qvec, tmp_path):
+    """A 3-batch append chain leaves multiple files per partition dir;
+    compaction collapses to one file per dir, restores bucket sort, and
+    changes nothing about results (same rows, same stored queries)."""
+    from hbacker_spark.operators.ann_index import append_lsh_index, compact_index
+
+    thirds = [embeddings.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    path = str(tmp_path / "lsh_frag")
+    build_lsh_index(thirds[0], path, n_planes=DEFAULT_PLANES, n_shards=4)
+    append_lsh_index(thirds[1], path)
+    append_lsh_index(thirds[2], path)
+
+    before = ann_topk_stored(spark, embeddings, path, qvec, k=10, multiprobe=2)
+    before_rows = _rows(before)
+    sig_rows = sorted(map(tuple, spark.read.parquet(f"{path}/signatures").collect()))
+
+    stats = compact_index(spark, path)
+    assert stats["files_before"] > stats["files_after"], stats
+    # one file per (table_idx, shard) directory after compaction
+    import os
+
+    for t in os.listdir(f"{path}/signatures"):
+        if not t.startswith("table_idx="):
+            continue
+        for s in os.listdir(f"{path}/signatures/{t}"):
+            if s.startswith("shard="):
+                pq = [f for f in os.listdir(f"{path}/signatures/{t}/{s}") if f.endswith(".parquet")]
+                assert len(pq) == 1, (t, s, pq)
+
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/signatures").collect())) == sig_rows
+    assert _rows(ann_topk_stored(spark, embeddings, path, qvec, k=10, multiprobe=2)) == before_rows
+
+
 def test_build_auto_geometry_defaults(spark, embeddings, tmp_path):
     """Production default: builders auto-size from the corpus (the same
     recommended_* rules the per-call forms apply), and the stored
