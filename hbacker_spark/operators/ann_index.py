@@ -68,7 +68,8 @@ DEFAULT_SHARDS = 64
 
 _GEOMETRY_SCHEMA = (
     "kind string, n_planes int, n_tables int, n_centroids int, dim int, "
-    "seed int, quant long, n_shards int, train_iters int, n_rows long"
+    "seed int, quant long, n_shards int, train_iters int, n_rows long, "
+    "last_batch_id long"
 )
 
 
@@ -91,7 +92,7 @@ def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
     base = {
         "kind": None, "n_planes": None, "n_tables": None, "n_centroids": None,
         "dim": None, "seed": None, "quant": QUANT, "n_shards": None,
-        "train_iters": None, "n_rows": None,
+        "train_iters": None, "n_rows": None, "last_batch_id": None,
     }
     base.update(row)
     path = f"{index_path}/geometry"
@@ -176,6 +177,7 @@ def append_lsh_index(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> dict:
     """Incremental ingest into a stored LSH index — NO rebuild.
 
@@ -192,10 +194,25 @@ def append_lsh_index(
     Single-writer contract like the catalog: two concurrent appends
     both land rows (parquet append), but the geometry n_rows update is
     last-writer-wins — serialize appenders.
+
+    ``batch_id`` makes the append idempotent for streaming ingest
+    (foreachBatch is at-least-once): a replayed batch whose id is at or
+    below the geometry's ``last_batch_id`` is a no-op. The residual
+    window — append job committed, geometry swap not yet landed, crash
+    → replay double-appends — costs duplicate ROWS only, never wrong
+    RESULTS (signatures are a deterministic per-row function and every
+    serving path reduces candidates to a set); :func:`compact_index`
+    drops exact duplicates, so the window is also space-repairable.
     """
     geo = read_geometry(df_new.sparkSession, index_path)
     if geo["kind"] != "lsh":
         raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not lsh")
+    if (
+        batch_id is not None
+        and geo["last_batch_id"] is not None
+        and batch_id <= geo["last_batch_id"]
+    ):
+        return geo  # replayed micro-batch: already folded
     n_new = df_new.count()
     sigs = lsh_signatures(
         df_new, id_col, vec_col, geo["n_planes"], geo["n_tables"], geo["seed"]
@@ -208,6 +225,8 @@ def append_lsh_index(
         .parquet(f"{index_path}/signatures")
     )
     geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
+    if batch_id is not None:
+        geo["last_batch_id"] = int(batch_id)
     _write_geometry(df_new.sparkSession, index_path, geo)
     return geo
 
@@ -415,6 +434,7 @@ def append_ivf_index(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> dict:
     """Incremental ingest into a stored IVF index — assign the new
     vectors against the STORED centroids (centroids are deliberately
@@ -425,9 +445,21 @@ def append_ivf_index(
     fixed-centroid rebuild over old∪new would assign (pinned in tests).
     Distribution drift is :func:`index_health`'s job: when the corpus
     outgrows sqrt(n) centroids (or shifts), rebuild. Same single-writer
-    note as :func:`append_lsh_index`."""
+    and ``batch_id`` replay-idempotency contract as
+    :func:`append_lsh_index`."""
     spark = df_new.sparkSession
-    assigned_old, cents, geo = read_ivf_index(spark, index_path)
+    geo = read_geometry(spark, index_path)
+    if geo["kind"] != "ivf":
+        raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not ivf")
+    if (
+        batch_id is not None
+        and geo["last_batch_id"] is not None
+        and batch_id <= geo["last_batch_id"]
+    ):
+        return geo  # replayed micro-batch: already folded
+    cents = np.zeros((geo["n_centroids"], geo["dim"]), dtype=np.int64)
+    for r in spark.read.parquet(f"{index_path}/centroids").collect():
+        cents[r["j"], r["k"]] = r["c"]
     n_new = df_new.count()
     assigned = assign_with_centroids(df_new, cents, id_col, vec_col)
     (
@@ -437,8 +469,46 @@ def append_ivf_index(
         .parquet(f"{index_path}/assignments")
     )
     geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
+    if batch_id is not None:
+        geo["last_batch_id"] = int(batch_id)
     _write_geometry(spark, index_path, geo)
     return geo
+
+
+def index_ingest_stream(batches: DataFrame, index_path: str, checkpoint: str,
+                        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Streaming ingest into a STORED index — the foreachBatch driver
+    unifying the incremental state story (operators/incremental.py)
+    with stored serving: each micro-batch hashes/assigns only its own
+    vectors under the stored geometry and appends into the partition
+    layout queries already probe. Dispatches on the index's stored
+    ``kind``, so one driver serves both families.
+
+    The index must exist (build_lsh_index / build_ivf_index at
+    bootstrap — streaming cannot auto-size geometry from a first
+    micro-batch, and IVF needs trained centroids). Replay safety:
+    foreachBatch is at-least-once; the append skips any batch_id at or
+    below the geometry's ``last_batch_id``, and the residual
+    committed-append/uncommitted-geometry crash window costs duplicate
+    rows only — results are set-reduced at serve time and
+    :func:`compact_index` reclaims the space (contract documented on
+    :func:`append_lsh_index`). Empty batches are the identity and skip
+    the fold. Returns the StreamingQuery (caller awaits termination)."""
+    spark = batches.sparkSession
+    kind = read_geometry(spark, index_path)["kind"]
+    append = append_lsh_index if kind == "lsh" else append_ivf_index
+
+    def fold(batch_df: DataFrame, bid: int) -> None:
+        if not batch_df.head(1):
+            return
+        append(batch_df, index_path, id_col, vec_col, batch_id=bid)
+
+    return (
+        batches.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def compact_index(spark: SparkSession, index_path: str) -> dict:
@@ -478,7 +548,12 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         )
 
     before = n_files(path)
-    df = spark.read.parquet(path).repartition(*part_cols)
+    # dropDuplicates repairs the streaming replay window (a
+    # committed-append/uncommitted-geometry crash double-appends a
+    # batch): index rows are deterministic per (vector, geometry), so
+    # exact duplicates carry zero information — serving already
+    # set-reduces them; compaction reclaims the bytes.
+    df = spark.read.parquet(path).dropDuplicates().repartition(*part_cols)
     if sort_col:
         df = df.sortWithinPartitions(sort_col)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

@@ -260,6 +260,79 @@ def test_compact_index_collapses_append_fragmentation(spark, embeddings, qvec, t
     assert _rows(ann_topk_stored(spark, embeddings, path, qvec, k=10, multiprobe=2)) == before_rows
 
 
+def test_index_ingest_stream_equals_rebuild_with_restart(spark, embeddings, qvec, tmp_path):
+    """Streaming ingest into the STORED index (foreachBatch → append
+    under the stored geometry, incl. a restart between drains)
+    maintains the same signature set a full rebuild produces — the
+    stream==batch contract extended to the storage layer. Replay
+    idempotency: re-appending an already-folded batch_id is a no-op."""
+    from hbacker_spark.operators.ann_index import (
+        append_lsh_index,
+        index_ingest_stream,
+        read_geometry,
+    )
+
+    bucket = F.pmod(F.xxhash64("vec_id", F.lit(7)), F.lit(3))
+    boot = embeddings.filter(bucket == 0)
+    path = str(tmp_path / "lsh_stream")
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    build_lsh_index(boot, path, n_planes=DEFAULT_PLANES, n_shards=8)
+    schema = embeddings.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        q = index_ingest_stream(stream, path, ckpt)
+        q.awaitTermination()
+
+    embeddings.filter(bucket == 1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    embeddings.filter(bucket == 2).coalesce(1).write.mode("append").parquet(src)
+    drain()  # restarted query folds only the new file
+
+    full_path = str(tmp_path / "lsh_full")
+    build_lsh_index(embeddings, full_path, n_planes=DEFAULT_PLANES, n_shards=8)
+    got = sorted(map(tuple, spark.read.parquet(f"{path}/signatures").collect()))
+    want = sorted(map(tuple, spark.read.parquet(f"{full_path}/signatures").collect()))
+    assert got == want
+
+    geo = read_geometry(spark, path)
+    assert geo["n_rows"] == embeddings.count()
+    assert geo["last_batch_id"] is not None
+
+    # replayed batch_id → no-op (rows and n_rows unchanged)
+    n_sig = spark.read.parquet(f"{path}/signatures").count()
+    replay = append_lsh_index(embeddings.limit(10), path, batch_id=geo["last_batch_id"])
+    assert replay["n_rows"] == geo["n_rows"]
+    assert spark.read.parquet(f"{path}/signatures").count() == n_sig
+
+
+def test_compact_index_drops_replay_duplicates(spark, embeddings, tmp_path):
+    """The residual streaming crash window double-appends a batch's
+    rows; compaction drops the exact duplicates (index rows are
+    deterministic per vector+geometry, so duplicates carry nothing)."""
+    from hbacker_spark.operators.ann_index import append_lsh_index, compact_index
+
+    half = embeddings.filter(F.col("vec_id") % 2 == 0)
+    dup = embeddings.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 100))
+    path = str(tmp_path / "lsh_dup")
+    build_lsh_index(half, path, n_planes=DEFAULT_PLANES, n_shards=4)
+    append_lsh_index(dup, path)  # committed append...
+    append_lsh_index(dup, path)  # ...replayed without a batch_id guard
+
+    sigs = spark.read.parquet(f"{path}/signatures")
+    assert sigs.count() > sigs.dropDuplicates().count()
+    compact_index(spark, path)
+    sigs2 = spark.read.parquet(f"{path}/signatures")
+    assert sigs2.count() == sigs2.dropDuplicates().count()
+    # content equals the clean union
+    clean = str(tmp_path / "lsh_clean")
+    build_lsh_index(half.unionByName(dup), clean, n_planes=DEFAULT_PLANES, n_shards=4)
+    assert sorted(map(tuple, sigs2.collect())) == sorted(
+        map(tuple, spark.read.parquet(f"{clean}/signatures").collect())
+    )
+
+
 def test_build_auto_geometry_defaults(spark, embeddings, tmp_path):
     """Production default: builders auto-size from the corpus (the same
     recommended_* rules the per-call forms apply), and the stored
