@@ -11,6 +11,7 @@ user API; every name here is driver-verified against a DuckDB oracle):
     python -m hbacker_spark queries [--tag dedup]
     python -m hbacker_spark run --name dedup_exact_groups --sf-dir DIR [--out P --format parquet]
     python -m hbacker_spark explain --name q6_forecast_revenue --sf-dir DIR
+    python -m hbacker_spark index health|compact|geometry --index-path DIR
 
 Differences from the reference, on purpose: no beanstalkd/worker/Stargate
 wiring (cli.rb:329-389's setup of queue + REST + MySQL collapses into one
@@ -84,6 +85,15 @@ def build_parser() -> argparse.ArgumentParser:
     exq = sub.add_parser("explain", help="print a registered query's physical plan")
     exq.add_argument("--name", required=True)
     exq.add_argument("--sf-dir", required=True)
+
+    idx = sub.add_parser(
+        "index",
+        help="stored ANN index ops (operators/ann_index.py): health "
+        "(geometry-drift check, zero data scans) / compact "
+        "(append-fragmentation rewrite) / geometry (print the stored row)",
+    )
+    idx.add_argument("action", choices=["health", "compact", "geometry"])
+    idx.add_argument("--index-path", required=True)
 
     db = sub.add_parser("db", help="catalog report (C9/C10; cli.rb:287-322)")
     db.add_argument("--mode", default="export", choices=["export", "import"])
@@ -164,6 +174,21 @@ def main(argv: list[str] | None = None) -> int:
             enc = lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else str(v)  # noqa: E731
             for row in df.limit(args.limit).collect():
                 print(json.dumps(row.asDict(recursive=True), default=enc))
+        return 0
+
+    if args.command == "index":
+        # index ops need a SparkSession but no catalog — the geometry
+        # row travels with the index itself
+        from hbacker_spark.operators import ann_index as AI
+
+        spark = get_spark("hbacker_spark_cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.action == "health":
+            print(json.dumps(AI.index_health(spark, args.index_path)))
+        elif args.action == "compact":
+            print(json.dumps(AI.compact_index(spark, args.index_path)))
+        else:
+            print(json.dumps(AI.read_geometry(spark, args.index_path)))
         return 0
 
     if args.catalog_root is None:

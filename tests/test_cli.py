@@ -175,6 +175,29 @@ def test_cli_query_surface(tmp_path):
     assert "PushedFilters" in ex.stdout or "Physical Plan" in ex.stdout
 
 
+def test_cli_index_ops(spark, tmp_path):
+    """`index health|compact|geometry` surface the stored-ANN-index
+    lifecycle ops (no catalog root needed — geometry travels with the
+    index). Built in-process, exercised via one subprocess each."""
+    from pyspark.sql import functions as F
+
+    from hbacker_spark.operators.ann_index import build_lsh_index
+    from hbacker_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    path = str(tmp_path / "cli_idx")
+    build_lsh_index(e, path, n_planes=6, n_shards=4)
+
+    h = json.loads(run_cli("index", "health", "--index-path", path).stdout.splitlines()[-1])
+    assert h["kind"] == "lsh" and "reindex_recommended" in h
+
+    g = json.loads(run_cli("index", "geometry", "--index-path", path).stdout.splitlines()[-1])
+    assert g["n_planes"] == 6 and g["n_shards"] == 4 and g["n_rows"] == 200
+
+    c = json.loads(run_cli("index", "compact", "--index-path", path).stdout.splitlines()[-1])
+    assert c["kind"] == "lsh" and c["files_after"] <= c["files_before"]
+
+
 def test_csv_safe_stringifies_unwritable_columns(spark, tmp_path):
     """`run --format csv` must work for queries with container/binary
     columns (ADVICE r4): arrays/maps/structs become JSON, binary
