@@ -69,7 +69,7 @@ DEFAULT_SHARDS = 64
 _GEOMETRY_SCHEMA = (
     "kind string, n_planes int, n_tables int, n_centroids int, dim int, "
     "seed int, quant long, n_shards int, train_iters int, n_rows long, "
-    "last_batch_id long"
+    "last_batch_id long, last_stream_id string"
 )
 
 
@@ -93,6 +93,7 @@ def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
         "kind": None, "n_planes": None, "n_tables": None, "n_centroids": None,
         "dim": None, "seed": None, "quant": QUANT, "n_shards": None,
         "train_iters": None, "n_rows": None, "last_batch_id": None,
+        "last_stream_id": None,
     }
     base.update(row)
     path = f"{index_path}/geometry"
@@ -178,6 +179,7 @@ def append_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """Incremental ingest into a stored LSH index — NO rebuild.
 
@@ -197,12 +199,18 @@ def append_lsh_index(
 
     ``batch_id`` makes the append idempotent for streaming ingest
     (foreachBatch is at-least-once): a replayed batch whose id is at or
-    below the geometry's ``last_batch_id`` is a no-op. The residual
-    window — append job committed, geometry swap not yet landed, crash
-    → replay double-appends — costs duplicate ROWS only, never wrong
-    RESULTS (signatures are a deterministic per-row function and every
-    serving path reduces candidates to a set); :func:`compact_index`
-    drops exact duplicates, so the window is also space-repairable.
+    below the geometry's ``last_batch_id`` is a no-op. The guard is
+    SCOPED to ``stream_id`` (the checkpoint location): Structured
+    Streaming batch ids restart at 0 for a NEW checkpoint, so an
+    unscoped guard would silently drop a fresh stream's every batch as
+    a "replay" of the previous stream's ids — the watermark only means
+    something within one checkpoint's id sequence. A differing
+    stream_id resets the guard instead. The residual window — append
+    job committed, geometry swap not yet landed, crash → replay
+    double-appends — costs duplicate ROWS only, never wrong RESULTS
+    (signatures are a deterministic per-row function and every serving
+    path reduces candidates to a set); :func:`compact_index` drops
+    exact duplicates, so the window is also space-repairable.
     """
     geo = read_geometry(df_new.sparkSession, index_path)
     if geo["kind"] != "lsh":
@@ -210,9 +218,10 @@ def append_lsh_index(
     if (
         batch_id is not None
         and geo["last_batch_id"] is not None
+        and geo["last_stream_id"] == stream_id
         and batch_id <= geo["last_batch_id"]
     ):
-        return geo  # replayed micro-batch: already folded
+        return geo  # replayed micro-batch of THIS stream: already folded
     n_new = df_new.count()
     sigs = lsh_signatures(
         df_new, id_col, vec_col, geo["n_planes"], geo["n_tables"], geo["seed"]
@@ -227,6 +236,7 @@ def append_lsh_index(
     geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
     if batch_id is not None:
         geo["last_batch_id"] = int(batch_id)
+        geo["last_stream_id"] = stream_id
     _write_geometry(df_new.sparkSession, index_path, geo)
     return geo
 
@@ -435,6 +445,7 @@ def append_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """Incremental ingest into a stored IVF index — assign the new
     vectors against the STORED centroids (centroids are deliberately
@@ -445,7 +456,7 @@ def append_ivf_index(
     fixed-centroid rebuild over old∪new would assign (pinned in tests).
     Distribution drift is :func:`index_health`'s job: when the corpus
     outgrows sqrt(n) centroids (or shifts), rebuild. Same single-writer
-    and ``batch_id`` replay-idempotency contract as
+    and stream-scoped ``batch_id`` replay-idempotency contract as
     :func:`append_lsh_index`."""
     spark = df_new.sparkSession
     geo = read_geometry(spark, index_path)
@@ -454,9 +465,10 @@ def append_ivf_index(
     if (
         batch_id is not None
         and geo["last_batch_id"] is not None
+        and geo["last_stream_id"] == stream_id
         and batch_id <= geo["last_batch_id"]
     ):
-        return geo  # replayed micro-batch: already folded
+        return geo  # replayed micro-batch of THIS stream: already folded
     cents = np.zeros((geo["n_centroids"], geo["dim"]), dtype=np.int64)
     for r in spark.read.parquet(f"{index_path}/centroids").collect():
         cents[r["j"], r["k"]] = r["c"]
@@ -471,6 +483,7 @@ def append_ivf_index(
     geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
     if batch_id is not None:
         geo["last_batch_id"] = int(batch_id)
+        geo["last_stream_id"] = stream_id
     _write_geometry(spark, index_path, geo)
     return geo
 
@@ -488,7 +501,10 @@ def index_ingest_stream(batches: DataFrame, index_path: str, checkpoint: str,
     bootstrap — streaming cannot auto-size geometry from a first
     micro-batch, and IVF needs trained centroids). Replay safety:
     foreachBatch is at-least-once; the append skips any batch_id at or
-    below the geometry's ``last_batch_id``, and the residual
+    below the geometry's ``last_batch_id`` — scoped by the CHECKPOINT
+    location as the stream identity, because batch ids restart at 0
+    under a fresh checkpoint and an unscoped guard would silently drop
+    a new stream's every batch as a stale replay. The residual
     committed-append/uncommitted-geometry crash window costs duplicate
     rows only — results are set-reduced at serve time and
     :func:`compact_index` reclaims the space (contract documented on
@@ -501,7 +517,8 @@ def index_ingest_stream(batches: DataFrame, index_path: str, checkpoint: str,
     def fold(batch_df: DataFrame, bid: int) -> None:
         if not batch_df.head(1):
             return
-        append(batch_df, index_path, id_col, vec_col, batch_id=bid)
+        append(batch_df, index_path, id_col, vec_col,
+               batch_id=bid, stream_id=checkpoint)
 
     return (
         batches.writeStream.foreachBatch(fold)

@@ -300,11 +300,23 @@ def test_index_ingest_stream_equals_rebuild_with_restart(spark, embeddings, qvec
     assert geo["n_rows"] == embeddings.count()
     assert geo["last_batch_id"] is not None
 
-    # replayed batch_id → no-op (rows and n_rows unchanged)
+    # replayed batch_id of the SAME stream (checkpoint) → no-op
     n_sig = spark.read.parquet(f"{path}/signatures").count()
-    replay = append_lsh_index(embeddings.limit(10), path, batch_id=geo["last_batch_id"])
+    replay = append_lsh_index(
+        embeddings.limit(10), path, batch_id=geo["last_batch_id"], stream_id=ckpt
+    )
     assert replay["n_rows"] == geo["n_rows"]
     assert spark.read.parquet(f"{path}/signatures").count() == n_sig
+
+    # a NEW stream's batch 0 must NOT be treated as a stale replay:
+    # Structured Streaming restarts batch ids at 0 under a fresh
+    # checkpoint, so the replay guard is scoped by stream identity —
+    # an unscoped guard would silently drop every batch here
+    fresh = append_lsh_index(
+        embeddings.limit(10), path, batch_id=0, stream_id=str(tmp_path / "ckpt2")
+    )
+    assert fresh["n_rows"] == geo["n_rows"] + 10
+    assert spark.read.parquet(f"{path}/signatures").count() == n_sig + 10 * geo["n_tables"]
 
 
 def test_compact_index_drops_replay_duplicates(spark, embeddings, tmp_path):
