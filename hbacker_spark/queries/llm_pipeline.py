@@ -683,7 +683,11 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernel (operators/similarity.py). FULLY oracled since r6: the "
     "md5-integer hyperplanes + floor-quantized int64 sign test make the "
     "candidate set itself engine-portable, so DuckDB rebuilds the exact "
-    "bucket probe AND the rerank (fold cosine) — not just the row count.",
+    "bucket probe AND the rerank (fold cosine) — not just the row count. "
+    "This per-call form re-hashes the corpus per query; production "
+    "serving uses the stored index (operators/ann_index.py: "
+    "build_lsh_index + StoredLshIndex, partition-pruned probe reads — "
+    "per-query cost tracks the index slice, STORED_SERVING.json).",
 )
 def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.similarity import ann_topk
@@ -813,7 +817,11 @@ def ann_multiprobe2bit_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFram
     "rebuilds assignments, probe lists and candidates cell-for-cell. "
     "The old float renormalization (the former impossibility note) is "
     "gone: on unit-norm inputs plain-mean L2 Lloyd is the textbook "
-    "k-means and quality is re-measured in ann_recall_smoke.py.",
+    "k-means and quality is re-measured in ann_recall_smoke.py. This "
+    "per-call form retrains per query; production serving uses the "
+    "stored index (operators/ann_index.py: build_ivf_index + "
+    "StoredIvfIndex — lists are partition dirs, a probe reads its "
+    "nprobe lists only; 9.1x over per-call at x100, STORED_SERVING.json).",
 )
 def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.operators.similarity import ivf_topk
