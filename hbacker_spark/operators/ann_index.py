@@ -69,7 +69,7 @@ DEFAULT_SHARDS = 64
 _GEOMETRY_SCHEMA = (
     "kind string, n_planes int, n_tables int, n_centroids int, dim int, "
     "seed int, quant long, n_shards int, train_iters int, n_rows long, "
-    "last_batch_id long, last_stream_id string"
+    "last_batch_id long, last_stream_id string, has_vectors boolean"
 )
 
 
@@ -93,7 +93,7 @@ def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
         "kind": None, "n_planes": None, "n_tables": None, "n_centroids": None,
         "dim": None, "seed": None, "quant": QUANT, "n_shards": None,
         "train_iters": None, "n_rows": None, "last_batch_id": None,
-        "last_stream_id": None,
+        "last_stream_id": None, "has_vectors": False,
     }
     base.update(row)
     path = f"{index_path}/geometry"
@@ -368,6 +368,7 @@ def build_ivf_index(
     n_centroids: int | None = None,
     seed: int = SEED,
     train_iters: int = TRAIN_ITERS,
+    store_vectors: bool = False,
 ) -> dict:
     """Train + assign once and persist the IVF index.
 
@@ -376,12 +377,30 @@ def build_ivf_index(
     lists ARE directories, so a probe's IO is its ``nprobe`` lists and
     nothing else. The centroid matrix (n_centroids × dim int64 — a few
     KB) is stored as rows; serving collects just that.
+
+    ``store_vectors=True`` stores each vector IN its list row (the
+    FAISS IndexIVFFlat shape): serving then answers entirely from the
+    probed list directories — zero corpus access per query
+    (``StoredIvfIndex.topk(df=None)``) — at the cost of duplicating
+    the embedding column into the index. Right when the index serves
+    many queries against a corpus that lives elsewhere (or is 100 TB
+    of documents whose embedding column alone is worth re-storing
+    list-clustered); leave False when corpus and index share storage
+    and an id semi-join is acceptable. IVF-only by design: each vector
+    sits in exactly ONE list, so storage is x1 — the LSH layout would
+    duplicate every vector n_tables times.
     """
+    from hbacker_spark.operators.similarity import _seed_centroids, train_ivf_centroids
+
     n_rows = df.count()
     if n_centroids is None:
         n_centroids = recommended_centroids(n_rows)
-    assigned, cents = ivf_assign(
-        df, n_centroids, id_col, vec_col, seed, dim=dim, train_iters=train_iters
+    if train_iters > 0:
+        cents = train_ivf_centroids(df, dim, n_centroids, vec_col, seed, n_iter=train_iters)
+    else:
+        cents = _seed_centroids(dim, n_centroids, seed)
+    assigned = assign_with_centroids(
+        df, cents, id_col, vec_col, include_vec=store_vectors
     )
     (
         assigned.repartition("centroid_id")
@@ -405,6 +424,7 @@ def build_ivf_index(
         "seed": int(seed),
         "train_iters": int(train_iters),
         "n_rows": int(n_rows),
+        "has_vectors": bool(store_vectors),
     }
     _write_geometry(spark, index_path, geo)
     geo["quant"] = QUANT
@@ -416,10 +436,13 @@ def assign_with_centroids(
     cents: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = False,
 ) -> DataFrame:
-    """(vec_id, centroid_id) for ``df`` against a FIXED centroid matrix
-    — the assignment half of ivf_assign without the training half.
-    Exact integer L2 argmin, ids keep their incoming type."""
+    """(vec_id, centroid_id[, embedding]) for ``df`` against a FIXED
+    centroid matrix — the assignment half of ivf_assign without the
+    training half. Exact integer L2 argmin, ids keep their incoming
+    type; ``include_vec`` passes the vector through for
+    vector-carrying lists (store_vectors indexes)."""
     import pandas as pd
 
     from hbacker_spark.operators.similarity import _int_assign, _quantize
@@ -429,13 +452,18 @@ def assign_with_centroids(
             if not len(pdf):
                 continue
             m_q = _quantize(np.stack(pdf[vec_col].to_numpy()))
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col].to_numpy(), "centroid_id": _int_assign(m_q, cents)}
-            )
+            out = {"vec_id": pdf[id_col].to_numpy(), "centroid_id": _int_assign(m_q, cents)}
+            if include_vec:
+                out["embedding"] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"vec_id {id_type}, centroid_id int"
+    if include_vec:
+        vec_type = df.schema[vec_col].dataType.simpleString()
+        schema += f", embedding {vec_type}"
     return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
-        batches, schema=f"vec_id {id_type}, centroid_id int"
+        batches, schema=schema
     )
 
 
@@ -473,7 +501,10 @@ def append_ivf_index(
     for r in spark.read.parquet(f"{index_path}/centroids").collect():
         cents[r["j"], r["k"]] = r["c"]
     n_new = df_new.count()
-    assigned = assign_with_centroids(df_new, cents, id_col, vec_col)
+    # a vector-carrying index stays vector-carrying across appends
+    assigned = assign_with_centroids(
+        df_new, cents, id_col, vec_col, include_vec=bool(geo["has_vectors"])
+    )
     (
         assigned.repartition("centroid_id")
         .write.mode("append")
@@ -647,7 +678,7 @@ class StoredIvfIndex:
 
     def topk(
         self,
-        df: DataFrame,
+        df: DataFrame | None,
         query_vec: list[float],
         k: int = 10,
         nprobe: int | None = None,
@@ -659,13 +690,43 @@ class StoredIvfIndex:
         PartitionFilters prune to the nprobe list directories.
         Identical results to ``ivf_topk_indexed`` over the same index
         by construction (pinned in tests). ``nprobe=None`` sizes from
-        the stored centroid count (25% scan fraction)."""
+        the stored centroid count (25% scan fraction).
+
+        ``df=None`` is INDEX-ONLY serving, available when the index
+        was built with ``store_vectors=True``: the probed list rows
+        carry their vectors, so the whole query — probe ranking,
+        candidate read, exact rerank — touches only the nprobe list
+        directories and never the corpus (zero corpus files in the
+        plan, asserted in tests). Returns (vec_id, cos_sim, rnk)."""
+        from pyspark.sql import Window
+
+        from hbacker_spark.functions.similarity import cosine
+
         if nprobe is None:
             nprobe = recommended_nprobe(self.geometry["n_centroids"])
-        return ivf_topk_indexed(
-            self.spark, df, self.assigned, self.cents, query_vec, k=k,
-            nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        if df is not None:
+            return ivf_topk_indexed(
+                self.spark, df, self.assigned, self.cents, query_vec, k=k,
+                nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            )
+        if not self.geometry["has_vectors"]:
+            raise IndexGeometryError(
+                f"index at {self.path} stores no vectors (built with "
+                f"store_vectors=False) — pass the corpus df, or rebuild "
+                f"with store_vectors=True for index-only serving"
+            )
+        from hbacker_spark.operators.similarity import rank_probe_lists
+
+        probe = rank_probe_lists(self.cents, query_vec, nprobe)
+        cand = self.assigned.filter(F.col("centroid_id").isin(probe))
+        q_df = self.spark.createDataFrame([(query_vec,)], "q_emb array<float>")
+        scored = cand.crossJoin(F.broadcast(q_df)).select(
+            F.col("vec_id"),
+            F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),
         )
+        top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
+        w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))  # over k rows only
+        return top.withColumn("rnk", F.row_number().over(w))
 
 
 def ivf_topk_stored(

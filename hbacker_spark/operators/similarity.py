@@ -537,6 +537,23 @@ def ivf_topk(
     )
 
 
+def rank_probe_lists(cents: np.ndarray, query_vec: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` nearest centroid ids for a query — exact integer
+    L2 over the quantized query, dist·n+j min-key (centroid-id
+    tiebreak, = the SQL mirror's ORDER BY key LIMIT nprobe). Driver-side
+    numpy over the tiny centroid matrix; shared by the in-memory and
+    stored serving forms so their probe sets are identical by
+    construction."""
+    n_centroids = cents.shape[0]
+    q_q = _quantize(np.asarray(query_vec, dtype="float64")[None, :])
+    d = (
+        (q_q * q_q).sum(axis=1, keepdims=True)
+        - 2 * (q_q @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )[0]
+    return np.argsort(d * n_centroids + np.arange(n_centroids))[:nprobe].tolist()
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     df: DataFrame,
@@ -565,18 +582,9 @@ def ivf_topk_indexed(
 
     from hbacker_spark.functions.similarity import cosine
 
-    n_centroids = cents.shape[0]
     if nprobe is None:
-        nprobe = recommended_nprobe(n_centroids)
-    q_q = _quantize(np.asarray(query_vec, dtype="float64")[None, :])
-    d = (
-        (q_q * q_q).sum(axis=1, keepdims=True)
-        - 2 * (q_q @ cents.T)
-        + (cents * cents).sum(axis=1)[None, :]
-    )[0]
-    # dist·n+j key: nprobe smallest distances, centroid-id tiebreak —
-    # identical to the SQL mirror's ORDER BY key LIMIT nprobe
-    probe = np.argsort(d * n_centroids + np.arange(n_centroids))[:nprobe].tolist()
+        nprobe = recommended_nprobe(cents.shape[0])
+    probe = rank_probe_lists(cents, query_vec, nprobe)
 
     candidate_ids = assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")
     candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")

@@ -345,6 +345,41 @@ def test_compact_index_drops_replay_duplicates(spark, embeddings, tmp_path):
     )
 
 
+def test_ivf_index_only_serving_with_stored_vectors(spark, embeddings, qvec, tmp_path):
+    """store_vectors=True (the FAISS IndexIVFFlat shape): list rows
+    carry their vectors, so topk(df=None) answers from the probed list
+    directories alone — identical results to corpus-joined serving, and
+    the plan provably never touches the corpus parquet. Appends keep
+    the index vector-carrying; a vector-less index refuses index-only
+    serving loudly."""
+    from hbacker_spark.operators.ann_index import StoredIvfIndex, append_ivf_index
+
+    half = embeddings.filter(F.col("vec_id") % 2 == 0)
+    rest = embeddings.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_vecs")
+    geo = build_ivf_index(
+        half, path, dim=len(qvec), n_centroids=8, train_iters=2, store_vectors=True
+    )
+    assert geo["has_vectors"] is True
+    append_ivf_index(rest, path)  # must stay vector-carrying
+
+    idx = StoredIvfIndex(spark, path)
+    index_only = idx.topk(None, qvec, k=10, nprobe=3)
+    joined = idx.topk(embeddings, qvec, k=10, nprobe=3)
+    assert _rows(index_only) == _rows(joined)
+
+    # zero corpus access: every input file of the index-only plan lives
+    # under the index; the corpus parquet appears nowhere
+    files = index_only.inputFiles()
+    assert files and all("/ivf_vecs/" in f for f in files), files
+    assert not any("embeddings.parquet" in f for f in files), files
+
+    plain = str(tmp_path / "ivf_novecs")
+    build_ivf_index(half, plain, dim=len(qvec), n_centroids=8, train_iters=0)
+    with pytest.raises(IndexGeometryError, match="store_vectors"):
+        StoredIvfIndex(spark, plain).topk(None, qvec)
+
+
 def test_build_auto_geometry_defaults(spark, embeddings, tmp_path):
     """Production default: builders auto-size from the corpus (the same
     recommended_* rules the per-call forms apply), and the stored
