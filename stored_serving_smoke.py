@@ -92,8 +92,10 @@ def main():
     _, lsh_build_s = _timed(lambda: build_lsh_index(e, lsh_path))
     geo = read_geometry(spark, lsh_path)
     mp = recommended_multiprobe(geo["n_planes"])
+    # store_vectors=True: the joined forms ignore the extra column; the
+    # index_only form is the FAISS-shape serving leg measured below
     _, ivf_build_s = _timed(
-        lambda: build_ivf_index(e, ivf_path, dim=64)
+        lambda: build_ivf_index(e, ivf_path, dim=64, store_vectors=True)
     )
     ivf_geo = read_geometry(spark, ivf_path)
 
@@ -125,7 +127,7 @@ def main():
     )
 
     lsh = {"per_call": [], "in_memory": [], "stored": [], "stored_reopen": [], "probed_dirs": []}
-    ivf = {"per_call": [], "in_memory": [], "stored": [], "stored_reopen": []}
+    ivf = {"per_call": [], "in_memory": [], "stored": [], "stored_reopen": [], "index_only": []}
     # per-call forms repeat the whole corpus pass (and IVF retraining)
     # per query BY DESIGN — at x100 one sample establishes the baseline
     # without paying 8 retrains for a number that can only embarrass it
@@ -181,7 +183,10 @@ def main():
         ivf["stored"].append(s)
         r_ro, s = _timed(lambda: _rows(ivf_topk_stored(spark, e, ivf_path, qv, k=K)))
         ivf["stored_reopen"].append(s)
-        assert (r_pc is None or r_pc == r_im) and r_im == r_st == r_ro, (
+        # index-only: vectors ride in the probed lists, zero corpus IO
+        r_io, s = _timed(lambda: _rows(ivf_idx.topk(None, qv, k=K)))
+        ivf["index_only"].append(s)
+        assert (r_pc is None or r_pc == r_im) and r_im == r_st == r_ro == r_io, (
             f"IVF forms disagree at qid {qid}"
         )
 
@@ -206,7 +211,8 @@ def main():
             "build_s": ivf_build_s,
             "open_s": ivf_open_s,
             "median_query_s": {
-                f: med(ivf[f]) for f in ("per_call", "in_memory", "stored", "stored_reopen")
+                f: med(ivf[f])
+                for f in ("per_call", "in_memory", "stored", "stored_reopen", "index_only")
             },
             "per_call_samples": len(ivf["per_call"]),
             "probed_dirs": recommended_nprobe(ivf_geo["n_centroids"]),
