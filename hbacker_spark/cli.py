@@ -90,10 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
         "index",
         help="stored ANN index ops (operators/ann_index.py): health "
         "(geometry-drift check, zero data scans) / compact "
-        "(append-fragmentation rewrite) / geometry (print the stored row)",
+        "(append-fragmentation rewrite) / geometry (print the stored row) "
+        "/ scrub (right-to-be-forgotten: drop ids listed in a parquet)",
     )
-    idx.add_argument("action", choices=["health", "compact", "geometry"])
+    idx.add_argument("action", choices=["health", "compact", "geometry", "scrub"])
     idx.add_argument("--index-path", required=True)
+    idx.add_argument(
+        "--forget-ids", default=None,
+        help="scrub only: parquet of ids to forget (first column is the id)",
+    )
 
     db = sub.add_parser("db", help="catalog report (C9/C10; cli.rb:287-322)")
     db.add_argument("--mode", default="export", choices=["export", "import"])
@@ -187,6 +192,12 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(AI.index_health(spark, args.index_path)))
         elif args.action == "compact":
             print(json.dumps(AI.compact_index(spark, args.index_path)))
+        elif args.action == "scrub":
+            if args.forget_ids is None:
+                print(json.dumps({"error": "scrub requires --forget-ids"}))
+                return 2
+            forget = spark.read.parquet(args.forget_ids)
+            print(json.dumps(AI.scrub_index(spark, args.index_path, forget)))
         else:
             print(json.dumps(AI.read_geometry(spark, args.index_path)))
         return 0

@@ -613,6 +613,58 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     return {"kind": geo["kind"], "files_before": before, "files_after": n_files(path)}
 
 
+def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> dict:
+    """Right-to-be-forgotten for a stored ANN index — the companion to
+    maintenance.scrub_snapshot: a compliance deletion that scrubs the
+    corpus MUST also scrub the indexes built over it, or the forgotten
+    vectors keep surfacing as ANN candidates (and, for vector-carrying
+    IVF lists, the embedding itself remains readable from the index).
+
+    Broadcast left_anti against the forget list (small relative to the
+    index at any scale), rewritten through the same
+    partition-preserving tmp+rename swap as :func:`compact_index` —
+    one scan, no shuffle of the kept data beyond the partition
+    repartition, atomic cutover, bucket sort restored for LSH.
+    ``n_rows`` decrements by the distinct ids actually removed (LSH
+    stores n_tables rows per vector; IVF one). Returns
+    {kind, rows_before, rows_after, ids_removed}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    geo = read_geometry(spark, index_path)
+    if geo["kind"] == "lsh":
+        sub, sort_col, part_cols = "signatures", "bucket", ["table_idx", "shard"]
+        rows_per_vec = geo["n_tables"]
+    else:
+        sub, sort_col, part_cols = "assignments", None, ["centroid_id"]
+        rows_per_vec = 1
+    path = f"{index_path}/{sub}"
+    df = spark.read.parquet(path)
+    before = df.count()
+    keys = forget_ids.select(F.col(forget_ids.columns[0]).alias("vec_id")).distinct()
+    kept = df.join(F.broadcast(keys), "vec_id", "left_anti").repartition(*part_cols)
+    if sort_col:
+        kept = kept.sortWithinPartitions(sort_col)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    after = spark.read.parquet(path).count()
+    removed_ids = (before - after) // rows_per_vec
+    geo["n_rows"] = max(0, int(geo["n_rows"] or 0) - removed_ids)
+    _write_geometry(spark, index_path, geo)
+    return {
+        "kind": geo["kind"],
+        "rows_before": before,
+        "rows_after": after,
+        "ids_removed": removed_ids,
+    }
+
+
 def index_health(spark: SparkSession, index_path: str) -> dict:
     """Is the stored geometry still right for the corpus it now holds?
 

@@ -380,6 +380,41 @@ def test_ivf_index_only_serving_with_stored_vectors(spark, embeddings, qvec, tmp
         StoredIvfIndex(spark, plain).topk(None, qvec)
 
 
+def test_scrub_index_forgets_ids_from_both_kinds(spark, embeddings, qvec, tmp_path):
+    """Compliance deletion must reach the indexes, not just the corpus:
+    after scrub_index the forgotten ids never appear as candidates (or
+    as stored vectors in vector-carrying lists), layout and geometry
+    survive, and n_rows decrements by the ids actually removed."""
+    from hbacker_spark.operators.ann_index import read_geometry, scrub_index
+
+    forget = embeddings.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    n_forget = forget.count()
+
+    lsh_path = str(tmp_path / "lsh_scrub")
+    build_lsh_index(embeddings, lsh_path, n_planes=DEFAULT_PLANES, n_shards=4)
+    stats = scrub_index(spark, lsh_path, forget)
+    assert stats["ids_removed"] == n_forget
+    sigs = spark.read.parquet(f"{lsh_path}/signatures")
+    assert sigs.join(forget, "vec_id", "left_semi").count() == 0
+    assert read_geometry(spark, lsh_path)["n_rows"] == embeddings.count() - n_forget
+    # serving still works and can never return a scrubbed id
+    got = {r["vec_id"] for r in
+           ann_topk_stored(spark, embeddings, lsh_path, qvec, k=10, multiprobe=4).collect()}
+    assert not {g for g in got if g % 10 == 3}
+
+    ivf_path = str(tmp_path / "ivf_scrub")
+    build_ivf_index(
+        embeddings, ivf_path, dim=len(qvec), n_centroids=8, train_iters=0,
+        store_vectors=True,
+    )
+    stats = scrub_index(spark, ivf_path, forget)
+    assert stats["kind"] == "ivf" and stats["ids_removed"] == n_forget
+    assigned = spark.read.parquet(f"{ivf_path}/assignments")
+    assert assigned.join(forget, "vec_id", "left_semi").count() == 0
+    # vector-carrying lists: the embedding itself is gone from storage
+    assert "embedding" in assigned.columns
+
+
 def test_build_auto_geometry_defaults(spark, embeddings, tmp_path):
     """Production default: builders auto-size from the corpus (the same
     recommended_* rules the per-call forms apply), and the stored

@@ -197,6 +197,16 @@ def test_cli_index_ops(spark, tmp_path):
     c = json.loads(run_cli("index", "compact", "--index-path", path).stdout.splitlines()[-1])
     assert c["kind"] == "lsh" and c["files_after"] <= c["files_before"]
 
+    forget = str(tmp_path / "forget_ids")
+    e.filter(F.col("vec_id") < 20).select("vec_id").write.parquet(forget)
+    s = json.loads(
+        run_cli("index", "scrub", "--index-path", path, "--forget-ids", forget)
+        .stdout.splitlines()[-1]
+    )
+    assert s["ids_removed"] == 20 and s["rows_after"] < s["rows_before"]
+    bad = run_cli("index", "scrub", "--index-path", path, check=False)
+    assert bad.returncode == 2
+
 
 def test_csv_safe_stringifies_unwritable_columns(spark, tmp_path):
     """`run --format csv` must work for queries with container/binary
