@@ -55,7 +55,6 @@ from hbacker_spark.operators.similarity import (
     QUANT,
     SEED,
     TRAIN_ITERS,
-    ivf_assign,
     ivf_topk_indexed,
     lsh_signatures,
     query_probe_buckets,
@@ -109,8 +108,22 @@ def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
         shutil.rmtree(bak)
 
 
+_GEOMETRY_DEFAULTS = {
+    "last_batch_id": None,
+    "last_stream_id": None,
+    "has_vectors": False,
+}
+
+
 def read_geometry(spark: SparkSession, index_path: str) -> dict:
     geo = spark.read.parquet(f"{index_path}/geometry").first().asDict()
+    # forward-compat: an index written before a geometry field existed
+    # reads as the field's default instead of KeyError-ing every op on
+    # older indexes each time the schema grows (fields were appended in
+    # this order: n_rows → last_batch_id/last_stream_id → has_vectors)
+    for k, v in _GEOMETRY_DEFAULTS.items():
+        geo.setdefault(k, v)
+    geo.setdefault("n_rows", None)
     if geo["quant"] != QUANT:
         raise IndexGeometryError(
             f"index at {index_path} was built at fixed-point scale "
