@@ -415,6 +415,58 @@ def test_scrub_index_forgets_ids_from_both_kinds(spark, embeddings, qvec, tmp_pa
     assert "embedding" in assigned.columns
 
 
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    # hypothesis needs the session as a plain value (same bridge as
+    # test_merge_properties.py)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def small_embeddings(embeddings):
+    return embeddings.limit(60).cache()
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 2), min_size=60, max_size=60))
+def test_append_chain_equals_rebuild_property(spark_global, small_embeddings, assignment):
+    """PROPERTY: for ANY ordered partition of the corpus into batches
+    (build on the first, append the rest — empty appends included), the
+    stored signature set equals a full rebuild's. The storage-layer
+    analog of the state algebras' fold==recompute invariant, searched
+    over random splits instead of the two fixed ones."""
+    from hypothesis import assume
+
+    from hbacker_spark.operators.ann_index import append_lsh_index
+
+    spark = spark_global
+    e = small_embeddings
+    ids = [r["vec_id"] for r in e.select("vec_id").orderBy("vec_id").collect()]
+    batches = {b: [i for i, a in zip(ids, assignment) if a == b] for b in (0, 1, 2)}
+    assume(batches[0])  # an index cannot bootstrap from an empty build
+
+    root = tempfile.mkdtemp(prefix="ann_prop_")
+    inc = f"{root}/inc"
+    build_lsh_index(
+        e.filter(F.col("vec_id").isin(batches[0])), inc,
+        n_planes=DEFAULT_PLANES, n_shards=4,
+    )
+    for b in (1, 2):
+        append_lsh_index(e.filter(F.col("vec_id").isin(batches[b] or [-1])), inc)
+
+    full = f"{root}/full"
+    build_lsh_index(e, full, n_planes=DEFAULT_PLANES, n_shards=4)
+    got = sorted(map(tuple, spark.read.parquet(f"{inc}/signatures").collect()))
+    want = sorted(map(tuple, spark.read.parquet(f"{full}/signatures").collect()))
+    assert got == want
+
+
 def test_build_auto_geometry_defaults(spark, embeddings, tmp_path):
     """Production default: builders auto-size from the corpus (the same
     recommended_* rules the per-call forms apply), and the stored
