@@ -688,13 +688,33 @@ def index_health(spark: SparkSession, index_path: str) -> dict:
     measured x100 failure mode (X100_RECEIPT.json: pinned planes at
     100x capacity → 44.5GB spill; pinned 16 centroids → recall
     0.637→0.562). Returns the stored vs recommended geometry and
-    ``reindex_recommended`` — cheap (reads one geometry row, zero data
-    scans), so run it per ingest batch. Until a rebuild lands, the
-    query-time mitigations need no reindex: ``multiprobe``/``bits``
-    for LSH, ``nprobe`` for IVF."""
+    ``reindex_recommended`` — cheap (reads one geometry row and lists
+    the partition dirs, zero data scans), so run it per ingest batch.
+    Until a rebuild lands, the query-time mitigations need no reindex:
+    ``multiprobe``/``bits`` for LSH, ``nprobe`` for IVF.
+
+    Also accounts append fragmentation (files vs partition dirs — each
+    append adds one file per touched dir) and recommends
+    :func:`compact_index` past ~4 files/dir, so the compact cadence is
+    data-driven instead of guessed. Listing uses the driver-local
+    filesystem, like the maintenance swaps themselves (the catalog's
+    rename-atomicity assumption)."""
+    import os
+
     geo = read_geometry(spark, index_path)
     n = int(geo["n_rows"] or 0)
     out = {"kind": geo["kind"], "n_rows": n}
+    sub = "signatures" if geo["kind"] == "lsh" else "assignments"
+    n_dirs = n_files = 0
+    for root, dirs, files in os.walk(f"{index_path}/{sub}"):
+        if not dirs:  # leaf partition directory
+            n_dirs += 1
+            n_files += sum(1 for f in files if f.endswith(".parquet"))
+    out |= {
+        "partition_dirs": n_dirs,
+        "data_files": n_files,
+        "compact_recommended": n_dirs > 0 and n_files > 4 * n_dirs,
+    }
     if geo["kind"] == "lsh":
         rec = recommended_planes(n)
         out |= {

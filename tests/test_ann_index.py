@@ -184,6 +184,12 @@ def test_lsh_append_equals_rebuild(spark, embeddings, qvec, tmp_path):
     # simulated 100x n_rows flips reindex_recommended
     h = index_health(spark, inc_path)
     assert h["kind"] == "lsh" and h["stored_planes"] == DEFAULT_PLANES
+    # fragmentation accounting: the 1-append chain has >= dirs files,
+    # and a clean build compacts to exactly one file per dir
+    assert h["data_files"] >= h["partition_dirs"] > 0
+    h_full = index_health(spark, full_path)
+    assert h_full["data_files"] == h_full["partition_dirs"]
+    assert h_full["compact_recommended"] is False
     from hbacker_spark.operators.ann_index import _write_geometry, read_geometry
 
     big = read_geometry(spark, inc_path) | {"n_rows": 2_000_000}
