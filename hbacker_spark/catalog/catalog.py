@@ -14,17 +14,27 @@ Design choices vs the reference:
   (db.rb.old:325) — NULL means "still running".
 - C2's in-place UPDATE becomes a read-modify-overwrite with an atomic
   directory swap (single-writer, like the reference's single master;
-  export.rb:96) — ENFORCED by an O_EXCL lockfile fence spanning the
-  read and the swap: a racing second writer raises
-  CatalogContentionError instead of silently losing an update. Plain
-  appends take the same fence (bounded wait) so a row insert can't
-  vanish under a concurrent swap (ADVICE r8). The reference's 10x3s
-  retry loop (mysql.rb:250-256) survives as the OPT-IN bounded wait
+  export.rb:96) — ENFORCED by a lockfile fence spanning the read and
+  the swap: a racing second writer raises CatalogContentionError
+  instead of silently losing an update. Plain appends take the same
+  fence (bounded wait) so a row insert can't vanish under a concurrent
+  swap (ADVICE r8). The reference's 10x3s retry loop
+  (mysql.rb:250-256) survives as the OPT-IN bounded wait
   (``end_info(wait=True)``, FENCE_WAIT_S) for fleet deployments;
   read-after-write consistency itself needs no retry — Parquet reads
   from one driver are consistent.
 - All queries (C5-C10) are DataFrame plans: filters push down, the C5
   session join broadcasts the (tiny) sessions side.
+- ALL filesystem mutation goes through the Hadoop FileSystem API
+  (VERDICT r9 #1), never ``os``/``shutil``: the reference's catalog
+  was network-reachable from every worker by design (MySQL,
+  mysql.rb:107-139), so ours must accept an ``hdfs://``/``s3a://``/
+  ``viewfs://`` root, not just the driver host's POSIX disk. The
+  fence is ``FileSystem.createNewFile`` — atomic on local and HDFS.
+  S3A CAVEAT: object stores have no atomic create-if-absent, so on
+  ``s3a://`` the fence is advisory and the deployment must enforce a
+  single catalog writer externally (the same contract the reference's
+  single master process provided).
 
 At scale the catalog is millions of rows at most (one per table per
 session) — broadcastable by construction; payload data never flows
@@ -33,9 +43,6 @@ through it.
 
 from __future__ import annotations
 
-import os
-import shutil
-import time
 import uuid
 from contextlib import contextmanager
 from datetime import datetime, timezone
@@ -43,6 +50,8 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from hbacker_spark.sources import storage
 
 
 class CatalogContentionError(RuntimeError):
@@ -163,12 +172,12 @@ class Catalog:
         self.root = root
 
     def _path(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return storage.join_path(self.root, table)
 
     def read(self, table: str) -> DataFrame:
         schema = _TABLES[table]
         path = self._path(table)
-        if not os.path.exists(path):
+        if not storage.exists(self.spark, path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
@@ -192,68 +201,51 @@ class Catalog:
     @contextmanager
     def _swap_fence(self, table: str, wait_s: float = 0.0):
         """Single-writer fence for catalog mutations (VERDICT r7 #5):
-        an O_EXCL lockfile beside the table dir. The swap itself was
-        already rename-atomic, but two concurrent updaters could both
-        read the OLD state and rename-over-rename — the loser's update
-        silently vanishes; likewise an _append racing a swap vanishes
-        under the overwrite (ADVICE r8). The fence makes the contract
-        loud: with ``wait_s=0`` a second writer raises
-        CatalogContentionError immediately (contention between two
-        read-modify-swap drivers is a deployment bug to surface); with
-        ``wait_s>0`` it sleep-polls (FENCE_POLL_S, never busy-waits) up
-        to the bound — the reference's own remedy, a <=10x3s retry loop
+        a lockfile beside the table dir, claimed via the atomic
+        ``FileSystem.createNewFile`` (VERDICT r9 #1 — works on any
+        Hadoop scheme; O_EXCL would pin the catalog to the driver's
+        POSIX disk). The swap itself was already rename-atomic, but two
+        concurrent updaters could both read the OLD state and
+        rename-over-rename — the loser's update silently vanishes;
+        likewise an _append racing a swap vanishes under the overwrite
+        (ADVICE r8). The fence makes the contract loud: with
+        ``wait_s=0`` a second writer raises CatalogContentionError
+        immediately (contention between two read-modify-swap drivers is
+        a deployment bug to surface); with ``wait_s>0`` it sleep-polls
+        (FENCE_POLL_S, never busy-waits) up to the bound — the
+        reference's own remedy, a <=10x3s retry loop
         (mysql.rb:250-256) — then raises. The lockfile carries
         pid+timestamp so a crashed holder is diagnosable (and removable
-        by an operator).
+        by an operator). S3A roots: no atomic create-if-absent exists,
+        so there the fence is advisory (module docstring caveat).
         """
-        lock = f"{self._path(table)}.lock"
-        os.makedirs(self.root, exist_ok=True)
-        deadline = time.monotonic() + max(0.0, wait_s)
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if time.monotonic() < deadline:
-                    time.sleep(FENCE_POLL_S)
-                    continue
-                try:
-                    with open(lock) as fh:
-                        holder = fh.read().strip()
-                except OSError:
-                    holder = "<unreadable>"
-                raise CatalogContentionError(
-                    f"concurrent catalog update on {table!r}: lock {lock} is "
-                    f"held by {holder}. The catalog is single-writer by "
-                    f"contract; retry with wait=True (bounded "
-                    f"{FENCE_WAIT_S:.0f}s backoff) or, if the holder "
-                    f"crashed, remove the lockfile."
-                )
-        try:
-            os.write(fd, f"pid={os.getpid()} at={_now().isoformat()}".encode())
-            os.close(fd)
+        with storage.path_fence(
+            self.spark,
+            f"{self._path(table)}.lock",
+            wait_s=wait_s,
+            poll_s=FENCE_POLL_S,
+            error=CatalogContentionError,
+            what=f"catalog table {table!r}",
+        ):
             yield
-        finally:
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
         """Atomic-ish rewrite: write a fresh dir, then swap (C2's UPDATE
-        without Delta; temp-write + rename, never in-place). Callers
-        doing read-modify-write must hold :meth:`_swap_fence` across the
+        without Delta; temp-write + rename, never in-place — via the
+        Hadoop FileSystem API so any scheme works). Callers doing
+        read-modify-write must hold :meth:`_swap_fence` across the
         READ as well — the swap alone being atomic does not stop two
         writers from both basing their rewrite on the same old state."""
         path = self._path(table)
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(path):
-            os.rename(path, bak)
-        os.rename(tmp, path)
-        if os.path.exists(bak):
-            shutil.rmtree(bak)
+        had_old = storage.exists(self.spark, path)
+        if had_old:
+            storage.rename(self.spark, path, bak)
+        storage.rename(self.spark, tmp, path)
+        if had_old:
+            storage.delete_path(self.spark, bak)
 
     # ---- C1: session start -------------------------------------------------
     def start_info(

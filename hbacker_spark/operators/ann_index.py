@@ -638,8 +638,12 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     partition-preserving tmp+rename swap as :func:`compact_index` —
     one scan, no shuffle of the kept data beyond the partition
     repartition, atomic cutover, bucket sort restored for LSH.
-    ``n_rows`` decrements by the distinct ids actually removed (LSH
-    stores n_tables rows per vector; IVF one). Returns
+    ``n_rows`` decrements by the DISTINCT ids actually removed —
+    counted directly (semi-join + countDistinct), never derived from
+    raw row deltas (ADVICE r9): the replay crash window can leave
+    duplicate rows for a forgotten id, and a row-delta division by
+    rows_per_vec would overcount, over-decrementing geometry n_rows
+    and skewing index_health's reindex recommendation. Returns
     {kind, rows_before, rows_after, ids_removed}.
     """
     import os
@@ -649,14 +653,17 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     geo = read_geometry(spark, index_path)
     if geo["kind"] == "lsh":
         sub, sort_col, part_cols = "signatures", "bucket", ["table_idx", "shard"]
-        rows_per_vec = geo["n_tables"]
     else:
         sub, sort_col, part_cols = "assignments", None, ["centroid_id"]
-        rows_per_vec = 1
     path = f"{index_path}/{sub}"
     df = spark.read.parquet(path)
     before = df.count()
     keys = forget_ids.select(F.col(forget_ids.columns[0]).alias("vec_id")).distinct()
+    removed_ids = int(
+        df.join(F.broadcast(keys), "vec_id", "left_semi")
+        .agg(F.countDistinct("vec_id"))
+        .first()[0]
+    )
     kept = df.join(F.broadcast(keys), "vec_id", "left_anti").repartition(*part_cols)
     if sort_col:
         kept = kept.sortWithinPartitions(sort_col)
@@ -667,7 +674,6 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     os.rename(tmp, path)
     shutil.rmtree(bak)
     after = spark.read.parquet(path).count()
-    removed_ids = (before - after) // rows_per_vec
     geo["n_rows"] = max(0, int(geo["n_rows"] or 0) - removed_ids)
     _write_geometry(spark, index_path, geo)
     return {

