@@ -107,6 +107,40 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibrate(spark) -> float:
+    """Fixed synthetic kernel timed in the SAME session (VERDICT r9 #4):
+    a 2x10^8-row codegen agg whose plan never changes across rounds, so
+    the ratio of two rounds' calibration_sec measures the MACHINE (load
+    contention, CPU steal), not the code. Cross-round query ratios can
+    then be load-normalized: ratio_normalized = ratio_measured /
+    (calib_now / calib_then). Min of 3 — same discipline as queries."""
+    df = spark.range(200_000_000).selectExpr(
+        "sum(id * (id % 7)) as s", "count(if(id % 13 = 0, 1, null)) as c"
+    )
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_noop(df)
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
+def provenance() -> dict:
+    """Who/where/under-what-load this pass ran (VERDICT r9 #4): two
+    rounds of judge time went to one BENCH_FULL.json holding both the
+    builder's idle pass and the driver's loaded pass with no way to
+    tell them apart. ``runner`` comes from SPARK_GRAFT_BENCH_RUNNER
+    (the builder sets it; an unset var = an external/driver pass);
+    ``load_avg_start`` is the 1-minute load average when the pass
+    began — a concurrent-load hint readable after the fact."""
+    out = {"runner": os.environ.get("SPARK_GRAFT_BENCH_RUNNER", "unspecified")}
+    try:
+        out["load_avg_start"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        out["load_avg_start"] = None
+    return out
+
+
 def main() -> None:
     # One JVM hosts all ~73 query executions in local mode; the 8g
     # default heap GC-thrashes late in the run (iterative queries
@@ -124,6 +158,8 @@ def main() -> None:
     # worker pool once; not timed.
     run_noop(specs[WARMUP_QUERY].fn(spark, sf_dir))
     warm_python_workers(spark)
+    prov = provenance()
+    prov["calibration_sec"] = calibrate(spark)
 
     # min of REPS runs per query: single-JVM GC/JIT noise swings a
     # query 2-4x between otherwise identical passes (measured 70s vs
@@ -174,6 +210,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "reps": reps,
+        **prov,
         # Bench honesty (VERDICT r3 #8): alternating identical
         # mini-benches on this VM show ±25% run-to-run variance even
         # with min-of-reps; treat cross-round deltas under ~1.3x as
@@ -202,6 +239,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
+        **prov,
     }
     print(json.dumps(line))
 

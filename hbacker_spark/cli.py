@@ -11,7 +11,7 @@ user API; every name here is driver-verified against a DuckDB oracle):
     python -m hbacker_spark queries [--tag dedup]
     python -m hbacker_spark run --name dedup_exact_groups --sf-dir DIR [--out P --format parquet]
     python -m hbacker_spark explain --name q6_forecast_revenue --sf-dir DIR
-    python -m hbacker_spark index health|compact|geometry --index-path DIR
+    python -m hbacker_spark index health|compact|geometry|scrub|rebuild --index-path DIR
 
 Differences from the reference, on purpose: no beanstalkd/worker/Stargate
 wiring (cli.rb:329-389's setup of queue + REST + MySQL collapses into one
@@ -91,14 +91,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="stored ANN index ops (operators/ann_index.py): health "
         "(geometry-drift check, zero data scans) / compact "
         "(append-fragmentation rewrite) / geometry (print the stored row) "
-        "/ scrub (right-to-be-forgotten: drop ids listed in a parquet)",
+        "/ scrub (right-to-be-forgotten: drop ids listed in a parquet) "
+        "/ rebuild (geometry-drift remediation: auto-resize + atomic swap)",
     )
-    idx.add_argument("action", choices=["health", "compact", "geometry", "scrub"])
+    idx.add_argument("action", choices=["health", "compact", "geometry", "scrub", "rebuild"])
     idx.add_argument("--index-path", required=True)
     idx.add_argument(
         "--forget-ids", default=None,
         help="scrub only: parquet of ids to forget (first column is the id)",
     )
+    idx.add_argument(
+        "--corpus", default=None,
+        help="rebuild only: parquet of the corpus vectors (required for LSH; "
+        "optional for store_vectors=True IVF indexes, which rebuild from "
+        "their own lists)",
+    )
+    idx.add_argument("--id-col", default="vec_id")
+    idx.add_argument("--vec-col", default="embedding")
 
     db = sub.add_parser("db", help="catalog report (C9/C10; cli.rb:287-322)")
     db.add_argument("--mode", default="export", choices=["export", "import"])
@@ -198,6 +207,12 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             forget = spark.read.parquet(args.forget_ids)
             print(json.dumps(AI.scrub_index(spark, args.index_path, forget)))
+        elif args.action == "rebuild":
+            corpus = spark.read.parquet(args.corpus) if args.corpus else None
+            print(json.dumps(AI.rebuild_index(
+                spark, args.index_path, corpus,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )))
         else:
             print(json.dumps(AI.read_geometry(spark, args.index_path)))
         return 0

@@ -9,8 +9,13 @@ structure, and served by readers whose per-query IO is provably a few
 partitions, not the index.
 
 Layouts (both under one ``index_path`` root, all Spark-native parquet —
-works on any scheme the session's Hadoop conf can reach, same contract
-as the incremental state dirs):
+works on any scheme the session's Hadoop conf can reach: data writes go
+through Spark and ALL maintenance filesystem ops (geometry swap,
+compaction, scrub, health listing) go through the Hadoop FileSystem
+API, never ``os``/``shutil`` (ADVICE r9). The mutation fence is
+``FileSystem.createNewFile`` — atomic on local/HDFS; S3A has no atomic
+create-if-absent, so there the fence is advisory and deployments must
+serialize index writers externally, the same caveat as the catalog):
 
 - LSH:  ``signatures/`` partitioned by ``(table_idx, shard)`` where
   ``shard = bucket % n_shards`` — a probe touches at most
@@ -46,10 +51,13 @@ table data (lib/hbacker/hbacker.rb export/import pairing).
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hbacker_spark.sources import storage
 from hbacker_spark.operators.similarity import (
     DEFAULT_TABLES,
     QUANT,
@@ -65,10 +73,16 @@ from hbacker_spark.operators.similarity import (
 
 DEFAULT_SHARDS = 64
 
+# Bounded wait for the per-index mutation fence: ingest appends racing a
+# compact/scrub/rebuild sleep-poll up to this long, then raise loudly —
+# never silently lose rows under a concurrent directory swap.
+INDEX_FENCE_WAIT_S = 30.0
+
 _GEOMETRY_SCHEMA = (
     "kind string, n_planes int, n_tables int, n_centroids int, dim int, "
     "seed int, quant long, n_shards int, train_iters int, n_rows long, "
-    "last_batch_id long, last_stream_id string, has_vectors boolean"
+    "last_batch_id long, last_stream_id string, has_vectors boolean, "
+    "version long"
 )
 
 
@@ -78,21 +92,47 @@ class IndexGeometryError(ValueError):
     probing would silently return wrong buckets, so refuse loudly."""
 
 
+class IndexContentionError(RuntimeError):
+    """Two index mutators (append/compact/scrub/rebuild) raced past the
+    bounded fence wait. Index mutation is single-writer by contract;
+    quiesce the other writer (or wait out the maintenance op) and
+    retry — the loser raises instead of silently losing rows under a
+    concurrent directory swap."""
+
+
+def _mutation_fence(spark: SparkSession, index_path: str, wait_s: float | None = None):
+    """Per-index single-writer fence (VERDICT r9 #6) — a lockfile
+    BESIDE the index root (so a rebuild can swap the root itself while
+    holding it), claimed via the atomic ``FileSystem.createNewFile``.
+    Taken by every mutating op: appends (incl. streaming ingest's
+    foreachBatch), compact, scrub, rebuild. Readers and open handles
+    never take it — see the handle classes for the read contract.
+    ``wait_s`` resolves at call time so tests (and operators) can
+    tighten the bound via the module constant."""
+    return storage.path_fence(
+        spark,
+        f"{index_path}.lock",
+        wait_s=INDEX_FENCE_WAIT_S if wait_s is None else wait_s,
+        error=IndexContentionError,
+        what=f"ANN index {index_path}",
+    )
+
+
 def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
     """Swap-write the geometry row: Spark's overwrite mode deletes the
     directory before writing, so a serving handle opening mid-append
     would hit a half-missing geometry. Same tmp-write + rename pattern
-    as the catalog's _overwrite (catalog.py) — the rename is atomic on
-    the filesystems the catalog already assumes."""
-    import os
-    import shutil
-    import uuid
-
+    as the catalog's _overwrite, through the Hadoop FileSystem API so
+    any scheme works (ADVICE r9). The swap is two renames with a
+    sub-millisecond gap where ``geometry`` does not exist — a reader
+    racing an (already fence-serialized) mutation can get a loud
+    FileNotFound, never a silent wrong read; handles cache geometry at
+    open and are immune."""
     base = {
         "kind": None, "n_planes": None, "n_tables": None, "n_centroids": None,
         "dim": None, "seed": None, "quant": QUANT, "n_shards": None,
         "train_iters": None, "n_rows": None, "last_batch_id": None,
-        "last_stream_id": None, "has_vectors": False,
+        "last_stream_id": None, "has_vectors": False, "version": 0,
     }
     base.update(row)
     path = f"{index_path}/geometry"
@@ -101,17 +141,19 @@ def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
         1
     ).write.mode("overwrite").parquet(tmp)
     bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, bak)
-    os.rename(tmp, path)
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
+    had_old = storage.exists(spark, path)
+    if had_old:
+        storage.rename(spark, path, bak)
+    storage.rename(spark, tmp, path)
+    if had_old:
+        storage.delete_path(spark, bak)
 
 
 _GEOMETRY_DEFAULTS = {
     "last_batch_id": None,
     "last_stream_id": None,
     "has_vectors": False,
+    "version": 0,
 }
 
 
@@ -158,32 +200,51 @@ def build_lsh_index(
     small-files problem at scale), and ``sortWithinPartitions(bucket)``
     gives the files monotone bucket row groups so the residual bucket
     predicate prunes inside each shard. Returns the geometry dict (also
-    persisted under ``geometry/``).
+    persisted under ``geometry/``). Runs under the per-index mutation
+    fence; building OVER an existing index bumps its geometry
+    ``version`` so handles opened on the old data fail loudly.
     """
-    n_rows = df.count()
-    if n_planes is None:
-        n_planes = recommended_planes(n_rows)
-    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed).withColumn(
-        "shard", F.pmod(F.col("bucket"), F.lit(int(n_shards))).cast("int")
-    )
-    (
-        sigs.repartition("table_idx", "shard")
-        .sortWithinPartitions("bucket")
-        .write.mode("overwrite")
-        .partitionBy("table_idx", "shard")
-        .parquet(f"{index_path}/signatures")
-    )
-    geo = {
-        "kind": "lsh",
-        "n_planes": int(n_planes),
-        "n_tables": int(n_tables),
-        "seed": int(seed),
-        "n_shards": int(n_shards),
-        "n_rows": int(n_rows),
-    }
-    _write_geometry(df.sparkSession, index_path, geo)
+    spark = df.sparkSession
+    with _mutation_fence(spark, index_path):
+        version = _next_version(spark, index_path)
+        n_rows = df.count()
+        if n_planes is None:
+            n_planes = recommended_planes(n_rows)
+        sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed).withColumn(
+            "shard", F.pmod(F.col("bucket"), F.lit(int(n_shards))).cast("int")
+        )
+        (
+            sigs.repartition("table_idx", "shard")
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .partitionBy("table_idx", "shard")
+            .parquet(f"{index_path}/signatures")
+        )
+        geo = {
+            "kind": "lsh",
+            "n_planes": int(n_planes),
+            "n_tables": int(n_tables),
+            "seed": int(seed),
+            "n_shards": int(n_shards),
+            "n_rows": int(n_rows),
+            "version": version,
+        }
+        _write_geometry(spark, index_path, geo)
     geo["quant"] = QUANT
     return geo
+
+
+def _next_version(spark: SparkSession, index_path: str) -> int:
+    """Next geometry version for a (re)build over ``index_path``: prior
+    version + 1 when a readable geometry exists, else 0. A data-
+    invalidating mutation (rebuild-in-place, compact, scrub) must bump
+    the version so :meth:`StoredLshIndex.is_current` can detect it."""
+    if storage.exists(spark, f"{index_path}/geometry"):
+        try:
+            return int(read_geometry(spark, index_path).get("version") or 0) + 1
+        except Exception:  # noqa: BLE001 — unreadable/foreign geometry
+            return 0
+    return 0
 
 
 def append_lsh_index(
@@ -206,9 +267,10 @@ def append_lsh_index(
     :func:`index_health` can tell when the corpus has outgrown the
     build-time plane count (the knob that does NOT need a reindex first
     is ``multiprobe`` — widen probes; reindex when health says so).
-    Single-writer contract like the catalog: two concurrent appends
-    both land rows (parquet append), but the geometry n_rows update is
-    last-writer-wins — serialize appenders.
+    Concurrency (VERDICT r9 #6): the whole append runs under the
+    per-index mutation fence, so concurrent appends serialize (bounded
+    wait, then IndexContentionError) and an append can never race a
+    compact/scrub/rebuild directory swap and lose rows.
 
     ``batch_id`` makes the append idempotent for streaming ingest
     (foreachBatch is at-least-once): a replayed batch whose id is at or
@@ -225,32 +287,34 @@ def append_lsh_index(
     path reduces candidates to a set); :func:`compact_index` drops
     exact duplicates, so the window is also space-repairable.
     """
-    geo = read_geometry(df_new.sparkSession, index_path)
-    if geo["kind"] != "lsh":
-        raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not lsh")
-    if (
-        batch_id is not None
-        and geo["last_batch_id"] is not None
-        and geo["last_stream_id"] == stream_id
-        and batch_id <= geo["last_batch_id"]
-    ):
-        return geo  # replayed micro-batch of THIS stream: already folded
-    n_new = df_new.count()
-    sigs = lsh_signatures(
-        df_new, id_col, vec_col, geo["n_planes"], geo["n_tables"], geo["seed"]
-    ).withColumn("shard", F.pmod(F.col("bucket"), F.lit(geo["n_shards"])).cast("int"))
-    (
-        sigs.repartition("table_idx", "shard")
-        .sortWithinPartitions("bucket")
-        .write.mode("append")
-        .partitionBy("table_idx", "shard")
-        .parquet(f"{index_path}/signatures")
-    )
-    geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
-    if batch_id is not None:
-        geo["last_batch_id"] = int(batch_id)
-        geo["last_stream_id"] = stream_id
-    _write_geometry(df_new.sparkSession, index_path, geo)
+    spark = df_new.sparkSession
+    with _mutation_fence(spark, index_path):
+        geo = read_geometry(spark, index_path)
+        if geo["kind"] != "lsh":
+            raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not lsh")
+        if (
+            batch_id is not None
+            and geo["last_batch_id"] is not None
+            and geo["last_stream_id"] == stream_id
+            and batch_id <= geo["last_batch_id"]
+        ):
+            return geo  # replayed micro-batch of THIS stream: already folded
+        n_new = df_new.count()
+        sigs = lsh_signatures(
+            df_new, id_col, vec_col, geo["n_planes"], geo["n_tables"], geo["seed"]
+        ).withColumn("shard", F.pmod(F.col("bucket"), F.lit(geo["n_shards"])).cast("int"))
+        (
+            sigs.repartition("table_idx", "shard")
+            .sortWithinPartitions("bucket")
+            .write.mode("append")
+            .partitionBy("table_idx", "shard")
+            .parquet(f"{index_path}/signatures")
+        )
+        geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
+        if batch_id is not None:
+            geo["last_batch_id"] = int(batch_id)
+            geo["last_stream_id"] = stream_id
+        _write_geometry(spark, index_path, geo)
     return geo
 
 
@@ -296,7 +360,19 @@ class StoredLshIndex:
     file index; partition pruning to the probed directories happens at
     planning, no relisting. This is the serving deployment shape: a
     query service opens the index at startup and answers from the
-    handle."""
+    handle.
+
+    Read contract (VERDICT r9 #6): a handle serves a SNAPSHOT as of
+    open. Appends after open are not visible (the cached file index
+    doesn't relist) — reopen to see them. Data-invalidating
+    maintenance (compact / scrub / rebuild) deletes the files the
+    cached index points at, so a stale handle's queries fail LOUDLY
+    (FileNotFound at scan time) — never silently wrong rows; those ops
+    bump the geometry ``version``, and :meth:`is_current` probes it
+    (one tiny geometry read) so serving loops can reopen proactively
+    instead of on first failure. Handles take no lock: maintenance
+    never waits on readers (quiesce-or-reopen is the deployment
+    contract)."""
 
     def __init__(self, spark: SparkSession, index_path: str):
         geo = read_geometry(spark, index_path)
@@ -307,7 +383,14 @@ class StoredLshIndex:
         self.spark = spark
         self.path = index_path
         self.geometry = geo
+        self.version = int(geo.get("version") or 0)
         self.sigs = spark.read.parquet(f"{index_path}/signatures")
+
+    def is_current(self) -> bool:
+        """False once a compact/scrub/rebuild has superseded the files
+        this handle serves from (geometry version advanced) — reopen.
+        One metadata-sized geometry read; no data scan."""
+        return int(read_geometry(self.spark, self.path).get("version") or 0) == self.version
 
     def topk(
         self,
@@ -405,41 +488,44 @@ def build_ivf_index(
     """
     from hbacker_spark.operators.similarity import _seed_centroids, train_ivf_centroids
 
-    n_rows = df.count()
-    if n_centroids is None:
-        n_centroids = recommended_centroids(n_rows)
-    if train_iters > 0:
-        cents = train_ivf_centroids(df, dim, n_centroids, vec_col, seed, n_iter=train_iters)
-    else:
-        cents = _seed_centroids(dim, n_centroids, seed)
-    assigned = assign_with_centroids(
-        df, cents, id_col, vec_col, include_vec=store_vectors
-    )
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(f"{index_path}/assignments")
-    )
     spark = df.sparkSession
-    cent_rows = [
-        (int(j), int(kk), int(cents[j, kk]))
-        for j in range(cents.shape[0])
-        for kk in range(cents.shape[1])
-    ]
-    spark.createDataFrame(cent_rows, "j int, k int, c long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/centroids")
-    geo = {
-        "kind": "ivf",
-        "n_centroids": int(n_centroids),
-        "dim": int(dim),
-        "seed": int(seed),
-        "train_iters": int(train_iters),
-        "n_rows": int(n_rows),
-        "has_vectors": bool(store_vectors),
-    }
-    _write_geometry(spark, index_path, geo)
+    with _mutation_fence(spark, index_path):
+        version = _next_version(spark, index_path)
+        n_rows = df.count()
+        if n_centroids is None:
+            n_centroids = recommended_centroids(n_rows)
+        if train_iters > 0:
+            cents = train_ivf_centroids(df, dim, n_centroids, vec_col, seed, n_iter=train_iters)
+        else:
+            cents = _seed_centroids(dim, n_centroids, seed)
+        assigned = assign_with_centroids(
+            df, cents, id_col, vec_col, include_vec=store_vectors
+        )
+        (
+            assigned.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{index_path}/assignments")
+        )
+        cent_rows = [
+            (int(j), int(kk), int(cents[j, kk]))
+            for j in range(cents.shape[0])
+            for kk in range(cents.shape[1])
+        ]
+        spark.createDataFrame(cent_rows, "j int, k int, c long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/centroids")
+        geo = {
+            "kind": "ivf",
+            "n_centroids": int(n_centroids),
+            "dim": int(dim),
+            "seed": int(seed),
+            "train_iters": int(train_iters),
+            "n_rows": int(n_rows),
+            "has_vectors": bool(store_vectors),
+            "version": version,
+        }
+        _write_geometry(spark, index_path, geo)
     geo["quant"] = QUANT
     return geo
 
@@ -500,35 +586,36 @@ def append_ivf_index(
     and stream-scoped ``batch_id`` replay-idempotency contract as
     :func:`append_lsh_index`."""
     spark = df_new.sparkSession
-    geo = read_geometry(spark, index_path)
-    if geo["kind"] != "ivf":
-        raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not ivf")
-    if (
-        batch_id is not None
-        and geo["last_batch_id"] is not None
-        and geo["last_stream_id"] == stream_id
-        and batch_id <= geo["last_batch_id"]
-    ):
-        return geo  # replayed micro-batch of THIS stream: already folded
-    cents = np.zeros((geo["n_centroids"], geo["dim"]), dtype=np.int64)
-    for r in spark.read.parquet(f"{index_path}/centroids").collect():
-        cents[r["j"], r["k"]] = r["c"]
-    n_new = df_new.count()
-    # a vector-carrying index stays vector-carrying across appends
-    assigned = assign_with_centroids(
-        df_new, cents, id_col, vec_col, include_vec=bool(geo["has_vectors"])
-    )
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(f"{index_path}/assignments")
-    )
-    geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
-    if batch_id is not None:
-        geo["last_batch_id"] = int(batch_id)
-        geo["last_stream_id"] = stream_id
-    _write_geometry(spark, index_path, geo)
+    with _mutation_fence(spark, index_path):
+        geo = read_geometry(spark, index_path)
+        if geo["kind"] != "ivf":
+            raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not ivf")
+        if (
+            batch_id is not None
+            and geo["last_batch_id"] is not None
+            and geo["last_stream_id"] == stream_id
+            and batch_id <= geo["last_batch_id"]
+        ):
+            return geo  # replayed micro-batch of THIS stream: already folded
+        cents = np.zeros((geo["n_centroids"], geo["dim"]), dtype=np.int64)
+        for r in spark.read.parquet(f"{index_path}/centroids").collect():
+            cents[r["j"], r["k"]] = r["c"]
+        n_new = df_new.count()
+        # a vector-carrying index stays vector-carrying across appends
+        assigned = assign_with_centroids(
+            df_new, cents, id_col, vec_col, include_vec=bool(geo["has_vectors"])
+        )
+        (
+            assigned.repartition("centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{index_path}/assignments")
+        )
+        geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
+        if batch_id is not None:
+            geo["last_batch_id"] = int(batch_id)
+            geo["last_stream_id"] = stream_id
+        _write_geometry(spark, index_path, geo)
     return geo
 
 
@@ -582,48 +669,46 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     footer reads + K row-group seeks per probed dir. This rewrites the
     index relation into one file per partition directory (re-sorted by
     bucket for LSH, so row-group pruning is restored too), swaps it in
-    atomically (tmp + rename, the catalog pattern), and returns
-    before/after file counts. Geometry and rows are unchanged —
-    results are byte-identical by construction (pinned in tests).
-    Run it when file counts per dir grow past a handful, same cadence
-    discipline as snapshot compaction."""
-    import os
-    import shutil
-    import uuid
-
-    geo = read_geometry(spark, index_path)
-    if geo["kind"] == "lsh":
-        sub, sort_col = "signatures", "bucket"
-        part_cols = ["table_idx", "shard"]
-    else:
-        sub, sort_col = "assignments", None
-        part_cols = ["centroid_id"]
-    path = f"{index_path}/{sub}"
-
-    def n_files(p: str) -> int:
-        return sum(
-            1
-            for root, _, files in os.walk(p)
-            for f in files
-            if f.endswith(".parquet")
-        )
-
-    before = n_files(path)
-    # dropDuplicates repairs the streaming replay window (a
-    # committed-append/uncommitted-geometry crash double-appends a
-    # batch): index rows are deterministic per (vector, geometry), so
-    # exact duplicates carry zero information — serving already
-    # set-reduces them; compaction reclaims the bytes.
-    df = spark.read.parquet(path).dropDuplicates().repartition(*part_cols)
-    if sort_col:
-        df = df.sortWithinPartitions(sort_col)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
-    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
-    return {"kind": geo["kind"], "files_before": before, "files_after": n_files(path)}
+    atomically (tmp + rename via the Hadoop FileSystem API — any
+    scheme, ADVICE r9), and returns before/after file counts. Geometry
+    row counts are unchanged and results are byte-identical by
+    construction (pinned in tests), but the geometry ``version`` bumps:
+    the swap deletes the files an open handle's cached file index
+    points at, so post-compact queries on a stale handle fail LOUDLY
+    (FileNotFound) instead of returning silently wrong rows — reopen
+    the handle (handles serve a snapshot as-of open; ``is_current()``
+    probes). Runs under the per-index mutation fence (VERDICT r9 #6),
+    so a racing ingest append waits it out instead of losing rows
+    under the swap. Run it when file counts per dir grow past a
+    handful, same cadence discipline as snapshot compaction."""
+    with _mutation_fence(spark, index_path):
+        geo = read_geometry(spark, index_path)
+        if geo["kind"] == "lsh":
+            sub, sort_col = "signatures", "bucket"
+            part_cols = ["table_idx", "shard"]
+        else:
+            sub, sort_col = "assignments", None
+            part_cols = ["centroid_id"]
+        path = f"{index_path}/{sub}"
+        _, before = storage.leaf_dir_stats(spark, path)
+        # dropDuplicates repairs the streaming replay window (a
+        # committed-append/uncommitted-geometry crash double-appends a
+        # batch): index rows are deterministic per (vector, geometry), so
+        # exact duplicates carry zero information — serving already
+        # set-reduces them; compaction reclaims the bytes.
+        df = spark.read.parquet(path).dropDuplicates().repartition(*part_cols)
+        if sort_col:
+            df = df.sortWithinPartitions(sort_col)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+        storage.rename(spark, path, bak)
+        storage.rename(spark, tmp, path)
+        storage.delete_path(spark, bak)
+        geo["version"] = int(geo.get("version") or 0) + 1
+        _write_geometry(spark, index_path, geo)
+        _, after = storage.leaf_dir_stats(spark, path)
+    return {"kind": geo["kind"], "files_before": before, "files_after": after}
 
 
 def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> dict:
@@ -643,39 +728,39 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     raw row deltas (ADVICE r9): the replay crash window can leave
     duplicate rows for a forgotten id, and a row-delta division by
     rows_per_vec would overcount, over-decrementing geometry n_rows
-    and skewing index_health's reindex recommendation. Returns
+    and skewing index_health's reindex recommendation. Swap + fence +
+    version-bump contract identical to :func:`compact_index` (stale
+    handles fail loudly; racing appends wait out the fence). Returns
     {kind, rows_before, rows_after, ids_removed}.
     """
-    import os
-    import shutil
-    import uuid
-
-    geo = read_geometry(spark, index_path)
-    if geo["kind"] == "lsh":
-        sub, sort_col, part_cols = "signatures", "bucket", ["table_idx", "shard"]
-    else:
-        sub, sort_col, part_cols = "assignments", None, ["centroid_id"]
-    path = f"{index_path}/{sub}"
-    df = spark.read.parquet(path)
-    before = df.count()
-    keys = forget_ids.select(F.col(forget_ids.columns[0]).alias("vec_id")).distinct()
-    removed_ids = int(
-        df.join(F.broadcast(keys), "vec_id", "left_semi")
-        .agg(F.countDistinct("vec_id"))
-        .first()[0]
-    )
-    kept = df.join(F.broadcast(keys), "vec_id", "left_anti").repartition(*part_cols)
-    if sort_col:
-        kept = kept.sortWithinPartitions(sort_col)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    kept.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
-    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
-    after = spark.read.parquet(path).count()
-    geo["n_rows"] = max(0, int(geo["n_rows"] or 0) - removed_ids)
-    _write_geometry(spark, index_path, geo)
+    with _mutation_fence(spark, index_path):
+        geo = read_geometry(spark, index_path)
+        if geo["kind"] == "lsh":
+            sub, sort_col, part_cols = "signatures", "bucket", ["table_idx", "shard"]
+        else:
+            sub, sort_col, part_cols = "assignments", None, ["centroid_id"]
+        path = f"{index_path}/{sub}"
+        df = spark.read.parquet(path)
+        before = df.count()
+        keys = forget_ids.select(F.col(forget_ids.columns[0]).alias("vec_id")).distinct()
+        removed_ids = int(
+            df.join(F.broadcast(keys), "vec_id", "left_semi")
+            .agg(F.countDistinct("vec_id"))
+            .first()[0]
+        )
+        kept = df.join(F.broadcast(keys), "vec_id", "left_anti").repartition(*part_cols)
+        if sort_col:
+            kept = kept.sortWithinPartitions(sort_col)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+        storage.rename(spark, path, bak)
+        storage.rename(spark, tmp, path)
+        storage.delete_path(spark, bak)
+        after = spark.read.parquet(path).count()
+        geo["n_rows"] = max(0, int(geo["n_rows"] or 0) - removed_ids)
+        geo["version"] = int(geo.get("version") or 0) + 1
+        _write_geometry(spark, index_path, geo)
     return {
         "kind": geo["kind"],
         "rows_before": before,
@@ -702,20 +787,16 @@ def index_health(spark: SparkSession, index_path: str) -> dict:
     Also accounts append fragmentation (files vs partition dirs — each
     append adds one file per touched dir) and recommends
     :func:`compact_index` past ~4 files/dir, so the compact cadence is
-    data-driven instead of guessed. Listing uses the driver-local
-    filesystem, like the maintenance swaps themselves (the catalog's
-    rename-atomicity assumption)."""
-    import os
-
+    data-driven instead of guessed. Listing goes through the Hadoop
+    FileSystem API (ADVICE r9) — health checks work on any scheme the
+    index lives on. When the corpus HAS outgrown the geometry,
+    :func:`rebuild_index` is the remediation (re-plane/re-centroid at
+    auto sizing, atomic swap)."""
     geo = read_geometry(spark, index_path)
     n = int(geo["n_rows"] or 0)
-    out = {"kind": geo["kind"], "n_rows": n}
+    out = {"kind": geo["kind"], "n_rows": n, "version": int(geo.get("version") or 0)}
     sub = "signatures" if geo["kind"] == "lsh" else "assignments"
-    n_dirs = n_files = 0
-    for root, dirs, files in os.walk(f"{index_path}/{sub}"):
-        if not dirs:  # leaf partition directory
-            n_dirs += 1
-            n_files += sum(1 for f in files if f.endswith(".parquet"))
+    n_dirs, n_files = storage.leaf_dir_stats(spark, f"{index_path}/{sub}")
     out |= {
         "partition_dirs": n_dirs,
         "data_files": n_files,
@@ -740,6 +821,92 @@ def index_health(spark: SparkSession, index_path: str) -> dict:
     return out
 
 
+def rebuild_index(
+    spark: SparkSession,
+    index_path: str,
+    df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Geometry-drift remediation (VERDICT r9 #3): re-plane /
+    re-centroid a stored index at AUTO sizing for the corpus it now
+    holds, built BESIDE the live index and atomically swapped in (the
+    compact_index pattern) — the production answer when
+    :func:`index_health` says ``reindex_recommended``.
+
+    Appends deliberately keep the build-time geometry (stored rows
+    were hashed/assigned under it), so a long ingest chain outgrows
+    it; until now the remediation was a manual build-new + repoint.
+    This rebuilds under the SAME kind/seed/tables/shards/train_iters
+    but auto-sized planes (LSH) or centroids (IVF), preserving the
+    streaming replay watermark (``last_batch_id``/``last_stream_id``)
+    so an ingest stream resumes against the rebuilt index without
+    re-folding replayed batches.
+
+    Corpus source: LSH indexes store no vectors, so ``df`` (the
+    corpus) is REQUIRED; an IVF index built with ``store_vectors=True``
+    rebuilds from its own lists when ``df=None`` (replay-window
+    duplicate rows are dropped by vec_id first).
+
+    Concurrency: the whole rebuild holds the per-index mutation fence
+    — a racing ingest append bounded-waits then raises
+    IndexContentionError rather than landing rows in the old directory
+    and losing them under the swap (quiesce or pause ingest for the
+    rebuild window). Open handles keep serving the OLD files until the
+    swap deletes them, after which their queries fail LOUDLY
+    (FileNotFound) — reopen to serve the rebuilt geometry; the
+    geometry ``version`` bump makes staleness probeable
+    (``handle.is_current()``).
+    """
+    with _mutation_fence(spark, index_path):
+        geo = read_geometry(spark, index_path)
+        tmp_index = f"{index_path}.rebuild-{uuid.uuid4().hex[:8]}"
+        try:
+            if geo["kind"] == "lsh":
+                if df is None:
+                    raise ValueError(
+                        "LSH rebuild needs the corpus df — signature rows "
+                        "store no vectors (an IVF index built with "
+                        "store_vectors=True can rebuild corpus-free)"
+                    )
+                new_geo = build_lsh_index(
+                    df, tmp_index, id_col, vec_col, n_planes=None,
+                    n_tables=geo["n_tables"], seed=geo["seed"],
+                    n_shards=geo["n_shards"],
+                )
+            else:
+                if df is None:
+                    if not geo["has_vectors"]:
+                        raise IndexGeometryError(
+                            f"index at {index_path} stores no vectors (built "
+                            f"with store_vectors=False) — pass the corpus df "
+                            f"to rebuild"
+                        )
+                    df = (
+                        spark.read.parquet(f"{index_path}/assignments")
+                        .select("vec_id", "embedding")
+                        .dropDuplicates(["vec_id"])
+                    )
+                    id_col, vec_col = "vec_id", "embedding"
+                new_geo = build_ivf_index(
+                    df, tmp_index, geo["dim"], id_col, vec_col,
+                    n_centroids=None, seed=geo["seed"],
+                    train_iters=geo["train_iters"],
+                    store_vectors=bool(geo["has_vectors"]),
+                )
+            new_geo["version"] = int(geo.get("version") or 0) + 1
+            new_geo["last_batch_id"] = geo.get("last_batch_id")
+            new_geo["last_stream_id"] = geo.get("last_stream_id")
+            bak = f"{index_path}.pre-rebuild-{uuid.uuid4().hex[:8]}"
+            storage.rename(spark, index_path, bak)
+            storage.rename(spark, tmp_index, index_path)
+            _write_geometry(spark, index_path, new_geo)
+            storage.delete_path(spark, bak)
+        finally:
+            storage.delete_path(spark, tmp_index)  # no-op after a clean swap
+    return new_geo
+
+
 def read_ivf_index(
     spark: SparkSession, index_path: str
 ) -> tuple[DataFrame, np.ndarray, dict]:
@@ -760,12 +927,21 @@ class StoredIvfIndex:
     geometry + centroid-matrix reads and the list-directory listing
     happen at open; every query is a driver-side probe ranking over
     the in-memory centroids plus a partition-pruned scan of the nprobe
-    probed list directories (same rationale as :class:`StoredLshIndex`)."""
+    probed list directories (same rationale — and the same
+    snapshot-as-of-open read contract, loud FileNotFound on stale
+    handles after compact/scrub/rebuild, ``is_current()`` probe — as
+    :class:`StoredLshIndex`)."""
 
     def __init__(self, spark: SparkSession, index_path: str):
         self.spark = spark
         self.path = index_path
         self.assigned, self.cents, self.geometry = read_ivf_index(spark, index_path)
+        self.version = int(self.geometry.get("version") or 0)
+
+    def is_current(self) -> bool:
+        """False once a compact/scrub/rebuild has superseded the files
+        this handle serves from (geometry version advanced) — reopen."""
+        return int(read_geometry(self.spark, self.path).get("version") or 0) == self.version
 
     def topk(
         self,

@@ -199,6 +199,66 @@ class SnapshotStore:
         except Exception:  # noqa: BLE001 — log artifacts are best-effort
             pass
 
+    # ---- Q1-Q4 analog: bounded multi-table driver pool ----------------------
+    def _run_table_jobs(
+        self,
+        table_names: list[str],
+        job,
+        max_concurrent: int = 1,
+    ) -> dict:
+        """Bounded per-table concurrency (VERDICT r9 #2) — the Spark
+        analog of the reference's 4-16 worker processes pulling one
+        table-job each off beanstalkd (README.textile:120-121,
+        bin/hbacker_worker:17-29). Each Spark job already uses the
+        whole cluster, but a small-table-heavy run (the reference's
+        real workload: thousands of HBase tables) leaves the cluster
+        idle between jobs when driven serially; a driver-side thread
+        pool of ``max_concurrent`` overlaps them. Each worker thread
+        tags its jobs with a per-table ``spark.scheduler.pool`` local
+        property (thread-scoped in Spark), so a cluster running with
+        ``spark.scheduler.mode=FAIR`` shares executors fairly across
+        the in-flight tables instead of head-of-line blocking on the
+        biggest one; under the default FIFO scheduler the property is
+        inert and jobs simply interleave. Safe by construction: the
+        catalog's fenced appends (bounded wait) serialize the metadata
+        rows, and each table writes its own snapshot directory.
+
+        ``max_concurrent<=1`` preserves the serial contract exactly:
+        fail-fast at the first table error. With a pool, every
+        submitted table runs to completion (each failure is recorded
+        on its own catalog row by the per-table job — the reference's
+        'bury' path), then the FIRST error in table order re-raises so
+        the session brackets as errored. Returns {table: job result}
+        for the tables that succeeded.
+        """
+        results: dict = {}
+        if max_concurrent <= 1:
+            for t in table_names:
+                results[t] = job(t)
+            return results
+        import concurrent.futures
+
+        sc = self.spark.sparkContext
+
+        def run(t: str):
+            sc.setLocalProperty("spark.scheduler.pool", f"hbacker_{t}")
+            try:
+                return job(t)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futures = {t: pool.submit(run, t) for t in table_names}
+        for t in table_names:
+            ex = futures[t].exception()
+            if ex is None:
+                results[t] = futures[t].result()
+        for t in table_names:
+            ex = futures[t].exception()
+            if ex is not None:
+                raise ex
+        return results
+
     # ---- S3 + C1/C2: multi-table export with session bracketing ------------
     def export_tables(
         self,
@@ -210,27 +270,35 @@ class SnapshotStore:
         versions: int = DEFAULT_VERSIONS,
         descriptors: dict[str, list[dict]] | None = None,
         resume: bool = False,
+        max_concurrent: int = 1,
     ) -> None:
         """Export#specified_tables (export.rb:68-97): C1 start_info →
         per-table export → C2 end_info, with error capture on the way out
         (import.rb:83-88 pattern). No queue/watermark layers — Spark's
         scheduler provides the backpressure the reference polled
-        beanstalkd/`hadoop job -list` for (Q6/Q7).
+        beanstalkd/`hadoop job -list` for (Q6/Q7). ``max_concurrent``
+        overlaps up to that many table exports (the reference's 4-16
+        workers; see :meth:`_run_table_jobs` for the concurrency and
+        error contract); the default stays serial.
         """
         end_time = _now_ms() if end_time is None else end_time
         self.catalog.start_info("export", self.cluster_name, session_name, dest_root, start_time, end_time)
         try:
-            for table_name, cells in tables.items():
-                self.export_table(
-                    cells, table_name, dest_root, session_name, start_time, end_time, versions,
-                    column_descriptors=(descriptors or {}).get(table_name), resume=resume,
-                )
+            self._run_table_jobs(
+                list(tables),
+                lambda t: self.export_table(
+                    tables[t], t, dest_root, session_name, start_time, end_time, versions,
+                    column_descriptors=(descriptors or {}).get(t), resume=resume,
+                ),
+                max_concurrent=max_concurrent,
+            )
         except Exception as ex:  # noqa: BLE001
             self.catalog.end_info(
-                "export", self.cluster_name, session_name, dest_root, error=True, error_info=str(ex)[:500]
+                "export", self.cluster_name, session_name, dest_root, error=True, error_info=str(ex)[:500],
+                wait=True,
             )
             raise
-        self.catalog.end_info("export", self.cluster_name, session_name, dest_root)
+        self.catalog.end_info("export", self.cluster_name, session_name, dest_root, wait=True)
 
     # ---- S2/S4/S5: full-catalog export --------------------------------------
     def list_cells_tables(self, pattern: str | None = None) -> list[str]:
@@ -257,6 +325,7 @@ class SnapshotStore:
         end_time: int | None = None,
         versions: int = DEFAULT_VERSIONS,
         pattern: str | None = None,
+        max_concurrent: int = 1,
     ) -> None:
         """S2 (export.rb:42-51): enumerate every registered table and fan
         out the per-table export, capturing each table's schema."""
@@ -268,7 +337,8 @@ class SnapshotStore:
             n: [{"name": d["name"], "compression": d["type"]} for d in ds] for n, ds in descriptors.items()
         }
         self.export_tables(
-            tables, dest_root, session_name, start_time, end_time, versions, descriptors=cat_descriptors
+            tables, dest_root, session_name, start_time, end_time, versions, descriptors=cat_descriptors,
+            max_concurrent=max_concurrent,
         )
 
     # ---- §2.B: incremental chain -------------------------------------------
@@ -280,6 +350,7 @@ class SnapshotStore:
         end_time: int | None = None,
         versions: int = DEFAULT_VERSIONS,
         descriptors: dict[str, list[dict]] | None = None,
+        max_concurrent: int = 1,
     ) -> None:
         """Next start = previous recorded end per table
         (docs/…HBASE-1684.txt:40-58); tables never exported start at 0
@@ -297,18 +368,22 @@ class SnapshotStore:
             min(watermarks.values(), default=0) or 0, end_time,
         )
         try:
-            for table_name, cells in tables.items():
-                self.export_table(
-                    cells, table_name, dest_root, session_name,
-                    start_time=int(watermarks.get(table_name, 0)), end_time=end_time, versions=versions,
-                    column_descriptors=(descriptors or {}).get(table_name),
-                )
+            self._run_table_jobs(
+                list(tables),
+                lambda t: self.export_table(
+                    tables[t], t, dest_root, session_name,
+                    start_time=int(watermarks.get(t, 0)), end_time=end_time, versions=versions,
+                    column_descriptors=(descriptors or {}).get(t),
+                ),
+                max_concurrent=max_concurrent,
+            )
         except Exception as ex:  # noqa: BLE001
             self.catalog.end_info(
-                "export", self.cluster_name, session_name, dest_root, error=True, error_info=str(ex)[:500]
+                "export", self.cluster_name, session_name, dest_root, error=True, error_info=str(ex)[:500],
+                wait=True,
             )
             raise
-        self.catalog.end_info("export", self.cluster_name, session_name, dest_root)
+        self.catalog.end_info("export", self.cluster_name, session_name, dest_root, wait=True)
 
     # ---- S8/S9 + C4: import -------------------------------------------------
     def import_table(
@@ -360,6 +435,7 @@ class SnapshotStore:
         requested: list[str] | None = None,
         pattern: str | None = None,
         restore_empty_tables: bool = False,
+        max_concurrent: int = 1,
     ) -> dict[str, DataFrame]:
         """Import#specified_tables (import.rb:46-90): resolve the exported
         list from the catalog (C5), validate requested ⊆ exported (S10 —
@@ -367,7 +443,8 @@ class SnapshotStore:
 
         Table selection is ``requested`` XOR ``pattern`` (cli.rb:259's
         --tables / --pattern): an explicit list is subset-validated; a
-        SQL LIKE pattern feeds C5's wildcard directly.
+        SQL LIKE pattern feeds C5's wildcard directly. ``max_concurrent``
+        overlaps per-table imports (see :meth:`_run_table_jobs`).
         """
         if requested is not None and pattern is not None:
             raise ValueError("pass requested tables OR a pattern, not both (cli.rb:259)")
@@ -383,22 +460,23 @@ class SnapshotStore:
         else:
             selected = exported
         self.catalog.start_info("import", self.cluster_name, import_session_name, source_root, 0, 0)
-        out: dict[str, DataFrame] = {}
         try:
-            for t in selected:
-                df = self.import_table(
+            results = self._run_table_jobs(
+                selected,
+                lambda t: self.import_table(
                     t, source_root, export_session_name, import_session_name,
                     restore_empty_tables=restore_empty_tables,
-                )
-                if df is not None:
-                    out[t] = df
+                ),
+                max_concurrent=max_concurrent,
+            )
         except Exception as ex:  # noqa: BLE001
             self.catalog.end_info(
-                "import", self.cluster_name, import_session_name, source_root, error=True, error_info=str(ex)[:500]
+                "import", self.cluster_name, import_session_name, source_root, error=True, error_info=str(ex)[:500],
+                wait=True,
             )
             raise
-        self.catalog.end_info("import", self.cluster_name, import_session_name, source_root)
-        return out
+        self.catalog.end_info("import", self.cluster_name, import_session_name, source_root, wait=True)
+        return {t: df for t, df in results.items() if df is not None}
 
     # ---- §2.B: point-in-time restore ----------------------------------------
     def restore_point_in_time(

@@ -11,11 +11,24 @@ writes to S3/HDFS with no code change.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
+
+# In-process claim serializer for path_fence: Hadoop's
+# FileSystem.createNewFile is check-then-act on LocalFileSystem (the
+# default impl is exists() then create(), and the local create
+# truncates instead of failing on a lost race), so two THREADS of one
+# driver could both "win" the same lockfile. One mutex around the claim
+# attempt makes in-process claims atomic; it is held only for the
+# claim, never across the fenced work, so waiters still sleep-poll.
+# Cross-PROCESS atomicity comes from the filesystem itself: real on
+# HDFS (namenode-atomic create), advisory on local FS and S3A — both
+# single-driver deployments by contract (catalog module docstring).
+_CLAIM_MUTEX = threading.Lock()
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -86,7 +99,12 @@ def path_fence(
     busy-waits) up to the bound, then raises. Lock released on exit,
     success or failure. S3A caveat: see :func:`create_new_file`."""
     deadline = time.monotonic() + max(0.0, wait_s)
-    while not create_new_file(spark, lock_path):
+
+    def claim() -> bool:
+        with _CLAIM_MUTEX:  # thread-atomic; see module note
+            return create_new_file(spark, lock_path)
+
+    while not claim():
         if time.monotonic() < deadline:
             time.sleep(poll_s)
             continue

@@ -1,4 +1,5 @@
-"""sf1-scale parity sweep of the 20 heaviest oracled queries (VERDICT r7 #6).
+"""sf1-scale parity sweep of the FULL query registry (VERDICT r9 #5;
+originally the 20 heaviest per VERDICT r7 #6).
 
 Rationale: the r6 `semantic_keeper_by_quality` membership bug was invisible
 below sf0.1 (doc and embedding counts coincide at small SFs) — the same
@@ -67,8 +68,9 @@ QUADRATIC_ORACLE = {
     "ann_cluster_validity",
 }
 
-# Top 20 by BENCH_FULL.json wall at r7 HEAD (pinned so the receipt is
-# reproducible even as bench numbers drift between rounds).
+# r7-r9 selection: top 20 by BENCH_FULL.json wall at r7 HEAD. Kept for
+# provenance; since r10 the sweep covers the FULL registry (every
+# oracled query) and this list only documents the old receipt's scope.
 TOP20 = [
     "semantic_keeper_by_quality",
     "ann_cluster_validity",
@@ -120,7 +122,8 @@ def main() -> int:
     # the existing receipt (for re-running environment-caused failures
     # without repeating the whole sweep)
     only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
-    todo = [n for n in TOP20 if not only or n in only.split(",")]
+    all_names = sorted(n for n in specs if specs[n].oracle is not None)
+    todo = [n for n in all_names if not only or n in only.split(",")]
     receipt_path = os.path.join(REPO, "SF1_PARITY.json")
     if only and os.path.exists(receipt_path):
         results = json.load(open(receipt_path))["queries"]
@@ -149,7 +152,7 @@ def main() -> int:
             "O(n²)-oracle anchors at x3 (their DuckDB oracle is itself quadratic — "
             "see module docstring)"
         ),
-        "selection": "top 20 by BENCH_FULL.json wall at r7 HEAD",
+        "selection": "full registry: every oracled query (VERDICT r9 #5)",
         "n_ok": sum(1 for v in results.values() if v["status"] == "ok"),
         "n_run": len(results),
         "total_wall_sec": round(time.monotonic() - t_all, 1),

@@ -482,3 +482,198 @@ def test_build_auto_geometry_defaults(spark, embeddings, tmp_path):
     from hbacker_spark.operators.similarity import recommended_planes
 
     assert geo["n_planes"] == recommended_planes(embeddings.count())
+
+
+# ---------------------------------------------------------------------------
+# r10: rebuild lifecycle, mutation fence, stale-handle contract, URI schemes
+# ---------------------------------------------------------------------------
+
+
+def _replica(embeddings, k: int, stride: int = 500):
+    """k disjoint-id copies of the embeddings table — the deterministic
+    corpus-growth stand-in (same device as x100_receipt.py): geometry
+    drift is a function of n_rows, which the sf0.01 table alone (500
+    rows) can never push past the auto-sizing thresholds."""
+    import functools
+
+    dfs = [
+        embeddings.select(
+            (F.col("vec_id") + (i * stride)).alias("vec_id"), "embedding"
+        )
+        for i in range(k)
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def test_rebuild_lsh_after_drift(spark, embeddings, qvec, tmp_path):
+    """VERDICT r9 #3 end-to-end: ingest past the drift threshold →
+    health recommends rebuild → rebuild → geometry matches a fresh
+    auto-sized build and serving answers are identical to that fresh
+    build; the streaming replay watermark survives; the pre-rebuild
+    handle fails LOUDLY, never silently."""
+    from hbacker_spark.operators.ann_index import (
+        StoredLshIndex,
+        append_lsh_index,
+        index_health,
+        rebuild_index,
+    )
+    from hbacker_spark.operators.similarity import recommended_planes
+
+    corpus = _replica(embeddings, 10)  # 5000 rows: auto planes 4 -> 5
+    head = corpus.filter(F.col("vec_id") < 500)
+    tail = corpus.filter(F.col("vec_id") >= 500)
+    n_total = 5000
+    path = str(tmp_path / "lsh_drift")
+    geo = build_lsh_index(head, path, n_shards=4)  # auto-sized for 500 rows
+    assert geo["n_planes"] == recommended_planes(500)
+
+    append_lsh_index(tail, path, batch_id=7, stream_id="ckpt-A")
+    health = index_health(spark, path)
+    assert health["reindex_recommended"], "append chain should outgrow the geometry"
+    assert recommended_planes(n_total) > geo["n_planes"]
+
+    stale = StoredLshIndex(spark, path)
+    assert stale.is_current()
+
+    new_geo = rebuild_index(spark, path, corpus)
+    assert new_geo["n_planes"] == recommended_planes(n_total)
+    assert new_geo["version"] == geo.get("version", 0) + 1
+    # replay watermark preserved: the ingest stream resumes without
+    # re-folding batch 7
+    assert new_geo["last_batch_id"] == 7 and new_geo["last_stream_id"] == "ckpt-A"
+    assert not index_health(spark, path)["reindex_recommended"]
+
+    # recall restored to the auto-geometry floor: identical answers to
+    # a from-scratch auto build over the same corpus
+    fresh_path = str(tmp_path / "lsh_fresh")
+    build_lsh_index(corpus, fresh_path, n_shards=4)
+    rebuilt = StoredLshIndex(spark, path)
+    fresh = StoredLshIndex(spark, fresh_path)
+    assert _rows(rebuilt.topk(corpus, qvec, k=10, multiprobe=2)) == _rows(
+        fresh.topk(corpus, qvec, k=10, multiprobe=2)
+    )
+
+    # the pre-rebuild handle: probeably stale, loud on use
+    assert not stale.is_current()
+    with pytest.raises(Exception) as ei:
+        stale.topk(corpus, qvec, k=5).collect()
+    assert "FileNotFound" in str(ei.value) or "does not exist" in str(ei.value)
+
+
+def test_rebuild_ivf_corpus_free_from_stored_vectors(spark, embeddings, qvec, tmp_path):
+    """A store_vectors=True IVF index rebuilds from its OWN lists
+    (df=None) — the corpus-free remediation path; a vector-less index
+    refuses loudly; results match a fresh auto build."""
+    from hbacker_spark.operators.ann_index import (
+        StoredIvfIndex,
+        append_ivf_index,
+        index_health,
+        rebuild_index,
+    )
+    from hbacker_spark.operators.similarity import recommended_centroids
+
+    corpus = _replica(embeddings, 10)  # 5000 rows: sqrt(n)=70 > 2*16
+    head = corpus.filter(F.col("vec_id") < 500)
+    tail = corpus.filter(F.col("vec_id") >= 500)
+    n_total = 5000
+    path = str(tmp_path / "ivf_drift")
+    geo = build_ivf_index(head, path, dim=len(qvec), n_centroids=16,
+                          train_iters=1, store_vectors=True)
+    append_ivf_index(tail, path)
+    assert index_health(spark, path)["reindex_recommended"]  # sqrt(n) > 2*16
+
+    new_geo = rebuild_index(spark, path)  # df=None: self-rebuild
+    assert new_geo["n_centroids"] == recommended_centroids(n_total)
+    assert new_geo["has_vectors"] is True
+    assert new_geo["version"] == geo.get("version", 0) + 1
+
+    fresh_path = str(tmp_path / "ivf_fresh")
+    build_ivf_index(corpus, fresh_path, dim=len(qvec),
+                    train_iters=1, store_vectors=True)
+    got = StoredIvfIndex(spark, path).topk(None, qvec, k=10)
+    want = StoredIvfIndex(spark, fresh_path).topk(None, qvec, k=10)
+    assert _rows(got) == _rows(want)
+
+    # vector-less LSH rebuild without a corpus refuses loudly
+    lsh_path = str(tmp_path / "lsh_nocorpus")
+    build_lsh_index(embeddings.limit(100), lsh_path, n_planes=4, n_shards=2)
+    with pytest.raises(ValueError, match="corpus"):
+        rebuild_index(spark, lsh_path)
+
+
+def test_index_mutation_fence_and_stale_handle(spark, embeddings, qvec, tmp_path, monkeypatch):
+    """VERDICT r9 #6: (a) any mutator racing a held fence raises
+    IndexContentionError after the bounded wait — an ingest append can
+    never land rows under a concurrent maintenance swap and lose them;
+    (b) an open handle across a compact keeps snapshot semantics: the
+    swap deletes its cached files, so queries raise (no silent wrong
+    rows) and is_current() flags the reopen."""
+    from hbacker_spark.operators import ann_index as AI
+    from hbacker_spark.sources import storage
+
+    sub = embeddings.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "fenced_idx")
+    AI.build_lsh_index(sub, path, n_planes=4, n_shards=2)
+
+    # (a) scrub-during-ingest contract: hold the fence (as a stalled
+    # ingest append would) and assert maintenance + appends fail loudly
+    monkeypatch.setattr(AI, "INDEX_FENCE_WAIT_S", 0.5)
+    assert storage.create_new_file(spark, f"{path}.lock")
+    more = embeddings.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    with pytest.raises(AI.IndexContentionError, match="single-writer"):
+        AI.append_lsh_index(more, path)
+    with pytest.raises(AI.IndexContentionError):
+        AI.compact_index(spark, path)
+    with pytest.raises(AI.IndexContentionError):
+        AI.scrub_index(spark, path, sub.select("vec_id").limit(5))
+    storage.delete_path(spark, f"{path}.lock")
+    AI.append_lsh_index(more, path)  # released → proceeds
+
+    # (b) stale handle across compact: loud failure + probeable
+    handle = AI.StoredLshIndex(spark, path)
+    before = _rows(handle.topk(embeddings, qvec, k=5))
+    assert handle.is_current()
+    AI.compact_index(spark, path)
+    assert not handle.is_current()
+    with pytest.raises(Exception) as ei:
+        handle.topk(embeddings, qvec, k=5).collect()
+    assert "FileNotFound" in str(ei.value) or "does not exist" in str(ei.value)
+    reopened = AI.StoredLshIndex(spark, path)
+    assert reopened.is_current()
+    assert _rows(reopened.topk(embeddings, qvec, k=5)) == before
+
+
+def test_index_ops_on_uri_scheme_path(spark, embeddings, qvec, tmp_path):
+    """ADVICE r9 (medium): the full stored-index lifecycle — build,
+    append, handle serving, compact, scrub, health, rebuild — on a
+    scheme-qualified (file://) index path. Before the Hadoop-FS port
+    every maintenance op died at its os.rename/os.walk on such a path,
+    contradicting the module's any-scheme claim."""
+    from hbacker_spark.operators.ann_index import (
+        StoredLshIndex,
+        append_lsh_index,
+        compact_index,
+        index_health,
+        rebuild_index,
+        scrub_index,
+    )
+
+    sub = embeddings.filter(F.col("vec_id") < 400)
+    path = f"file://{tmp_path}/uri_idx"
+    build_lsh_index(sub, path, n_planes=4, n_shards=2)
+    append_lsh_index(embeddings.filter(F.col("vec_id") >= 400), path)
+    assert read_geometry(spark, path)["n_rows"] == 500
+
+    h = index_health(spark, path)
+    assert h["partition_dirs"] > 0 and h["data_files"] > h["partition_dirs"]
+
+    got = _rows(StoredLshIndex(spark, path).topk(embeddings, qvec, k=5))
+    c = compact_index(spark, path)
+    assert c["files_after"] < c["files_before"]
+    assert _rows(StoredLshIndex(spark, path).topk(embeddings, qvec, k=5)) == got
+
+    s = scrub_index(spark, path, embeddings.select("vec_id").filter(F.col("vec_id") < 10))
+    assert s["ids_removed"] == 10
+
+    r = rebuild_index(spark, path, embeddings)
+    assert r["n_rows"] == 500 and r["version"] >= 3  # compact+scrub+rebuild bumps

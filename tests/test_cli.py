@@ -207,6 +207,15 @@ def test_cli_index_ops(spark, tmp_path):
     bad = run_cli("index", "scrub", "--index-path", path, check=False)
     assert bad.returncode == 2
 
+    # rebuild (VERDICT r9 #3): auto-resized geometry, version advanced
+    corpus = str(tmp_path / "corpus")
+    e.write.parquet(corpus)
+    r = json.loads(
+        run_cli("index", "rebuild", "--index-path", path, "--corpus", corpus)
+        .stdout.splitlines()[-1]
+    )
+    assert r["kind"] == "lsh" and r["n_rows"] == 200 and r["version"] >= 1
+
 
 def test_csv_safe_stringifies_unwritable_columns(spark, tmp_path):
     """`run --format csv` must work for queries with container/binary

@@ -462,3 +462,73 @@ def test_pitr_long_chain_single_scan(spark, store, dest):
     assert got == sorted(map(tuple, cells.collect()))
     read_files = set(restored.inputFiles())
     assert len({f.split("/t/")[0] for f in read_files}) == n_sessions
+
+
+def test_concurrent_export_tables_pool(spark, store, dest):
+    """VERDICT r9 #2: 8 tables at max_concurrent=4 — the reference's
+    4-16 worker pool (README.textile:120-121) as a bounded driver
+    thread pool. Every table must land a complete catalog row AND a
+    snapshot dir, the session must bracket clean, and the result must
+    equal a serial export of the same tables."""
+    import os
+
+    cells = make_cells(spark)
+    tables = {f"pool_t{i}": cells for i in range(8)}
+    store.export_tables(tables, dest, "20110301_000000", 0, T3, max_concurrent=4)
+
+    rows = {r["table_name"]: r for r in store.catalog.list_table_info("20110301_000000").collect()}
+    assert set(rows) == set(tables)
+    assert all(not r["error"] and not r["empty"] for r in rows.values())
+    for t in tables:
+        p = snapshot_path(dest, "20110301_000000", t)
+        assert os.path.isdir(p), f"missing snapshot dir for {t}"
+        assert spark.read.parquet(p).count() == cells.filter(F.col("ts") < T3).count()
+    sess = store.catalog.session_info("export").filter(F.col("session_name") == "20110301_000000").collect()[0]
+    assert sess["ended_at"] is not None and sess["error"] is False
+
+    # parity with the serial path: same per-table row counts
+    store.export_tables(tables, dest, "20110301_000001", 0, T3)
+    serial = {
+        r["table_name"]: (r["start_time"], r["end_time"], r["empty"], r["error"])
+        for r in store.catalog.list_table_info("20110301_000001").collect()
+    }
+    pooled = {
+        t: (r["start_time"], r["end_time"], r["empty"], r["error"]) for t, r in rows.items()
+    }
+    assert pooled == serial
+
+    # round-trip through the pooled import path too
+    out = store.import_tables(dest, "20110301_000000", "20110302_000000", max_concurrent=4)
+    assert set(out) == set(tables)
+    assert out["pool_t3"].count() == cells.filter(F.col("ts") < T3).count()
+
+
+def test_concurrent_export_error_still_completes_others(spark, store, dest, monkeypatch):
+    """Pool error contract: a permanently-failing table marks its own
+    catalog row and the session as errored, but the OTHER in-flight
+    tables still complete their snapshot dirs and clean rows (the
+    reference's per-job 'bury', worker.rb:28-48 — one poisoned table
+    must not strand the rest of a 4-wide fleet)."""
+    import os
+
+    cells = make_cells(spark)
+    orig = SnapshotStore._write_snapshot
+
+    def failing(self, snap, dest_path):
+        if "bad_t" in dest_path:
+            raise ValueError("permanent schema corruption")
+        return orig(self, snap, dest_path)
+
+    monkeypatch.setattr(SnapshotStore, "_write_snapshot", failing)
+    tables = {"ok_t0": cells, "bad_t": cells, "ok_t1": cells, "ok_t2": cells}
+    with pytest.raises(ValueError, match="permanent"):
+        store.export_tables(tables, dest, "20110303_000000", 0, T3, max_concurrent=4)
+
+    rows = {r["table_name"]: r for r in store.catalog.list_table_info("20110303_000000").collect()}
+    assert set(rows) == set(tables)
+    assert rows["bad_t"]["error"] is True
+    for t in ("ok_t0", "ok_t1", "ok_t2"):
+        assert rows[t]["error"] is False
+        assert os.path.isdir(snapshot_path(dest, "20110303_000000", t))
+    sess = store.catalog.session_info("export").filter(F.col("session_name") == "20110303_000000").collect()[0]
+    assert sess["error"] is True and "permanent" in sess["error_info"]
