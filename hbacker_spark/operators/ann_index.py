@@ -702,9 +702,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
         bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-        storage.rename(spark, path, bak)
-        storage.rename(spark, tmp, path)
-        storage.delete_path(spark, bak)
+        storage.swap_dir(spark, tmp, path, bak)
         geo["version"] = int(geo.get("version") or 0) + 1
         _write_geometry(spark, index_path, geo)
         _, after = storage.leaf_dir_stats(spark, path)
@@ -754,9 +752,7 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         kept.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
         bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-        storage.rename(spark, path, bak)
-        storage.rename(spark, tmp, path)
-        storage.delete_path(spark, bak)
+        storage.swap_dir(spark, tmp, path, bak)
         after = spark.read.parquet(path).count()
         geo["n_rows"] = max(0, int(geo["n_rows"] or 0) - removed_ids)
         geo["version"] = int(geo.get("version") or 0) + 1

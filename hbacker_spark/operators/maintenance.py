@@ -19,30 +19,19 @@ reference (which delegates layout to HBase itself) never had to face:
 Both rewrites are verified by content fingerprint (operators/validate),
 not row count alone, and both swap directories atomically (temp dir +
 rename — same crash-safety pattern as the catalog's C2 point-update),
-so a reader never observes a half-compacted snapshot.
+so a reader never observes a half-compacted snapshot. All sizing and
+swap filesystem ops go through the Hadoop FileSystem API (r10, same
+port as the catalog and the ANN index maintenance) so snapshot dirs on
+``hdfs://``/``s3a://`` compact and scrub like local ones.
 """
 
 from __future__ import annotations
 
 import math
-import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
-
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
-
-
-def _parquet_file_count(path: str) -> int:
-    return sum(
-        1 for _root, _d, files in os.walk(path) for f in files if f.endswith(".parquet")
-    )
+from hbacker_spark.sources import storage
 
 
 def compact_snapshot(
@@ -59,19 +48,17 @@ def compact_snapshot(
     until the swap succeeds — crash leaves either the old or the new
     dir, never a mix).
     """
-    before = _parquet_file_count(path)
-    n_files = max(1, math.ceil(_dir_bytes(path) / (target_file_mb * 1024 * 1024)))
+    total_bytes, before = storage.dir_bytes_and_files(spark, path)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     out = df.coalesce(n_files) if n_files <= before else df.repartition(n_files)
 
     tmp = path.rstrip("/") + ".__compact__"
     bak = path.rstrip("/") + ".__pre_compact__"
-    shutil.rmtree(tmp, ignore_errors=True)
+    storage.delete_path(spark, tmp)
     out.write.mode("errorifexists").parquet(tmp)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
-    return before, _parquet_file_count(path)
+    storage.swap_dir(spark, tmp, path, bak)
+    return before, storage.dir_bytes_and_files(spark, path)[1]
 
 
 def write_clustered(
@@ -148,10 +135,8 @@ def scrub_snapshot(
 
     tmp = path.rstrip("/") + ".__scrub__"
     bak = path.rstrip("/") + ".__pre_scrub__"
-    shutil.rmtree(tmp, ignore_errors=True)
+    storage.delete_path(spark, tmp)
     kept.write.mode("errorifexists").parquet(tmp)
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+    storage.swap_dir(spark, tmp, path, bak)
     after = spark.read.parquet(path).count()
     return before, after

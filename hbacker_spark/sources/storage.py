@@ -132,6 +132,34 @@ def path_fence(
             pass
 
 
+def dir_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total bytes, parquet file count) under ``path`` via one
+    recursive ``listFiles`` — the scheme-agnostic sizing input for
+    compaction planning (an os.walk here would pin maintenance to the
+    driver's local disk)."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return 0, 0
+    total = n_parquet = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        total += int(status.getLen())
+        if status.getPath().getName().endswith(".parquet"):
+            n_parquet += 1
+    return total, n_parquet
+
+
+def swap_dir(spark: SparkSession, tmp: str, path: str, bak: str) -> None:
+    """The atomic cutover shared by every maintenance rewrite: move the
+    live dir to ``bak``, the freshly-written ``tmp`` into place, then
+    drop ``bak``. Scheme-agnostic; each rename is atomic on the
+    filesystems that have atomic rename (local, HDFS)."""
+    rename(spark, path, bak)
+    rename(spark, tmp, path)
+    delete_path(spark, bak)
+
+
 def leaf_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(leaf partition directories, parquet data files) under ``path``,
     via one recursive ``listFiles`` — scheme-agnostic (an os.walk here

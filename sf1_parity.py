@@ -127,24 +127,44 @@ def main() -> int:
     receipt_path = os.path.join(REPO, "SF1_PARITY.json")
     if only and os.path.exists(receipt_path):
         results = json.load(open(receipt_path))["queries"]
+    from tests.oracle_harness import OracleTimeout
+
+    # Full-registry budget discipline (r10): an x10 oracle gets a
+    # bounded wall; past it the ORACLE (never the engine) is declared
+    # the binding constraint and the query degrades to x3 — the same
+    # split the curated QUADRATIC_ORACLE set encodes, now self-applied
+    # to the 185 queries the top-20 sweep never measured. x3 gets the
+    # ceiling the measured worst anchor needs (semantic_keeper 1370s).
+    t_x10 = float(os.environ.get("SPARK_GRAFT_SF1_TIMEOUT_X10", "600"))
+    t_x3 = float(os.environ.get("SPARK_GRAFT_SF1_TIMEOUT_X3", "2400"))
+
     t_all = time.monotonic()
     for name in todo:
         spec = specs[name]
         assert spec.oracle is not None, f"{name} has no oracle"
-        sf_dir = x3 if name in QUADRATIC_ORACLE else x10
+        at_x3 = name in QUADRATIC_ORACLE
+        sf_dir = x3 if at_x3 else x10
+        scale = "x3" if at_x3 else "x10"
         t0 = time.monotonic()
         try:
-            problems = compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+            try:
+                problems = compare(
+                    spec.fn(spark, sf_dir), spec.oracle, sf_dir,
+                    oracle_timeout_s=t_x3 if at_x3 else t_x10,
+                )
+            except OracleTimeout:
+                if at_x3:
+                    raise
+                scale = "x3 (x10 oracle timeout)"
+                problems = compare(
+                    spec.fn(spark, x3), spec.oracle, x3, oracle_timeout_s=t_x3
+                )
             status = "ok" if not problems else "; ".join(problems)[:300]
         except Exception as exc:  # noqa: BLE001 — receipt over crash
             status = f"err: {exc}"[:300]
         wall = round(time.monotonic() - t0, 1)
-        results[name] = {
-            "status": status,
-            "wall_sec": wall,
-            "scale": "x3" if name in QUADRATIC_ORACLE else "x10",
-        }
-        print(f"{name:<32} {wall:7.1f}s  {status}", flush=True)
+        results[name] = {"status": status, "wall_sec": wall, "scale": scale}
+        print(f"{name:<32} {wall:7.1f}s  [{scale}] {status}", flush=True)
 
     receipt = {
         "model": (

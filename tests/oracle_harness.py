@@ -44,7 +44,14 @@ def _canon(v):
     return f"s:{v}"
 
 
-def duckdb_oracle(sql: str, sf_dir: str):
+class OracleTimeout(RuntimeError):
+    """The DuckDB oracle exceeded its wall budget and was interrupted.
+    This is a statement about the ORACLE's cost (interpreted lambda
+    folds, recursive CTEs), never the engine's — sweeps catch it and
+    degrade the query to a smaller replica scale (sf1_parity.py)."""
+
+
+def duckdb_oracle(sql: str, sf_dir: str, timeout_s: float | None = None):
     # Bounded memory + a spill dir: at replica scales (x10 sweeps) the
     # heavy pair/recursive-CTE oracles otherwise grow until malloc fails
     # ("bad allocation") while sharing the machine with the Spark JVM.
@@ -75,18 +82,33 @@ def duckdb_oracle(sql: str, sf_dir: str):
                 # is a directory of part files; DuckDB needs the glob.
                 p = os.path.join(p, "*.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
+        timer = None
+        if timeout_s:
+            import threading
+
+            # con.interrupt() is thread-safe; the running statement
+            # raises duckdb.InterruptException at its next check
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.daemon = True
+            timer.start()
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+        except duckdb.InterruptException as ex:
+            raise OracleTimeout(f"oracle exceeded {timeout_s:.0f}s wall budget") from ex
+        finally:
+            if timer is not None:
+                timer.cancel()
         return cols, rows
     finally:
         con.close()
         shutil.rmtree(spill, ignore_errors=True)
 
 
-def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+def compare(spark_df, oracle_sql: str, sf_dir: str, oracle_timeout_s: float | None = None) -> list[str]:
     """Returns a list of mismatch descriptions (empty == pass)."""
-    o_cols, o_rows = duckdb_oracle(oracle_sql, sf_dir)
+    o_cols, o_rows = duckdb_oracle(oracle_sql, sf_dir, timeout_s=oracle_timeout_s)
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     # query boundary: free any rank-pinned checkpoint blocks so a full

@@ -9,10 +9,10 @@ import os
 from pyspark.sql import functions as F
 
 from hbacker_spark.operators.maintenance import (
-    _parquet_file_count,
     compact_snapshot,
     write_clustered,
 )
+from hbacker_spark.sources.storage import dir_bytes_and_files
 from hbacker_spark.operators.validate import table_fingerprint
 
 
@@ -27,7 +27,7 @@ def test_compact_reduces_files_preserves_fingerprint(spark, tmp_path):
         F.col("id"), (F.col("id") % 97 / F.lit(7)).cast("decimal(12,2)").alias("v")
     )
     df.repartition(64).write.parquet(path)  # pathological small-file layout
-    assert _parquet_file_count(path) == 64
+    assert dir_bytes_and_files(spark, path)[1] == 64
     want = _fp(spark.read.parquet(path))
 
     before, after = compact_snapshot(spark, path, target_file_mb=128)
@@ -44,7 +44,7 @@ def test_clustered_write_prunes_files_on_key_filter(spark, tmp_path):
         F.col("id"), (F.col("id") % 1000).cast("decimal(12,2)").alias("v")
     )
     write_clustered(df, path, ["id"], n_partitions=8)
-    assert _parquet_file_count(path) == 8
+    assert dir_bytes_and_files(spark, path)[1] == 8
 
     got = spark.read.parquet(path).filter(F.col("id") == 12_345)
     # correctness
