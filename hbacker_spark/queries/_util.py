@@ -47,3 +47,20 @@ SQL_CHARGE = (
     f"CAST({SQL_DISC_PRICE}"
     " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))"
 )
+
+
+def sql_double(expr: str) -> str:
+    """Correctly-rounded DECIMAL→DOUBLE for DuckDB oracles.
+
+    DuckDB's ``CAST(decimal AS DOUBLE)`` converts the scaled integer to
+    double FIRST and divides by 10^scale after — two roundings. Once
+    the scaled integer exceeds 2^53 the first conversion is inexact and
+    the composition lands 1 ulp off the correctly-rounded value
+    (measured in the r10 full-registry sf1 sweep: q1's sum_charge at
+    x10 is ~2.8e16 scaled units at scale 6 → DuckDB ...941593 vs the
+    true ...94159 that Spark's BigDecimal.doubleValue() and Python's
+    float(Decimal) both produce). Routing through VARCHAR is one
+    correctly-rounded string→double parse, bit-identical to Spark at
+    any magnitude. Use this for any oracle double whose exact decimal
+    can exceed ~9e15 scaled units at the sweep's replica scales."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"

@@ -27,6 +27,7 @@ from hbacker_spark.queries._util import (
     disc_price,
     money,
     rate,
+    sql_double,
 )
 from hbacker_spark.operators.rank import ntile_from_rank, with_global_order
 from hbacker_spark.registry import register
@@ -41,8 +42,8 @@ CUTOFF = "1998-09-02"
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST({SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           {sql_double(f"SUM({SQL_DISC_PRICE})")} AS sum_disc_price,
+           {sql_double(f"SUM(CAST({SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6)))")} AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            COUNT(*) AS count_order
@@ -2318,8 +2319,8 @@ def top_event_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(signup_us // {WEEK_US} AS BIGINT) AS cohort_week,
            COUNT(*) AS n_signups,
            CAST(COUNT(conv_us) AS BIGINT) AS n_converted,
-           quantile_cont(CAST(conv_us - signup_us AS DOUBLE) / 1000000, 0.5) AS p50_convert_sec,
-           quantile_cont(CAST(conv_us - signup_us AS DOUBLE) / 1000000, 0.9) AS p90_convert_sec
+           quantile_cont(CAST(conv_us - signup_us AS DOUBLE), 0.5) / 1000000 AS p50_convert_sec,
+           quantile_cont(CAST(conv_us - signup_us AS DOUBLE), 0.9) / 1000000 AS p90_convert_sec
     FROM su LEFT JOIN pu USING (user_id)
     GROUP BY 1
     """,
@@ -2352,15 +2353,19 @@ def time_to_convert_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("us").alias("conv_us"))
     )
-    gap_sec = (F.col("conv_us") - F.col("signup_us")).cast("double") / 1000000
+    # interpolate over exact-integer microseconds (doubles below 2^53),
+    # divide by 1e6 AFTER: divide-first feeds the interpolation
+    # non-representable inputs and the two engines' formulas land 1 ulp
+    # apart at replica scales (caught by the r10 full-registry sweep)
+    gap_us = (F.col("conv_us") - F.col("signup_us")).cast("double")
     return (
         su.join(pu, "user_id", "left")
         .groupBy(F.expr(f"CAST(signup_us div {WEEK_US} AS BIGINT)").alias("cohort_week"))
         .agg(
             F.count(F.lit(1)).alias("n_signups"),
             F.count("conv_us").cast("bigint").alias("n_converted"),
-            F.percentile(gap_sec, F.lit(0.5)).alias("p50_convert_sec"),
-            F.percentile(gap_sec, F.lit(0.9)).alias("p90_convert_sec"),
+            (F.percentile(gap_us, F.lit(0.5)) / 1000000).alias("p50_convert_sec"),
+            (F.percentile(gap_us, F.lit(0.9)) / 1000000).alias("p90_convert_sec"),
         )
     )
 
