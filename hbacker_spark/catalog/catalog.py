@@ -68,6 +68,16 @@ class CatalogContentionError(RuntimeError):
 # momentary swap. Sleep-poll, never busy-wait.
 FENCE_WAIT_S = 30.0
 FENCE_POLL_S = 0.25
+# Plain APPENDS get a far larger bound (r10): an append holds the fence
+# across one Spark write (~1-3s; more under a concurrent fleet's FAIR
+# sharing), so a max_concurrent pool's row inserts QUEUE on the fence —
+# 12 tables at 4 workers measured past the 30s bound (concurrency_smoke
+# caught it). Unlike a read-modify-swap, a waiting append can never
+# base itself on stale state — waiting longer is strictly safe, and
+# crashing a fleet export because the metadata lock queue ran long is
+# the worse failure. Swaps keep the tight bound; appends wait out the
+# queue.
+APPEND_FENCE_WAIT_S = 300.0
 
 SESSIONS_SCHEMA = T.StructType(
     [
@@ -154,6 +164,33 @@ def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
+def _rows_to_parquet_bytes(rows: list[dict], schema: T.StructType) -> bytes:
+    """Serialize catalog rows to one parquet file in memory (pyarrow).
+
+    Types mirror the Spark schema: LongType→int64, StringType→string,
+    BooleanType→bool, TimestampType→timestamp[us, UTC] (the catalog's
+    naive datetimes ARE UTC — _now() — and the tz-annotated arrow type
+    is what Spark's reader maps back to TimestampType under the UTC
+    session zone, so values round-trip exactly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    type_map = {
+        T.LongType: pa.int64(),
+        T.StringType: pa.string(),
+        T.BooleanType: pa.bool_(),
+        T.TimestampType: pa.timestamp("us", tz="UTC"),
+    }
+    fields, arrays = [], []
+    for f in schema.fields:
+        pat = type_map[type(f.dataType)]
+        fields.append(pa.field(f.name, pat, nullable=True))
+        arrays.append(pa.array([r.get(f.name) for r in rows], type=pat))
+    buf = pa.BufferOutputStream()
+    pq.write_table(pa.Table.from_arrays(arrays, schema=pa.schema(fields)), buf, compression="snappy")
+    return buf.getvalue().to_pybytes()
+
+
 def mint_session_name(ts: datetime | None = None) -> str:
     """U3: session timestamp mint, yyyyMMdd_HHmmss (cli.rb:30-32)."""
     return (ts or _now()).strftime("%Y%m%d_%H%M%S")
@@ -182,20 +219,43 @@ class Catalog:
         return self.spark.read.schema(schema).parquet(path)
 
     def _append_rows(self, table: str, rows: list[dict]) -> None:
-        """Raw append — caller must hold :meth:`_swap_fence` on ``table``."""
+        """Raw append — caller must hold :meth:`_swap_fence` on ``table``.
+
+        Fast path (r10): the rows are metadata-sized (one per table per
+        session), but a Spark write is a whole job (~1-3s; worse under
+        a concurrent fleet's FAIR sharing) HELD UNDER THE FENCE — the
+        concurrency receipt measured a 4-wide export pool gaining
+        nothing because every table's row insert serialized on ~2s of
+        fence-held Spark scheduling (CONCURRENCY.json, before/after).
+        So the parquet file is built driver-side with pyarrow and
+        streamed through the Hadoop FS (any scheme) in ~10ms; Spark
+        reads it back like any other part file. Falls back to the
+        Spark write if pyarrow is unavailable."""
         schema = _TABLES[table]
-        df = self.spark.createDataFrame([tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
-        df.coalesce(1).write.mode("append").parquet(self._path(table))
+        try:
+            data = _rows_to_parquet_bytes(rows, schema)
+        except ImportError:  # no pyarrow: the slow-but-universal path
+            df = self.spark.createDataFrame(
+                [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
+            )
+            df.coalesce(1).write.mode("append").parquet(self._path(table))
+            return
+        storage.save_bytes(
+            self.spark,
+            f"{self._path(table)}/part-{uuid.uuid4().hex}.parquet",
+            data,
+        )
 
     def _append(self, table: str, rows: list[dict], wait_s: float | None = None) -> None:
         """Fenced append (ADVICE r8): an append landing between a fenced
         read-modify-swap's READ and its directory swap would be silently
         obliterated by the rewrite — the same lost-update class the
         fence exists to make loud. Appends therefore take the fence too,
-        with a bounded wait (FENCE_WAIT_S, the reference's 10x3s
-        ceiling) so a fleet's row inserts ride out a momentary swap
-        instead of crashing."""
-        with self._swap_fence(table, wait_s=FENCE_WAIT_S if wait_s is None else wait_s):
+        with a bounded wait — APPEND_FENCE_WAIT_S, sized for a
+        max_concurrent fleet's queue of fenced writes, not the
+        reference's 10x3s swap ceiling — so a fleet's row inserts ride
+        out both a momentary swap and each other instead of crashing."""
+        with self._swap_fence(table, wait_s=APPEND_FENCE_WAIT_S if wait_s is None else wait_s):
             self._append_rows(table, rows)
 
     @contextmanager

@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--end-time", type=int, default=None, help="epoch-ms; default now (cli.rb:30-31)")
     exp.add_argument("--versions", type=int, default=100_000, help="max versions/cell (cli.rb:71-74)")
     exp.add_argument("--incremental", action="store_true", help="start from recorded watermarks (§2.B)")
+    exp.add_argument(
+        "--max-concurrent", type=int, default=1,
+        help="overlap up to N table exports (the reference's 4-16 workers, "
+        "README.textile:120-121); 1 = serial fail-fast. Pair with "
+        "SPARK_GRAFT_SCHEDULER=FAIR for fair executor sharing.",
+    )
 
     imp = sub.add_parser("import", help="restore tables from session snapshots (S8-S10)")
     imp.add_argument("--source-root", required=True)
@@ -61,6 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="recreate schema-only records for tables exported empty (import.rb option)",
     )
     imp.add_argument("--out-root", required=True, help="dir to write restored <table>.parquet")
+    imp.add_argument("--max-concurrent", type=int, default=1, help="overlap up to N table imports")
 
     cpt = sub.add_parser(
         "compact",
@@ -237,10 +244,14 @@ def main(argv: list[str] | None = None) -> int:
         }
         session = args.session_name or mint_session_name()
         if args.incremental:
-            store.export_incremental(tables, args.dest_root, session, end_time=args.end_time, versions=args.versions)
+            store.export_incremental(
+                tables, args.dest_root, session, end_time=args.end_time, versions=args.versions,
+                max_concurrent=args.max_concurrent,
+            )
         else:
             store.export_tables(
-                tables, args.dest_root, session, args.start_time, args.end_time, args.versions
+                tables, args.dest_root, session, args.start_time, args.end_time, args.versions,
+                max_concurrent=args.max_concurrent,
             )
         print(json.dumps({"session_name": session, "tables": names, "dest_root": args.dest_root}))
         return 0
@@ -251,6 +262,7 @@ def main(argv: list[str] | None = None) -> int:
             args.source_root, args.export_session, import_session,
             requested=args.tables, pattern=args.pattern,
             restore_empty_tables=args.restore_empty_tables,
+            max_concurrent=args.max_concurrent,
         )
         os.makedirs(args.out_root, exist_ok=True)
         for name, df in restored.items():

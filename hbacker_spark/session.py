@@ -37,6 +37,17 @@ def get_spark(
         # Python Data Source row-key pushdown (sources/cells_source.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    # Opt-in FAIR scheduling (SPARK_GRAFT_SCHEDULER=FAIR): the
+    # multi-table export pool (snapshots._run_table_jobs) tags each
+    # table's jobs with a scheduler-pool local property; under the
+    # default FIFO that tag is inert (jobs interleave but the biggest
+    # head-of-queue job's stages go first), under FAIR the in-flight
+    # tables share executors fairly — the reference's N-worker shape.
+    # Must be set at context start, hence a session knob not a per-call
+    # one.
+    scheduler = os.environ.get("SPARK_GRAFT_SCHEDULER")
+    if scheduler:
+        builder = builder.config("spark.scheduler.mode", scheduler)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

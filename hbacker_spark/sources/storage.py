@@ -182,10 +182,18 @@ def leaf_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
 def save_info(spark: SparkSession, full_path: str, data: str) -> None:
     """S11 (s3.rb:60-78): write a small artifact (job log, marker) to any
     scheme the Hadoop conf resolves. Parent dirs are created implicitly."""
+    save_bytes(spark, full_path, data.encode("utf-8"))
+
+
+def save_bytes(spark: SparkSession, full_path: str, data: bytes) -> None:
+    """Write a small binary artifact through the Hadoop FS stream (any
+    scheme, parents created implicitly) — the driver-side fast path for
+    metadata-sized files where a Spark write job would be all overhead
+    (e.g. the catalog's single-row parquet appends)."""
     fs, hpath = _fs_and_path(spark, full_path)
     out = fs.create(hpath, True)
     try:
-        out.write(bytearray(data.encode("utf-8")))
+        out.write(bytearray(data))
     finally:
         out.close()
 
