@@ -307,6 +307,31 @@ class Catalog:
         if had_old:
             storage.delete_path(self.spark, bak)
 
+    def compact(self, table: str | None = None) -> dict[str, tuple[int, int]]:
+        """Collapse append fragmentation in the catalog dirs.
+
+        Every fenced append lands one metadata-sized parquet file (the
+        r10 driver-side fast path made appends ~10ms, which also means
+        a long-running fleet accrues one file per table per session);
+        ``sessions`` self-compacts on every end_info swap, but
+        ``tables``/``column_descriptors`` never get swapped. This
+        rewrites each dir to one file under the same fence +
+        tmp-and-rename swap as C2 (readers never see a half state).
+        Returns {table: (files_before, files_after)}. Cadence: after a
+        large fleet run, or whenever reads slow — catalog rows are
+        metadata-sized, so this is always a tiny job."""
+        out: dict[str, tuple[int, int]] = {}
+        for t in [table] if table else list(_TABLES):
+            path = self._path(t)
+            if not storage.exists(self.spark, path):
+                continue
+            with self._swap_fence(t, wait_s=FENCE_WAIT_S):
+                _, before = storage.dir_bytes_and_files(self.spark, path)
+                self._overwrite(t, self.read(t))
+                _, after = storage.dir_bytes_and_files(self.spark, path)
+            out[t] = (before, after)
+        return out
+
     # ---- C1: session start -------------------------------------------------
     def start_info(
         self,

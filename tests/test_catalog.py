@@ -391,3 +391,27 @@ def test_catalog_on_nonlocal_scheme_root(spark, tmp_path):
     assert {"sessions", "tables", "column_descriptors"} <= {
         p.name for p in backing.iterdir()
     }
+
+
+def test_catalog_compact_collapses_append_files(spark, catalog):
+    """r10: each fenced append lands one tiny parquet file (driver-side
+    fast path); compact() rewrites each catalog dir to one file under
+    the fence with content unchanged."""
+    from hbacker_spark.sources.storage import dir_bytes_and_files
+
+    for i in range(5):
+        _start(catalog, f"2011010{i}_000000")
+        catalog.exported_table_info(f"t{i}", f"2011010{i}_000000", 0, 100, 10, dest_root=DEST)
+    before_rows = sorted(r["session_name"] for r in catalog.read("sessions").collect())
+    tables_path = catalog._path("tables")
+    assert dir_bytes_and_files(spark, tables_path)[1] == 5
+
+    stats = catalog.compact()
+    assert stats["tables"][0] == 5 and stats["tables"][1] == 1
+    assert stats["sessions"][1] == 1
+    assert sorted(r["session_name"] for r in catalog.read("sessions").collect()) == before_rows
+    assert catalog.read("tables").count() == 5
+    # no stale lockfiles left behind
+    import os as _os
+
+    assert not _os.path.exists(f"{tables_path}.lock")
