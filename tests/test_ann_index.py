@@ -677,3 +677,52 @@ def test_index_ops_on_uri_scheme_path(spark, embeddings, qvec, tmp_path):
 
     r = rebuild_index(spark, path, embeddings)
     assert r["n_rows"] == 500 and r["version"] >= 3  # compact+scrub+rebuild bumps
+
+
+def test_rebuild_mid_stream_preserves_watermark(spark, embeddings, qvec, tmp_path):
+    """The production drift sequence end-to-end: bootstrap → streaming
+    ingest → health-triggered rebuild BETWEEN drains → the SAME
+    checkpointed stream resumes against the rebuilt geometry without
+    re-folding its already-committed batches (the rebuild carries the
+    replay watermark), and the final index equals a fresh build at the
+    rebuilt geometry over every ingested row."""
+    from hbacker_spark.operators.ann_index import (
+        index_ingest_stream,
+        read_geometry,
+        rebuild_index,
+    )
+
+    bucket = F.pmod(F.xxhash64("vec_id", F.lit(7)), F.lit(3))
+    boot = embeddings.filter(bucket == 0)
+    path = str(tmp_path / "lsh_rbs")
+    src = str(tmp_path / "rbs_src")
+    ckpt = str(tmp_path / "rbs_ckpt")
+    build_lsh_index(boot, path, n_planes=4, n_shards=8)
+    schema = embeddings.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        index_ingest_stream(stream, path, ckpt).awaitTermination()
+
+    embeddings.filter(bucket == 1).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    geo_before = read_geometry(spark, path)
+    wm = geo_before["last_batch_id"]
+    assert wm is not None and geo_before["last_stream_id"] == ckpt
+
+    # maintenance window: rebuild over everything ingested so far
+    geo_rebuilt = rebuild_index(spark, path, embeddings.filter(bucket != 2))
+    assert geo_rebuilt["last_batch_id"] == wm and geo_rebuilt["last_stream_id"] == ckpt
+
+    # the SAME stream resumes: only the new file folds, under the
+    # REBUILT geometry (read from the store, never from the caller)
+    embeddings.filter(bucket == 2).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    geo = read_geometry(spark, path)
+    assert geo["n_rows"] == embeddings.count()
+    full_path = str(tmp_path / "lsh_rbs_full")
+    build_lsh_index(embeddings, full_path, n_planes=geo_rebuilt["n_planes"], n_shards=8)
+    got = sorted(map(tuple, spark.read.parquet(f"{path}/signatures").collect()))
+    want = sorted(map(tuple, spark.read.parquet(f"{full_path}/signatures").collect()))
+    assert got == want
