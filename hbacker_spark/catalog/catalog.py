@@ -229,22 +229,42 @@ class Catalog:
         fence-held Spark scheduling (CONCURRENCY.json, before/after).
         So the parquet file is built driver-side with pyarrow and
         streamed through the Hadoop FS (any scheme) in ~10ms; Spark
-        reads it back like any other part file. Falls back to the
-        Spark write if pyarrow is unavailable."""
+        reads it back like any other part file. The stream lands under
+        a DOT-prefixed name first (hidden from Spark/Hadoop input
+        listings — readers deliberately take no fence, and a direct
+        write to the final name would expose a zero-length/partial
+        file to a concurrently-scanning second process, which the old
+        Spark commit protocol never did), then renames into place —
+        rename is the visibility barrier, exactly like the commit
+        protocol it replaces. Falls back to the Spark write if pyarrow
+        is unavailable.
+
+        Session-timezone guard (r10 review finding): the arrow type is
+        ``timestamp[us, UTC]`` and the catalog's naive datetimes ARE
+        UTC, which round-trips exactly under the engine's pinned UTC
+        session zone (session.py). Under a NON-UTC session, Spark
+        renders the UTC instant as session-local naive — shifted
+        values, and inconsistent with what the Spark-write fallback
+        would encode — so that configuration routes to the Spark path,
+        which is self-consistent under any zone."""
         schema = _TABLES[table]
-        try:
-            data = _rows_to_parquet_bytes(rows, schema)
-        except ImportError:  # no pyarrow: the slow-but-universal path
+        utc_session = self.spark.conf.get("spark.sql.session.timeZone", "UTC") in ("UTC", "Etc/UTC")
+        data = None
+        if utc_session:
+            try:
+                data = _rows_to_parquet_bytes(rows, schema)
+            except ImportError:  # no pyarrow: the slow-but-universal path
+                data = None
+        if data is None:
             df = self.spark.createDataFrame(
                 [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
             )
             df.coalesce(1).write.mode("append").parquet(self._path(table))
             return
-        storage.save_bytes(
-            self.spark,
-            f"{self._path(table)}/part-{uuid.uuid4().hex}.parquet",
-            data,
-        )
+        final = f"{self._path(table)}/part-{uuid.uuid4().hex}.parquet"
+        tmp = f"{self._path(table)}/.inflight-{uuid.uuid4().hex}.parquet"
+        storage.save_bytes(self.spark, tmp, data)
+        storage.rename(self.spark, tmp, final)
 
     def _append(self, table: str, rows: list[dict], wait_s: float | None = None) -> None:
         """Fenced append (ADVICE r8): an append landing between a fenced
@@ -300,12 +320,7 @@ class Catalog:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-        had_old = storage.exists(self.spark, path)
-        if had_old:
-            storage.rename(self.spark, path, bak)
-        storage.rename(self.spark, tmp, path)
-        if had_old:
-            storage.delete_path(self.spark, bak)
+        storage.swap_dir(self.spark, tmp, path, bak, allow_missing_old=True)
 
     def compact(self, table: str | None = None) -> dict[str, tuple[int, int]]:
         """Collapse append fragmentation in the catalog dirs.
@@ -320,6 +335,10 @@ class Catalog:
         Returns {table: (files_before, files_after)}. Cadence: after a
         large fleet run, or whenever reads slow — catalog rows are
         metadata-sized, so this is always a tiny job."""
+        if table is not None and table not in _TABLES:
+            raise ValueError(
+                f"unknown catalog table {table!r}; expected one of {sorted(_TABLES)}"
+            )
         out: dict[str, tuple[int, int]] = {}
         for t in [table] if table else list(_TABLES):
             path = self._path(t)

@@ -216,10 +216,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(AI.scrub_index(spark, args.index_path, forget)))
         elif args.action == "rebuild":
             corpus = spark.read.parquet(args.corpus) if args.corpus else None
-            print(json.dumps(AI.rebuild_index(
-                spark, args.index_path, corpus,
-                id_col=args.id_col, vec_col=args.vec_col,
-            )))
+            try:
+                print(json.dumps(AI.rebuild_index(
+                    spark, args.index_path, corpus,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                )))
+            except (ValueError, AI.IndexGeometryError) as ex:
+                # same clean usage-error contract as scrub's missing
+                # --forget-ids: a vector-less index without --corpus is
+                # an operator mistake, not a stack trace
+                print(json.dumps({"error": str(ex)}))
+                return 2
         else:
             print(json.dumps(AI.read_geometry(spark, args.index_path)))
         return 0

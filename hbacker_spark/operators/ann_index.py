@@ -141,12 +141,7 @@ def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
         1
     ).write.mode("overwrite").parquet(tmp)
     bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-    had_old = storage.exists(spark, path)
-    if had_old:
-        storage.rename(spark, path, bak)
-    storage.rename(spark, tmp, path)
-    if had_old:
-        storage.delete_path(spark, bak)
+    storage.swap_dir(spark, tmp, path, bak, allow_missing_old=True)
 
 
 _GEOMETRY_DEFAULTS = {
@@ -893,10 +888,21 @@ def rebuild_index(
             new_geo["version"] = int(geo.get("version") or 0) + 1
             new_geo["last_batch_id"] = geo.get("last_batch_id")
             new_geo["last_stream_id"] = geo.get("last_stream_id")
+            # patch the fresh build's geometry BESIDE the live index,
+            # BEFORE the swap (r10 review): the live path never carries
+            # a version-0, watermark-less geometry, and a crash between
+            # the renames leaves nothing half-patched
+            _write_geometry(spark, tmp_index, new_geo)
             bak = f"{index_path}.pre-rebuild-{uuid.uuid4().hex[:8]}"
             storage.rename(spark, index_path, bak)
-            storage.rename(spark, tmp_index, index_path)
-            _write_geometry(spark, index_path, new_geo)
+            try:
+                storage.rename(spark, tmp_index, index_path)
+            except Exception:
+                # restore the live index (r10 review): without this a
+                # failed second rename leaves NOTHING at index_path and
+                # the finally below would discard the fresh build too
+                storage.rename(spark, bak, index_path)
+                raise
             storage.delete_path(spark, bak)
         finally:
             storage.delete_path(spark, tmp_index)  # no-op after a clean swap

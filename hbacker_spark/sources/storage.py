@@ -69,16 +69,36 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
 
 
 def create_new_file(spark: SparkSession, path: str) -> bool:
-    """Atomic create-if-absent (``FileSystem.createNewFile``): True if
-    this caller created the file, False if it already existed. Atomic
-    on local and HDFS filesystems; S3A has no atomic create-if-absent
-    (the object store offers no compare-and-set), so fences built on
-    this are advisory there — the same single-writer deployment caveat
-    the catalog documents."""
+    """Atomic create-if-absent: True if this caller created the file,
+    False if it already existed.
+
+    Scheme dispatch matters here (r10 review finding): Hadoop's
+    ``FileSystem.createNewFile`` is exists()-then-create() on
+    LocalFileSystem — and the local create TRUNCATES on a lost race —
+    so the pre-port ``O_EXCL`` cross-process guarantee would silently
+    become advisory on local disks. Paths that RESOLVE to the local
+    scheme (including through a viewfs mount) therefore claim with
+    ``os.O_EXCL`` (kernel-atomic); everything else uses
+    ``createNewFile``, which is namenode-atomic on HDFS. S3A has no
+    atomic create-if-absent at all (no compare-and-set), so fences
+    there are advisory — the documented single-writer caveat."""
     fs, hpath = _fs_and_path(spark, path)
     parent = hpath.getParent()
     if parent is not None and not fs.exists(parent):
         fs.mkdirs(parent)
+    try:
+        # resolve through mounts (viewfs) via the existing parent; the
+        # lock file itself does not exist yet
+        resolved_parent = fs.resolvePath(parent).toUri()
+    except Exception:  # noqa: BLE001 — FS without resolvePath support
+        resolved_parent = fs.makeQualified(parent).toUri()
+    if resolved_parent.getScheme() in (None, "file"):
+        local = os.path.join(resolved_parent.getPath(), hpath.getName())
+        try:
+            os.close(os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return True
+        except FileExistsError:
+            return False
     return bool(fs.createNewFile(hpath))
 
 
@@ -132,51 +152,55 @@ def path_fence(
             pass
 
 
-def dir_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(total bytes, parquet file count) under ``path`` via one
-    recursive ``listFiles`` — the scheme-agnostic sizing input for
-    compaction planning (an os.walk here would pin maintenance to the
-    driver's local disk)."""
+def _recursive_file_stats(spark: SparkSession, path: str) -> tuple[int, int, set[str]]:
+    """One recursive ``listFiles`` pass: (total bytes, parquet file
+    count, parquet-holding leaf dirs) — the shared walker behind the
+    sizing and fragmentation views (scheme-agnostic; an os.walk here
+    would pin maintenance to the driver's local disk)."""
     fs, hpath = _fs_and_path(spark, path)
     if not fs.exists(hpath):
-        return 0, 0
+        return 0, 0, set()
     total = n_parquet = 0
+    dirs: set[str] = set()
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         status = it.next()
         total += int(status.getLen())
         if status.getPath().getName().endswith(".parquet"):
             n_parquet += 1
+            dirs.add(status.getPath().getParent().toString())
+    return total, n_parquet, dirs
+
+
+def dir_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total bytes, parquet file count) under ``path`` — the sizing
+    input for compaction planning."""
+    total, n_parquet, _ = _recursive_file_stats(spark, path)
     return total, n_parquet
 
 
-def swap_dir(spark: SparkSession, tmp: str, path: str, bak: str) -> None:
+def swap_dir(
+    spark: SparkSession, tmp: str, path: str, bak: str, allow_missing_old: bool = False
+) -> None:
     """The atomic cutover shared by every maintenance rewrite: move the
     live dir to ``bak``, the freshly-written ``tmp`` into place, then
     drop ``bak``. Scheme-agnostic; each rename is atomic on the
-    filesystems that have atomic rename (local, HDFS)."""
-    rename(spark, path, bak)
+    filesystems that have atomic rename (local, HDFS).
+    ``allow_missing_old`` handles first-write call sites (catalog
+    overwrite of a not-yet-created table, first geometry write)."""
+    had_old = exists(spark, path) if allow_missing_old else True
+    if had_old:
+        rename(spark, path, bak)
     rename(spark, tmp, path)
-    delete_path(spark, bak)
+    if had_old:
+        delete_path(spark, bak)
 
 
 def leaf_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(leaf partition directories, parquet data files) under ``path``,
-    via one recursive ``listFiles`` — scheme-agnostic (an os.walk here
-    would pin maintenance accounting to the driver's local disk)."""
-    fs, hpath = _fs_and_path(spark, path)
-    if not fs.exists(hpath):
-        return 0, 0
-    dirs: set[str] = set()
-    n_files = 0
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        status = it.next()
-        name = status.getPath().getName()
-        if name.endswith(".parquet"):
-            n_files += 1
-            dirs.add(status.getPath().getParent().toString())
-    return len(dirs), n_files
+    """(leaf partition directories, parquet data files) under ``path``
+    — the fragmentation view for index/catalog maintenance cadence."""
+    _, n_parquet, dirs = _recursive_file_stats(spark, path)
+    return len(dirs), n_parquet
 
 
 def save_info(spark: SparkSession, full_path: str, data: str) -> None:
