@@ -25,9 +25,11 @@ from pyspark.sql import SparkSession
 # driver could both "win" the same lockfile. One mutex around the claim
 # attempt makes in-process claims atomic; it is held only for the
 # claim, never across the fenced work, so waiters still sleep-poll.
-# Cross-PROCESS atomicity comes from the filesystem itself: real on
-# HDFS (namenode-atomic create), advisory on local FS and S3A — both
-# single-driver deployments by contract (catalog module docstring).
+# Cross-PROCESS atomicity comes from the filesystem: local paths claim
+# via kernel-atomic os.O_EXCL (create_new_file dispatches on the
+# resolved scheme), HDFS via the namenode-atomic createNewFile; S3A has
+# no compare-and-set, so there the fence is advisory — single-writer by
+# deployment contract (catalog module docstring).
 _CLAIM_MUTEX = threading.Lock()
 
 
