@@ -73,10 +73,17 @@ from hbacker_spark.operators.similarity import (
 
 DEFAULT_SHARDS = 64
 
-# Bounded wait for the per-index mutation fence: ingest appends racing a
-# compact/scrub/rebuild sleep-poll up to this long, then raise loudly —
-# never silently lose rows under a concurrent directory swap.
+# Bounded waits for the per-index mutation fence. Maintenance ops
+# (compact/scrub/rebuild) racing each other keep a tight bound — two
+# concurrent maintenance drivers is a deployment bug to surface.
+# APPENDS wait much longer: an append acquires the fence FIRST and only
+# then reads the stored geometry, so waiting out a rebuild is strictly
+# safe (the append hashes under whatever geometry the maintenance op
+# left behind) — and a streaming ingest batch crashing because routine
+# maintenance held the lock 31s would be the worse failure. Same
+# asymmetry as the catalog's APPEND_FENCE_WAIT_S.
 INDEX_FENCE_WAIT_S = 30.0
+INDEX_APPEND_WAIT_S = 600.0
 
 _GEOMETRY_SCHEMA = (
     "kind string, n_planes int, n_tables int, n_centroids int, dim int, "
@@ -283,7 +290,7 @@ def append_lsh_index(
     exact duplicates, so the window is also space-repairable.
     """
     spark = df_new.sparkSession
-    with _mutation_fence(spark, index_path):
+    with _mutation_fence(spark, index_path, wait_s=INDEX_APPEND_WAIT_S):
         geo = read_geometry(spark, index_path)
         if geo["kind"] != "lsh":
             raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not lsh")
@@ -581,7 +588,7 @@ def append_ivf_index(
     and stream-scoped ``batch_id`` replay-idempotency contract as
     :func:`append_lsh_index`."""
     spark = df_new.sparkSession
-    with _mutation_fence(spark, index_path):
+    with _mutation_fence(spark, index_path, wait_s=INDEX_APPEND_WAIT_S):
         geo = read_geometry(spark, index_path)
         if geo["kind"] != "ivf":
             raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not ivf")
@@ -840,10 +847,12 @@ def rebuild_index(
     duplicate rows are dropped by vec_id first).
 
     Concurrency: the whole rebuild holds the per-index mutation fence
-    — a racing ingest append bounded-waits then raises
-    IndexContentionError rather than landing rows in the old directory
-    and losing them under the swap (quiesce or pause ingest for the
-    rebuild window). Open handles keep serving the OLD files until the
+    — a racing ingest append sleep-polls (INDEX_APPEND_WAIT_S, 10 min)
+    and then folds under the REBUILT geometry (it reads geometry only
+    after acquiring the fence), so ingest streams ride out a routine
+    rebuild with no pause; a rebuild longer than the append bound
+    surfaces as a loud IndexContentionError on the ingest side rather
+    than rows silently lost under the swap. Open handles keep serving the OLD files until the
     swap deletes them, after which their queries fail LOUDLY
     (FileNotFound) — reopen to serve the rebuilt geometry; the
     geometry ``version`` bump makes staleness probeable

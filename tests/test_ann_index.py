@@ -618,6 +618,7 @@ def test_index_mutation_fence_and_stale_handle(spark, embeddings, qvec, tmp_path
     # (a) scrub-during-ingest contract: hold the fence (as a stalled
     # ingest append would) and assert maintenance + appends fail loudly
     monkeypatch.setattr(AI, "INDEX_FENCE_WAIT_S", 0.5)
+    monkeypatch.setattr(AI, "INDEX_APPEND_WAIT_S", 0.5)
     assert storage.create_new_file(spark, f"{path}.lock")
     more = embeddings.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
     with pytest.raises(AI.IndexContentionError, match="single-writer"):
