@@ -12,10 +12,15 @@ Design choices vs the reference:
   name prefix (the SimpleDB variant, db.rb.old:309-447).
 - ``ended_at`` is nullable instead of the epoch-0 sentinel
   (db.rb.old:325) — NULL means "still running".
-- C2's in-place UPDATE becomes a read-modify-overwrite with an atomic
-  directory swap (single-writer, like the reference's single master;
-  export.rb:96) — ENFORCED by a lockfile fence spanning the read and
-  the swap: a racing second writer raises CatalogContentionError
+- C2's in-place UPDATE becomes a read-modify-overwrite published as a
+  new VERSIONED directory (r11; storage.commit_version): writers write
+  ``v000017/`` and publish it with one commit-marker create, readers
+  resolve the highest committed version with one listing and read
+  files that are never deleted until a newer version has committed —
+  wait-free reads on every scheme, no delete-then-rename window. The
+  single-writer contract (like the reference's single master;
+  export.rb:96) is ENFORCED by a lockfile fence spanning the read and
+  the commit: a racing second writer raises CatalogContentionError
   instead of silently losing an update. Plain appends take the same
   fence (bounded wait) so a row insert can't vanish under a concurrent
   swap (ADVICE r8). The reference's 10x3s retry loop
@@ -31,10 +36,17 @@ Design choices vs the reference:
   mysql.rb:107-139), so ours must accept an ``hdfs://``/``s3a://``/
   ``viewfs://`` root, not just the driver host's POSIX disk. The
   fence is ``FileSystem.createNewFile`` — atomic on local and HDFS.
-  S3A CAVEAT: object stores have no atomic create-if-absent, so on
-  ``s3a://`` the fence is advisory and the deployment must enforce a
-  single catalog writer externally (the same contract the reference's
-  single master process provided).
+  S3A CAVEAT, narrowed in r11: READS are now safe on object stores —
+  the commit marker is a single new-key PUT (atomic in visibility
+  under S3's strong read-after-write consistency), so readers always
+  see a whole committed version, never a torn or missing one. Only
+  the WRITER fence stays advisory there (no atomic create-if-absent;
+  storage.create_new_file warns once at runtime): two concurrent
+  writers can both commit, last version number wins, the loser's
+  update is lost loudly in version history — so multi-writer
+  deployments on pure object storage must still serialize catalog
+  writers externally (the same contract the reference's single
+  master process provided).
 
 At scale the catalog is millions of rows at most (one per table per
 session) — broadcastable by construction; payload data never flows
@@ -212,11 +224,32 @@ class Catalog:
         return storage.join_path(self.root, table)
 
     def read(self, table: str) -> DataFrame:
+        """Wait-free read (VERDICT r10 #1): resolve the current committed
+        version dir (one listing, no fence, no exceptions) and scan it.
+        The resolved files survive one full subsequent swap (commit_version
+        keep_previous=1), so a reader racing an end_info/compact swap
+        completes on the previous version instead of FileNotFound-ing;
+        legacy pre-r11 catalogs resolve to the table dir itself."""
         schema = _TABLES[table]
-        path = self._path(table)
+        path = storage.resolve_data_dir(self.spark, self._path(table))
         if not storage.exists(self.spark, path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
+
+    def _data_dir(self, table: str, create: bool = True) -> str:
+        """Current version dir for WRITERS (caller holds the fence). A
+        brand-new table is versioned from birth: create + commit an
+        empty v000000 so readers and appenders share one layout."""
+        path = self._path(table)
+        base = storage.resolve_data_dir(self.spark, path)
+        if base == path and not storage.exists(self.spark, path):
+            if not create:
+                return base
+            n, vdir = storage.begin_version(self.spark, path)
+            storage.mkdirs(self.spark, vdir)
+            storage.commit_version(self.spark, path, n)
+            return vdir
+        return base
 
     def _append_rows(self, table: str, rows: list[dict]) -> None:
         """Raw append — caller must hold :meth:`_swap_fence` on ``table``.
@@ -248,6 +281,7 @@ class Catalog:
         would encode — so that configuration routes to the Spark path,
         which is self-consistent under any zone."""
         schema = _TABLES[table]
+        base = self._data_dir(table)  # append INTO the current version
         utc_session = self.spark.conf.get("spark.sql.session.timeZone", "UTC") in ("UTC", "Etc/UTC")
         data = None
         if utc_session:
@@ -259,10 +293,10 @@ class Catalog:
             df = self.spark.createDataFrame(
                 [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
             )
-            df.coalesce(1).write.mode("append").parquet(self._path(table))
+            df.coalesce(1).write.mode("append").parquet(base)
             return
-        final = f"{self._path(table)}/part-{uuid.uuid4().hex}.parquet"
-        tmp = f"{self._path(table)}/.inflight-{uuid.uuid4().hex}.parquet"
+        final = f"{base}/part-{uuid.uuid4().hex}.parquet"
+        tmp = f"{base}/.inflight-{uuid.uuid4().hex}.parquet"
         storage.save_bytes(self.spark, tmp, data)
         storage.rename(self.spark, tmp, final)
 
@@ -310,17 +344,19 @@ class Catalog:
             yield
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
-        """Atomic-ish rewrite: write a fresh dir, then swap (C2's UPDATE
-        without Delta; temp-write + rename, never in-place — via the
-        Hadoop FileSystem API so any scheme works). Callers doing
-        read-modify-write must hold :meth:`_swap_fence` across the
-        READ as well — the swap alone being atomic does not stop two
-        writers from both basing their rewrite on the same old state."""
+        """Versioned rewrite (VERDICT r10 #1 — C2's UPDATE without Delta):
+        write the new state into the NEXT version dir, then publish it
+        with one commit-marker create. Readers mid-scan keep the
+        previous version's files (retired only by the swap after this
+        one), so the old delete-then-rename FileNotFound window is gone
+        on every scheme. Callers doing read-modify-write must hold
+        :meth:`_swap_fence` across the READ as well — the commit being
+        atomic does not stop two writers from both basing their rewrite
+        on the same old state."""
         path = self._path(table)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-        storage.swap_dir(self.spark, tmp, path, bak, allow_missing_old=True)
+        n, vdir = storage.begin_version(self.spark, path)
+        df.coalesce(1).write.mode("overwrite").parquet(vdir)
+        storage.commit_version(self.spark, path, n)
 
     def compact(self, table: str | None = None) -> dict[str, tuple[int, int]]:
         """Collapse append fragmentation in the catalog dirs.
@@ -341,13 +377,19 @@ class Catalog:
             )
         out: dict[str, tuple[int, int]] = {}
         for t in [table] if table else list(_TABLES):
-            path = self._path(t)
-            if not storage.exists(self.spark, path):
+            if not storage.exists(self.spark, self._path(t)):
                 continue
             with self._swap_fence(t, wait_s=FENCE_WAIT_S):
-                _, before = storage.dir_bytes_and_files(self.spark, path)
+                # count the CURRENT version only — the grace copy kept
+                # for in-flight readers (keep_previous=1) is not live
+                # fragmentation, it retires at the next swap
+                _, before = storage.dir_bytes_and_files(
+                    self.spark, storage.resolve_data_dir(self.spark, self._path(t))
+                )
                 self._overwrite(t, self.read(t))
-                _, after = storage.dir_bytes_and_files(self.spark, path)
+                _, after = storage.dir_bytes_and_files(
+                    self.spark, storage.resolve_data_dir(self.spark, self._path(t))
+                )
             out[t] = (before, after)
         return out
 

