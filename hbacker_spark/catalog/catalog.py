@@ -393,6 +393,26 @@ class Catalog:
             out[t] = (before, after)
         return out
 
+    def maintain(self, max_files_per_table: int = 8) -> dict[str, tuple[int, int]]:
+        """Apply the catalog's own maintenance policy (VERDICT r10 #4)
+        — the cron-able twin of ``maintain_index``: every fenced append
+        lands one metadata-sized parquet file, so a long-running fleet
+        accrues files; this compacts exactly the tables whose CURRENT
+        version holds more than ``max_files_per_table`` data files and
+        leaves the rest untouched, so a second call right after is a
+        no-op. Returns {table: (files_before, files_after)} for the
+        tables actually compacted."""
+        out: dict[str, tuple[int, int]] = {}
+        for t in list(_TABLES):
+            if not storage.exists(self.spark, self._path(t)):
+                continue
+            _, files = storage.dir_bytes_and_files(
+                self.spark, storage.resolve_data_dir(self.spark, self._path(t))
+            )
+            if files > max_files_per_table:
+                out.update(self.compact(t))
+        return out
+
     # ---- C1: session start -------------------------------------------------
     def start_info(
         self,

@@ -11,7 +11,7 @@ user API; every name here is driver-verified against a DuckDB oracle):
     python -m hbacker_spark queries [--tag dedup]
     python -m hbacker_spark run --name dedup_exact_groups --sf-dir DIR [--out P --format parquet]
     python -m hbacker_spark explain --name q6_forecast_revenue --sf-dir DIR
-    python -m hbacker_spark index health|compact|geometry|scrub|rebuild --index-path DIR
+    python -m hbacker_spark index health|compact|geometry|scrub|rebuild|maintain --index-path DIR
 
 Differences from the reference, on purpose: no beanstalkd/worker/Stargate
 wiring (cli.rb:329-389's setup of queue + REST + MySQL collapses into one
@@ -99,9 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(geometry-drift check, zero data scans) / compact "
         "(append-fragmentation rewrite) / geometry (print the stored row) "
         "/ scrub (right-to-be-forgotten: drop ids listed in a parquet) "
-        "/ rebuild (geometry-drift remediation: auto-resize + atomic swap)",
+        "/ rebuild (geometry-drift remediation: auto-resize + atomic swap) "
+        "/ maintain (apply health's own recommendations: rebuild on "
+        "geometry drift — which also defragments — else compact on "
+        "append fragmentation, else no-op; the cron-able entry point)",
     )
-    idx.add_argument("action", choices=["health", "compact", "geometry", "scrub", "rebuild"])
+    idx.add_argument("action", choices=["health", "compact", "geometry", "scrub", "rebuild", "maintain"])
     idx.add_argument("--index-path", required=True)
     idx.add_argument(
         "--forget-ids", default=None,
@@ -109,9 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     idx.add_argument(
         "--corpus", default=None,
-        help="rebuild only: parquet of the corpus vectors (required for LSH; "
-        "optional for store_vectors=True IVF indexes, which rebuild from "
-        "their own lists)",
+        help="rebuild/maintain: parquet of the corpus vectors (required when "
+        "a rebuild fires on an LSH index; optional for store_vectors=True "
+        "IVF indexes, which rebuild from their own lists)",
     )
     idx.add_argument("--id-col", default="vec_id")
     idx.add_argument("--vec-col", default="embedding")
@@ -214,10 +217,11 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             forget = spark.read.parquet(args.forget_ids)
             print(json.dumps(AI.scrub_index(spark, args.index_path, forget)))
-        elif args.action == "rebuild":
+        elif args.action in ("rebuild", "maintain"):
             corpus = spark.read.parquet(args.corpus) if args.corpus else None
+            fn = AI.rebuild_index if args.action == "rebuild" else AI.maintain_index
             try:
-                print(json.dumps(AI.rebuild_index(
+                print(json.dumps(fn(
                     spark, args.index_path, corpus,
                     id_col=args.id_col, vec_col=args.vec_col,
                 )))

@@ -205,6 +205,7 @@ class SnapshotStore:
         table_names: list[str],
         job,
         max_concurrent: int = 1,
+        fail_fast: bool = False,
     ) -> dict:
         """Bounded per-table concurrency (VERDICT r9 #2) — the Spark
         analog of the reference's 4-16 worker processes pulling one
@@ -225,18 +226,37 @@ class SnapshotStore:
 
         ``max_concurrent<=1`` preserves the serial contract exactly:
         fail-fast at the first table error. With a pool, every
-        submitted table runs to completion (each failure is recorded
-        on its own catalog row by the per-table job — the reference's
-        'bury' path), then the FIRST error in table order re-raises so
-        the session brackets as errored. Returns {table: job result}
-        for the tables that succeeded.
+        submitted table runs to completion by default (each failure is
+        recorded on its own catalog row by the per-table job — the
+        reference's 'bury' path; one poisoned table must not strand
+        the rest of the fleet), then the FIRST error in table order
+        re-raises so the session brackets as errored. Returns
+        {table: job result} for the tables that succeeded.
+
+        ``fail_fast=True`` (ADVICE r10) flips the contract for runs
+        where an error is likely SYSTEMIC (unreachable dest_root, bad
+        credentials): the first observed failure cancels every
+        not-yet-started table so a thousands-of-tables run surfaces
+        the problem in one job's time, not the whole fleet's; tables
+        already in flight still finish (their snapshot dirs and
+        catalog rows stay consistent). Either way, any re-raised
+        exception carries ``succeeded`` ({table: result} completed
+        before the raise) and ``skipped`` (cancelled tables) so
+        callers can resume the remainder instead of redoing the run.
         """
         results: dict = {}
         if max_concurrent <= 1:
             for t in table_names:
-                results[t] = job(t)
+                try:
+                    results[t] = job(t)
+                except Exception as ex:
+                    ex.succeeded = dict(results)  # resume map (ADVICE r10)
+                    ex.skipped = [
+                        n for n in table_names if n != t and n not in results
+                    ]
+                    raise
             return results
-        import concurrent.futures
+        import concurrent.futures as cf
 
         sc = self.spark.sparkContext
 
@@ -247,15 +267,26 @@ class SnapshotStore:
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)
 
-        with concurrent.futures.ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        with cf.ThreadPoolExecutor(max_workers=max_concurrent) as pool:
             futures = {t: pool.submit(run, t) for t in table_names}
+            if fail_fast:
+                done, pending = cf.wait(
+                    futures.values(), return_when=cf.FIRST_EXCEPTION
+                )
+                if any(f.exception() for f in done if not f.cancelled()):
+                    for f in pending:
+                        f.cancel()  # in-flight tables still finish
+        skipped = [t for t in table_names if futures[t].cancelled()]
         for t in table_names:
-            ex = futures[t].exception()
-            if ex is None:
+            if t not in skipped and futures[t].exception() is None:
                 results[t] = futures[t].result()
         for t in table_names:
+            if t in skipped:
+                continue
             ex = futures[t].exception()
             if ex is not None:
+                ex.succeeded = dict(results)  # resume map (ADVICE r10)
+                ex.skipped = skipped
                 raise ex
         return results
 
@@ -271,6 +302,7 @@ class SnapshotStore:
         descriptors: dict[str, list[dict]] | None = None,
         resume: bool = False,
         max_concurrent: int = 1,
+        fail_fast: bool = False,
     ) -> None:
         """Export#specified_tables (export.rb:68-97): C1 start_info →
         per-table export → C2 end_info, with error capture on the way out
@@ -291,6 +323,7 @@ class SnapshotStore:
                     column_descriptors=(descriptors or {}).get(t), resume=resume,
                 ),
                 max_concurrent=max_concurrent,
+                fail_fast=fail_fast,
             )
         except Exception as ex:  # noqa: BLE001
             self.catalog.end_info(
@@ -351,6 +384,7 @@ class SnapshotStore:
         versions: int = DEFAULT_VERSIONS,
         descriptors: dict[str, list[dict]] | None = None,
         max_concurrent: int = 1,
+        fail_fast: bool = False,
     ) -> None:
         """Next start = previous recorded end per table
         (docs/…HBASE-1684.txt:40-58); tables never exported start at 0
@@ -376,6 +410,7 @@ class SnapshotStore:
                     column_descriptors=(descriptors or {}).get(t),
                 ),
                 max_concurrent=max_concurrent,
+                fail_fast=fail_fast,
             )
         except Exception as ex:  # noqa: BLE001
             self.catalog.end_info(
@@ -436,6 +471,7 @@ class SnapshotStore:
         pattern: str | None = None,
         restore_empty_tables: bool = False,
         max_concurrent: int = 1,
+        fail_fast: bool = False,
     ) -> dict[str, DataFrame]:
         """Import#specified_tables (import.rb:46-90): resolve the exported
         list from the catalog (C5), validate requested ⊆ exported (S10 —
@@ -468,6 +504,7 @@ class SnapshotStore:
                     restore_empty_tables=restore_empty_tables,
                 ),
                 max_concurrent=max_concurrent,
+                fail_fast=fail_fast,
             )
         except Exception as ex:  # noqa: BLE001
             self.catalog.end_info(

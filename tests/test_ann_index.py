@@ -670,6 +670,57 @@ def test_rebuild_ivf_corpus_free_from_stored_vectors(spark, embeddings, qvec, tm
         rebuild_index(spark, lsh_path)
 
 
+def test_maintain_index_applies_health_policy(spark, embeddings, qvec, tmp_path):
+    """VERDICT r10 #4: one maintain call applies index_health's own
+    recommendations — an index grown past BOTH thresholds (geometry
+    drift + append fragmentation) comes back clean from a single call
+    (the rebuild path also defragments: one file per partition dir,
+    so a prior compact pass would be a wasted full rewrite at scale);
+    the streaming replay watermark survives; an immediate second call
+    is a no-op, so a cron cadence needs no external state."""
+    from hbacker_spark.operators.ann_index import (
+        append_lsh_index,
+        index_health,
+        maintain_index,
+    )
+
+    corpus = _replica(embeddings, 10)  # 5000 rows: auto planes 4 -> 5
+    head = corpus.filter(F.col("vec_id") < 500)
+    path = str(tmp_path / "lsh_maintain")
+    build_lsh_index(head, path, n_shards=4)
+    # 6 small appends: past BOTH thresholds (plane drift + >4 files/dir)
+    for i in range(6):
+        lo, hi = 500 + i * 750, 500 + (i + 1) * 750
+        append_lsh_index(
+            corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path, batch_id=i, stream_id="ckpt-M",
+        )
+    health = index_health(spark, path)
+    assert health["reindex_recommended"] and health["compact_recommended"]
+
+    out = maintain_index(spark, path, corpus)
+    assert out["actions"] == ["rebuild"]
+    after = out["health_after"]
+    assert not after["reindex_recommended"] and not after["compact_recommended"]
+    geo = read_geometry(spark, path)
+    assert geo["last_batch_id"] == 5 and geo["last_stream_id"] == "ckpt-M"
+
+    again = maintain_index(spark, path, corpus)
+    assert again["actions"] == []  # idempotent: clean index untouched
+    assert read_geometry(spark, path)["version"] == geo["version"]
+
+    # fragmentation-only drift → the cheaper compact path fires
+    frag = str(tmp_path / "lsh_frag_only")
+    build_lsh_index(corpus, frag, n_shards=4)
+    for i in range(6):
+        append_lsh_index(corpus.filter(F.col("vec_id") % 400 == i), frag)
+    h = index_health(spark, frag)
+    assert h["compact_recommended"] and not h["reindex_recommended"]
+    out = maintain_index(spark, frag)
+    assert out["actions"] == ["compact"]
+    assert not out["health_after"]["compact_recommended"]
+
+
 def test_index_mutation_fence_and_stale_handle(spark, embeddings, qvec, tmp_path, monkeypatch):
     """VERDICT r9 #6: (a) any mutator racing a held fence raises
     IndexContentionError after the bounded wait — an ingest append can

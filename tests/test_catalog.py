@@ -415,3 +415,22 @@ def test_catalog_compact_collapses_append_files(spark, catalog):
     import os as _os
 
     assert not _os.path.exists(f"{tables_path}.lock")
+
+
+def test_catalog_maintain_policy(spark, catalog):
+    """VERDICT r10 #4: Catalog.maintain() compacts exactly the tables
+    whose current version has outgrown the file threshold and is a
+    no-op right after — the cron-able policy over compact()."""
+    from hbacker_spark.sources.storage import dir_bytes_and_files, resolve_data_dir
+
+    for i in range(10):
+        _start(catalog, f"201102{i:02d}_000000")
+    # sessions: 10 append files (> 8 threshold); tables: untouched
+    out = catalog.maintain()
+    assert set(out) == {"sessions"}
+    assert out["sessions"][0] == 10 and out["sessions"][1] == 1
+    cur = resolve_data_dir(spark, catalog._path("sessions"))
+    assert dir_bytes_and_files(spark, cur)[1] == 1
+    assert catalog.read("sessions").count() == 10
+
+    assert catalog.maintain() == {}  # idempotent: nothing over threshold

@@ -216,6 +216,14 @@ def test_cli_index_ops(spark, tmp_path):
     )
     assert r["kind"] == "lsh" and r["n_rows"] == 200 and r["version"] >= 1
 
+    # maintain (VERDICT r10 #4): the cron-able policy entry point — a
+    # just-rebuilt index is clean, so maintain is a no-op
+    m = json.loads(
+        run_cli("index", "maintain", "--index-path", path, "--corpus", corpus)
+        .stdout.splitlines()[-1]
+    )
+    assert m["actions"] == [] and not m["health_after"]["reindex_recommended"]
+
 
 def test_csv_safe_stringifies_unwritable_columns(spark, tmp_path):
     """`run --format csv` must work for queries with container/binary

@@ -577,3 +577,46 @@ def test_full_backup_cycle_on_nonlocal_scheme(spark, tmp_path):
     assert storage.exists(
         spark, f"{dest}/20110401_000000/vt1_export_log.txt"
     )
+
+
+def test_fail_fast_cancels_pending_and_attaches_resume_map(spark, store, dest, monkeypatch):
+    """ADVICE r10: with fail_fast=True a SYSTEMIC failure (every table
+    would hit it) cancels the not-yet-started tail of the fleet instead
+    of grinding a thousands-of-tables run to completion first; the
+    raised exception carries the succeeded map + skipped list so the
+    caller can resume the remainder. Default (bury) behavior is pinned
+    by test_concurrent_export_error_still_completes_others."""
+    import threading
+    import pytest as _pytest
+
+    cells = make_cells(spark)
+    started: list[str] = []
+    lock = threading.Lock()
+    orig = SnapshotStore._write_snapshot
+
+    def systemic(self, snap, dest_path):
+        with lock:
+            started.append(dest_path)
+        if "t00" not in dest_path:
+            raise ConnectionRefusedError("dest_root unreachable")
+        return orig(self, snap, dest_path)
+
+    monkeypatch.setattr(SnapshotStore, "_write_snapshot", systemic)
+    tables = {f"t{i:02d}": cells for i in range(12)}
+    with _pytest.raises(Exception) as ei:
+        store.export_tables(
+            tables, dest, "20110501_000000", 0, T3,
+            max_concurrent=2, fail_fast=True,
+        )
+    ex = ei.value
+    # resume metadata attached (ADVICE r10): succeeded dict + skipped list
+    assert hasattr(ex, "succeeded") and hasattr(ex, "skipped")
+    assert set(ex.succeeded) | set(ex.skipped) <= set(tables)
+    # the fleet stopped early: some tables were never even started
+    assert ex.skipped, "fail_fast should cancel the not-yet-started tail"
+    assert len(started) < len(tables)
+    # session bracketed as errored (same contract as the bury path)
+    sess = store.catalog.session_info("export").filter(
+        F.col("session_name") == "20110501_000000"
+    ).collect()[0]
+    assert sess["error"] is True
