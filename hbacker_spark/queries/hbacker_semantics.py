@@ -19,6 +19,8 @@ rank-limit windows to WindowGroupLimit (partial top-k map-side).
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -256,6 +258,199 @@ def snapshot_diff_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("v1_status").isNull()) | (F.col("v1_status") != F.col("v2_status")))
     )
+
+
+# ---------------------------------------------------------------------------
+# C8/C10 driver-visible receipts (VERDICT r10 #2): the catalog READ
+# family, exercised against a REAL Catalog seeded through the real
+# C1/C2/C3 write paths (start_info / end_info / exported_table_info —
+# fenced appends, versioned-dir commits, parquet round-trip) from a
+# deterministic mapping of the region/nation tables; the DuckDB oracle
+# regenerates the same state in pure SQL over the same tables, so the
+# value-hash gate checks the whole write→store→read→project pipeline.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_EPOCH = datetime(2024, 1, 1, 0, 0, 0)
+_CATALOG_FIXTURE: dict[str, str] = {}  # sf_dir → seeded catalog root (per process)
+
+
+def _descriptor_rows(n: int) -> list[dict]:
+    """Deterministic column-family descriptors for nation key ``n`` —
+    mixes present and absent attrs so C8's nil-drop has work to do.
+    The SQL twin of each formula lives in the C8 oracle below; change
+    them together."""
+    return [
+        {
+            "name": f"cf{n % 3}",
+            "blockcache": "on" if n % 2 == 0 else None,
+            "blocksize": n * 1024 if n % 3 != 0 else None,
+            "bloomfilter": "ROW" if n % 5 != 0 else None,
+            "compression": "GZ" if n % 4 != 0 else None,
+            "block_cache": (n % 2 == 0) if n % 6 != 0 else None,
+            "max_versions": n % 7 + 1,
+            "in_memory": n % 3 == 0,
+            "versions": n if n % 6 != 0 else None,
+            "length": n * 10 if n % 2 == 0 else None,
+            "ttl": n * 60 if n % 5 != 0 else None,
+        }
+    ]
+
+
+def seeded_catalog(spark: SparkSession, sf_dir: str):
+    """One seeded Catalog per (process, sf_dir): 5 sessions (one per
+    region; even-keyed ones C2-ended, region 4 errored) and 25 table
+    rows + descriptor children (one per nation) written through the
+    real fenced write paths. Metadata-sized by construction — the
+    catalog never carries payload data (module docstring), so seeding
+    is a handful of ~10ms appends plus three C2 swaps."""
+    import tempfile
+
+    from hbacker_spark.catalog.catalog import Catalog
+
+    root = _CATALOG_FIXTURE.get(sf_dir)
+    if root is not None:
+        return Catalog(spark, root)
+    root = tempfile.mkdtemp(prefix="hbacker_catalog_fixture_")
+    cat = Catalog(spark, root)
+    regions = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, sf_dir, "region").collect()
+    }
+    nations = sorted(
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in load_table(spark, sf_dir, "nation").collect()
+    )
+    sess_name = {rk: f"202401{rk + 1:02d}_000000" for rk in regions}
+    dest = {rk: f"file:///exports/r{rk}" for rk in regions}
+    for rk in sorted(regions):
+        cat.start_info(
+            "export", f"cluster_{rk}", sess_name[rk], dest[rk],
+            specified_start=0, specified_end=rk * 1000,
+            started_at=_FIXTURE_EPOCH + timedelta(hours=rk),
+        )
+    for n, name, rk in nations:
+        cat.exported_table_info(
+            table_name=name.strip().lower(),
+            session_name=sess_name[rk],
+            start_time=n * 1000,
+            end_time=n * 1000 + 500,
+            versions=n % 7 + 1,
+            column_descriptors=_descriptor_rows(n),
+            empty=n % 5 == 0,
+            error=n % 7 == 0,
+            error_info="seeded failure" if n % 7 == 0 else None,
+            dest_root=dest[rk],
+        )
+    for rk in sorted(regions):
+        if rk % 2 == 0:  # odd-keyed sessions stay "running" (NULL ended_at)
+            cat.end_info(
+                "export", f"cluster_{rk}", sess_name[rk], dest[rk],
+                ended_at=_FIXTURE_EPOCH + timedelta(hours=rk, minutes=30),
+                error=rk == 4,
+                error_info="seeded session failure" if rk == 4 else None,
+                wait=True,
+            )
+    _CATALOG_FIXTURE[sf_dir] = root
+    return cat
+
+
+_C8_ATTRS_SQL = """concat_ws(',',
+      CASE WHEN n_nationkey % 2 = 0 THEN 'blockcache=on' END,
+      CASE WHEN n_nationkey % 3 <> 0
+           THEN 'blocksize=' || CAST(CAST(n_nationkey AS BIGINT) * 1024 AS VARCHAR) END,
+      CASE WHEN n_nationkey % 5 <> 0 THEN 'bloomfilter=ROW' END,
+      CASE WHEN n_nationkey % 4 <> 0 THEN 'compression=GZ' END,
+      CASE WHEN n_nationkey % 6 <> 0
+           THEN 'block_cache=' || CAST(n_nationkey % 2 = 0 AS VARCHAR) END,
+      'max_versions=' || CAST(n_nationkey % 7 + 1 AS VARCHAR),
+      'in_memory=' || CAST(n_nationkey % 3 = 0 AS VARCHAR),
+      CASE WHEN n_nationkey % 6 <> 0
+           THEN 'versions=' || CAST(n_nationkey AS VARCHAR) END,
+      CASE WHEN n_nationkey % 2 = 0
+           THEN 'length=' || CAST(CAST(n_nationkey AS BIGINT) * 10 AS VARCHAR) END,
+      CASE WHEN n_nationkey % 5 <> 0
+           THEN 'ttl=' || CAST(CAST(n_nationkey AS BIGINT) * 60 AS VARCHAR) END)"""
+
+
+@register(
+    "catalog_descriptor_projection",
+    oracle=f"""
+    SELECT lower(trim(n_name)) AS table_name,
+           'cf' || CAST(n_nationkey % 3 AS VARCHAR) AS cf_name,
+           {_C8_ATTRS_SQL} AS attrs
+    FROM nation
+    """,
+    tags=("hbacker", "catalog"),
+    doc="C8: descriptor whitelist projection with nil-drop "
+    "(mysql.rb:324-337; stargate.rb:36-44 AVAILABLE_OPTS) over a REAL "
+    "seeded catalog — attrs is the canonical 'k=v' rendering of the "
+    "non-null whitelisted options in whitelist order; concat_ws's "
+    "null-skipping IS the nil-drop, in both engines. The Spark side "
+    "reads the catalog parquet through Catalog.read (fenced appends, "
+    "versioned-dir resolve), so the driver hash checks the storage "
+    "round-trip, not just the projection.",
+)
+def catalog_descriptor_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.catalog.catalog import DESCRIPTOR_ATTRS
+
+    cat = seeded_catalog(spark, sf_dir)
+    cds = cat.read("column_descriptors").filter(F.col("mode") == "export")
+    pieces = [
+        F.when(
+            F.col(a).isNotNull(), F.concat(F.lit(f"{a}="), F.col(a).cast("string"))
+        )
+        for a in DESCRIPTOR_ATTRS
+    ]
+    return cds.select(
+        F.col("table_name"),
+        F.col("name").alias("cf_name"),
+        F.concat_ws(",", *pieces).alias("attrs"),
+    )
+
+
+@register(
+    "catalog_session_table_report",
+    oracle="""
+    WITH s AS (
+      SELECT r_regionkey AS rk,
+             '202401' || CASE WHEN r_regionkey + 1 < 10
+                              THEN '0' || CAST(r_regionkey + 1 AS VARCHAR)
+                              ELSE CAST(r_regionkey + 1 AS VARCHAR) END
+                      || '_000000' AS session_name,
+             'cluster_' || CAST(r_regionkey AS VARCHAR) AS cluster_name,
+             'file:///exports/r' || CAST(r_regionkey AS VARCHAR) AS dest_root,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + r_regionkey * INTERVAL 1 HOUR AS started_at,
+             CASE WHEN r_regionkey % 2 = 0
+                  THEN TIMESTAMP '2024-01-01 00:30:00'
+                    + r_regionkey * INTERVAL 1 HOUR END AS ended_at,
+             (r_regionkey = 4) AS session_error
+      FROM region),
+    t AS (
+      SELECT n_regionkey AS rk,
+             lower(trim(n_name)) AS table_name,
+             CAST(n_nationkey AS BIGINT) * 1000 AS start_time,
+             CAST(n_nationkey AS BIGINT) * 1000 + 500 AS end_time,
+             (n_nationkey % 5 = 0) AS empty,
+             (n_nationkey % 7 = 0) AS table_error
+      FROM nation)
+    SELECT s.session_name, s.cluster_name, s.dest_root, s.started_at,
+           s.ended_at, s.session_error,
+           t.table_name, t.start_time, t.end_time, t.empty, t.table_error
+    FROM s LEFT JOIN t ON s.rk = t.rk
+    """,
+    tags=("hbacker", "catalog", "join"),
+    doc="C10: the nested session → table report (cli.rb:287-322) as "
+    "Catalog.session_report's single left join over a REAL seeded "
+    "catalog — C1 start rows, C2 point-updates (ended/errored vs "
+    "still-running NULLs), C3 table children with the composite "
+    "(session, dest_root) chain key. The oracle regenerates the "
+    "expected report from region/nation, so the hash pins the whole "
+    "C1→C2→C3→C10 lifecycle through storage.",
+)
+def catalog_session_table_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = seeded_catalog(spark, sf_dir)
+    return cat.session_report("export")
 
 
 ZORDER_BITS = 16
