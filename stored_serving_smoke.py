@@ -112,7 +112,10 @@ def main():
     ivf_idx, ivf_open_s = _timed(lambda: StoredIvfIndex(spark, ivf_path))
 
     # directory accounting: probed (table, shard) dirs vs total
-    sig_root = f"{lsh_path}/signatures"
+    # (r11 versioned layout: the geometry's data_version names the dir)
+    from hbacker_spark.operators.ann_index import index_data_dir
+
+    sig_root = index_data_dir(lsh_path, geo)
     total_lsh_dirs = sum(
         1
         for t in os.listdir(sig_root)
@@ -122,7 +125,7 @@ def main():
     )
     total_ivf_dirs = sum(
         1
-        for d in os.listdir(f"{ivf_path}/assignments")
+        for d in os.listdir(index_data_dir(ivf_path, ivf_geo))
         if d.startswith("centroid_id=")
     )
 
