@@ -307,9 +307,11 @@ def normalized_ratio(now: dict, then: dict) -> float | None:
     None when either artifact predates the calibration stamp."""
     c_now = [now.get("calibration_sec"), now.get("calibration_mid_sec")]
     c_then = [then.get("calibration_sec"), then.get("calibration_mid_sec")]
-    c_now = [c for c in c_now if c]
-    c_then = [c for c in c_then if c]
-    if not c_now or not c_then or not then.get("value"):
+    # a calibration can legitimately round to 0.0 only if the kernel ran
+    # sub-millisecond — treat <=0 as unusable rather than skewing drift
+    c_now = [c for c in c_now if c is not None and c > 0]
+    c_then = [c for c in c_then if c is not None and c > 0]
+    if not c_now or not c_then or not now.get("value") or not then.get("value"):
         return None
     drift = (sum(c_now) / len(c_now)) / (sum(c_then) / len(c_then))
     return round((now["value"] / then["value"]) / drift, 3)

@@ -236,15 +236,13 @@ class Catalog:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(path)
 
-    def _data_dir(self, table: str, create: bool = True) -> str:
+    def _data_dir(self, table: str) -> str:
         """Current version dir for WRITERS (caller holds the fence). A
         brand-new table is versioned from birth: create + commit an
         empty v000000 so readers and appenders share one layout."""
         path = self._path(table)
         base = storage.resolve_data_dir(self.spark, path)
         if base == path and not storage.exists(self.spark, path):
-            if not create:
-                return base
             n, vdir = storage.begin_version(self.spark, path)
             storage.mkdirs(self.spark, vdir)
             storage.commit_version(self.spark, path, n)

@@ -209,34 +209,55 @@ def index_data_dir(index_path: str, geo: dict, sub: str | None = None) -> str:
     return storage.version_dir(base, int(dv)) if dv is not None else base
 
 
+def _live_data_version(spark: SparkSession, index_path: str) -> int | None:
+    """The data version the CURRENT geometry points at (None when no
+    readable geometry exists or the index is legacy-rooted) — captured
+    by every mutation BEFORE it writes, so retirement can keep exactly
+    the directory in-flight readers are on (see _retire_data_versions).
+    Broad catch on purpose: a fresh path, a foreign/unreadable geometry,
+    or a quant mismatch all mean "no committed version to protect"."""
+    try:
+        dv = read_geometry(spark, index_path).get("data_version")
+        return int(dv) if dv is not None else None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _layout(geo: dict) -> tuple[str, str | None, list[str]]:
+    """(data subdir, within-partition sort column, partition columns)
+    for the index kind — the one dispatch compact/scrub share."""
+    if geo["kind"] == "lsh":
+        return "signatures", "bucket", ["table_idx", "shard"]
+    return "assignments", None, ["centroid_id"]
+
+
 def _retire_data_versions(
-    spark: SparkSession, base: str, current: int, keep_previous: int = 1
+    spark: SparkSession, base: str, current: int, keep: int | None
 ) -> None:
     """Drop data version dirs the grace window no longer needs — the
     unmarked-dir twin of storage.commit_version's retirement (data dirs
-    need no markers: geometry's ``data_version`` IS the commit). Keeps
-    the newest ``keep_previous`` versions below ``current`` so a reader
-    that resolved geometry just before the cutover finishes its scan;
-    legacy root entries (pre-r11 partition dirs) retire once a full
-    grace copy exists below ``current``. Caller holds the fence."""
-    import re as _re
+    need no markers: geometry's ``data_version`` IS the commit).
 
+    ``keep`` is the version the PRE-mutation geometry pointed at — the
+    one directory in-flight readers and pre-open handles resolved, so
+    the one the one-swap grace contract protects. It must be named
+    EXPLICITLY (r11 review): "newest below current" is wrong the first
+    mutation after a crash, when an unmarked debris dir from the failed
+    writer outnumbers the real live version — keeping by number would
+    preserve the debris and delete the directory readers are actually
+    on. Every other version dir below ``current`` (older grace, crashed
+    debris) is dropped; ``keep=None`` means the pre-mutation data lived
+    at the LEGACY root, so legacy entries are the grace copy and stay —
+    once a committed version is the live one (``keep`` is a number),
+    their grace has expired and they retire. Caller holds the fence."""
     entries = storage.list_path(spark, base)
-    vre = _re.compile(r"^v(\d{6})$")
-    below = sorted(
-        int(m.group(1))
-        for e in entries
-        if (m := vre.match(e["name"])) and int(m.group(1)) < current
-    )
-    keep = set(below[-keep_previous:]) if keep_previous else set()
-    legacy_retirable = len(below) >= keep_previous
     for e in entries:
-        m = vre.match(e["name"])
+        m = storage._VERSION_RE.match(e["name"])  # one regex, one layout
         if m:
             k = int(m.group(1))
-            if k < current and k not in keep:
+            if k != current and k != keep:
                 storage.delete_path(spark, storage.join_path(base, e["name"]))
-        elif legacy_retirable:
+        elif keep is not None:
             storage.delete_path(spark, storage.join_path(base, e["name"]))
 
 
@@ -299,6 +320,7 @@ def _build_lsh_under_fence(
     in-flight readers, older ones retired (VERDICT r10 #1). ``carry``
     lets rebuild preserve the streaming watermark fields."""
     spark = df.sparkSession
+    old_dv = _live_data_version(spark, index_path)
     n_rows = df.count()
     if n_planes is None:
         n_planes = recommended_planes(n_rows)
@@ -325,7 +347,7 @@ def _build_lsh_under_fence(
     }
     geo.update(carry or {})
     _write_geometry(spark, index_path, geo)
-    _retire_data_versions(spark, f"{index_path}/signatures", dv)
+    _retire_data_versions(spark, f"{index_path}/signatures", dv, old_dv)
     return geo
 
 
@@ -620,6 +642,7 @@ def _build_ivf_under_fence(
     from hbacker_spark.operators.similarity import _seed_centroids, train_ivf_centroids
 
     spark = df.sparkSession
+    old_dv = _live_data_version(spark, index_path)
     n_rows = df.count()
     if n_centroids is None:
         n_centroids = recommended_centroids(n_rows)
@@ -658,8 +681,8 @@ def _build_ivf_under_fence(
     }
     geo.update(carry or {})
     _write_geometry(spark, index_path, geo)
-    _retire_data_versions(spark, f"{index_path}/assignments", dv)
-    _retire_data_versions(spark, f"{index_path}/centroids", dv)
+    _retire_data_versions(spark, f"{index_path}/assignments", dv, old_dv)
+    _retire_data_versions(spark, f"{index_path}/centroids", dv, old_dv)
     return geo
 
 
@@ -849,9 +872,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     snapshot compaction."""
     with _mutation_fence(spark, index_path):
         geo = read_geometry(spark, index_path)
-        sub = _data_sub(geo)
-        sort_col = "bucket" if geo["kind"] == "lsh" else None
-        part_cols = ["table_idx", "shard"] if geo["kind"] == "lsh" else ["centroid_id"]
+        sub, sort_col, part_cols = _layout(geo)
         old_dir = index_data_dir(index_path, geo)
         _, before = storage.leaf_dir_stats(spark, old_dir)
         # dropDuplicates repairs the streaming replay window (a
@@ -866,12 +887,13 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         df.write.mode("overwrite").partitionBy(*part_cols).parquet(vdir)
         if geo["kind"] == "ivf":
             _carry_centroids(spark, index_path, geo, dv)
+        old_dv = geo.get("data_version")
         geo["version"] = int(geo.get("version") or 0) + 1
         geo["data_version"] = dv
         _write_geometry(spark, index_path, geo)
-        _retire_data_versions(spark, f"{index_path}/{sub}", dv)
+        _retire_data_versions(spark, f"{index_path}/{sub}", dv, old_dv)
         if geo["kind"] == "ivf":
-            _retire_data_versions(spark, f"{index_path}/centroids", dv)
+            _retire_data_versions(spark, f"{index_path}/centroids", dv, old_dv)
         _, after = storage.leaf_dir_stats(spark, vdir)
     return {"kind": geo["kind"], "files_before": before, "files_after": after}
 
@@ -914,9 +936,7 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     """
     with _mutation_fence(spark, index_path):
         geo = read_geometry(spark, index_path)
-        sub = _data_sub(geo)
-        sort_col = "bucket" if geo["kind"] == "lsh" else None
-        part_cols = ["table_idx", "shard"] if geo["kind"] == "lsh" else ["centroid_id"]
+        sub, sort_col, part_cols = _layout(geo)
         old_dir = index_data_dir(index_path, geo)
         df = spark.read.parquet(old_dir)
         before = df.count()
@@ -934,13 +954,14 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
         if geo["kind"] == "ivf":
             _carry_centroids(spark, index_path, geo, dv)
         after = spark.read.parquet(vdir).count()
+        old_dv = geo.get("data_version")
         geo["n_rows"] = max(0, int(geo["n_rows"] or 0) - removed_ids)
         geo["version"] = int(geo.get("version") or 0) + 1
         geo["data_version"] = dv
         _write_geometry(spark, index_path, geo)
-        _retire_data_versions(spark, f"{index_path}/{sub}", dv)
+        _retire_data_versions(spark, f"{index_path}/{sub}", dv, old_dv)
         if geo["kind"] == "ivf":
-            _retire_data_versions(spark, f"{index_path}/centroids", dv)
+            _retire_data_versions(spark, f"{index_path}/centroids", dv, old_dv)
     return {
         "kind": geo["kind"],
         "rows_before": before,

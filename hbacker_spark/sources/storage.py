@@ -188,7 +188,19 @@ def path_fence(
             h = read_info(spark, lock_path).strip()
         except Exception:  # noqa: BLE001 — holder info is best-effort
             h = "<unreadable>"
-        return h, _holder_age_s(h)
+        age = _holder_age_s(h)
+        if age is None:
+            # stamp-less lock: the holder crashed BETWEEN the atomic
+            # claim and writing its pid/timestamp stamp — exactly the
+            # crash class the TTL exists for (r11 review), so fall back
+            # to the lockfile's own modification time for the age
+            try:
+                fs, hpath = _fs_and_path(spark, lock_path)
+                mtime_ms = fs.getFileStatus(hpath).getModificationTime()
+                age = max(0.0, time.time() - mtime_ms / 1000.0)
+            except Exception:  # noqa: BLE001 — lock vanished mid-probe
+                age = None
+        return h, age
 
     while not claim():
         if stale_ttl_s is not None:

@@ -670,6 +670,38 @@ def test_rebuild_ivf_corpus_free_from_stored_vectors(spark, embeddings, qvec, tm
         rebuild_index(spark, lsh_path)
 
 
+def test_crashed_mutation_debris_never_eats_grace_copy(spark, embeddings, qvec, tmp_path):
+    """r11 review regression: retirement must keep the data version the
+    PRE-mutation geometry pointed at, not the newest-by-number dir — a
+    crashed writer's unmarked debris dir outnumbers the live version,
+    and keeping by number would preserve the debris while deleting the
+    directory every in-flight reader and stale handle is actually on."""
+    import os
+
+    from hbacker_spark.operators import ann_index as AI
+    from hbacker_spark.sources import storage
+
+    path = str(tmp_path / "lsh_debris")
+    build_lsh_index(embeddings.filter(F.col("vec_id") < 300), path,
+                    n_planes=4, n_shards=2)              # data v0
+    AI.compact_index(spark, path)                        # live v1, v0 grace
+    handle = AI.StoredLshIndex(spark, path)              # serving v1
+    before = _rows(handle.topk(embeddings, qvec, k=5))
+
+    # a mutation "crashes" after writing data, before the geometry
+    # commit: unmarked debris at the next version number
+    storage.mkdirs(spark, storage.version_dir(f"{path}/signatures", 2))
+
+    AI.compact_index(spark, path)                        # live becomes v3
+    assert not handle.is_current()
+    # grace contract intact: v1 (the handle's files) survived the swap
+    assert _rows(handle.topk(embeddings, qvec, k=5)) == before
+    names = set(os.listdir(f"{path}/signatures"))
+    assert "v000002" not in names, "crashed-writer debris must be swept"
+    assert "v000000" not in names, "expired grace copy must retire"
+    assert {"v000001", "v000003"} <= names
+
+
 def test_maintain_index_applies_health_policy(spark, embeddings, qvec, tmp_path):
     """VERDICT r10 #4: one maintain call applies index_health's own
     recommendations — an index grown past BOTH thresholds (geometry

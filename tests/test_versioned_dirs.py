@@ -172,3 +172,28 @@ def test_catalog_reader_never_errors_across_end_info_swaps(spark, tmp_path):
     assert counts == {6}, counts
     ended = cat.read("sessions").filter(F.col("ended_at").isNotNull()).count()
     assert ended == 6
+
+
+def test_stale_lock_ttl_takeover_including_stampless(spark, tmp_path):
+    """ADVICE r10 + r11 review: an opted-in TTL takes over a crashed
+    holder's lock — INCLUDING one that died between the atomic claim
+    and writing its pid/timestamp stamp (age then falls back to the
+    lockfile's mtime); a fresh lock under the TTL still raises loudly,
+    with the lock age in the message."""
+    import time as _time
+
+    import pytest as _pytest
+
+    lock = str(tmp_path / "res.lock")
+    assert storage.create_new_file(spark, lock)  # stamp-less "crash"
+    _time.sleep(1.2)
+    with _pytest.warns(RuntimeWarning, match="takeover"):
+        with storage.path_fence(spark, lock, stale_ttl_s=1.0, what="res"):
+            pass
+    assert not storage.exists(spark, lock)  # released after the fenced work
+
+    assert storage.create_new_file(spark, lock)
+    with _pytest.raises(RuntimeError, match="old"):  # age in the message
+        with storage.path_fence(spark, lock, stale_ttl_s=3600.0, what="res"):
+            pass
+    storage.delete_path(spark, lock, recursive=False)
