@@ -305,13 +305,20 @@ def normalized_ratio(now: dict, then: dict) -> float | None:
     sessions — so machine slowdown doesn't read as a code regression.
     Uses the mean of start/mid calibration when both exist. Returns
     None when either artifact predates the calibration stamp."""
-    c_now = [now.get("calibration_sec"), now.get("calibration_mid_sec")]
-    c_then = [then.get("calibration_sec"), then.get("calibration_mid_sec")]
-    # a calibration can legitimately round to 0.0 only if the kernel ran
-    # sub-millisecond — treat <=0 as unusable rather than skewing drift
-    c_now = [c for c in c_now if c is not None and c > 0]
-    c_then = [c for c in c_then if c is not None and c > 0]
-    if not c_now or not c_then or not now.get("value") or not then.get("value"):
+    # compare LIKE sample kinds only: the mid-pass sample runs in a
+    # fully warmed JVM and is systematically faster than the start
+    # sample (measured 0.13 vs 0.24 in one session), so mixing a
+    # start-only r<=10 artifact with a start+mid r11 one would fold
+    # that warmup bias into "machine drift". A calibration can also
+    # only round to 0.0 if the kernel ran sub-millisecond — treat <=0
+    # as unusable rather than skewing the mean.
+    c_now, c_then = [], []
+    for k in ("calibration_sec", "calibration_mid_sec"):
+        a, b = now.get(k), then.get(k)
+        if a is not None and a > 0 and b is not None and b > 0:
+            c_now.append(a)
+            c_then.append(b)
+    if not c_now or not now.get("value") or not then.get("value"):
         return None
     drift = (sum(c_now) / len(c_now)) / (sum(c_then) / len(c_then))
     return round((now["value"] / then["value"]) / drift, 3)
