@@ -49,6 +49,7 @@ from hbacker_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 X10 = os.path.join(REPO, ".scale_smoke", "x10")
+SRC_SF = "/root/testdata/sf0.1"  # x1 oracle-timeout fallback (full table set)
 
 # Queries whose DUCKDB ORACLE is the binding constraint at x10 — swept
 # at x3 instead (see module docstring). Two classes:
@@ -155,10 +156,30 @@ def main() -> int:
             except OracleTimeout:
                 if at_x3:
                     raise
-                scale = "x3 (x10 oracle timeout)"
-                problems = compare(
-                    spec.fn(spark, x3), spec.oracle, x3, oracle_timeout_s=t_x3
-                )
+                # the x3 replica holds documents+embeddings ONLY
+                # (scale_smoke_gen DOCS_ONLY) — a non-quadratic query
+                # that reads other tables can't degrade there (r11:
+                # copurchase_triangle_count's DuckDB oracle crossed
+                # 600s on a slow pass and the fallback PATH_NOT_FOUND
+                # ed). Degrade to x3 when the tables exist, else to
+                # sf0.1 itself — scale-honest labels either way: the
+                # ORACLE is the binding constraint, the engine already
+                # ran at x10.
+                try:
+                    scale = "x3 (x10 oracle timeout)"
+                    problems = compare(
+                        spec.fn(spark, x3), spec.oracle, x3, oracle_timeout_s=t_x3
+                    )
+                except Exception as x3_exc:  # noqa: BLE001
+                    if "PATH_NOT_FOUND" not in str(x3_exc) and not isinstance(
+                        x3_exc, OracleTimeout
+                    ):
+                        raise
+                    scale = "x1 (x10 oracle timeout; x3 lacks tables)"
+                    problems = compare(
+                        spec.fn(spark, SRC_SF), spec.oracle, SRC_SF,
+                        oracle_timeout_s=t_x3,
+                    )
             status = "ok" if not problems else "; ".join(problems)[:300]
         except Exception as exc:  # noqa: BLE001 — receipt over crash
             status = f"err: {exc}"[:300]
