@@ -30,13 +30,6 @@ from hbacker_spark.operators.ann_index import (
     read_geometry,
     read_ivf_index,
 )
-
-
-def _ddir(spark, index_path: str) -> str:
-    """Current data dir of a stored index (r11 versioned layout): the
-    geometry's data_version IS the pointer, so tests resolve through it
-    exactly like serving does."""
-    return index_data_dir(index_path, read_geometry(spark, index_path))
 from hbacker_spark.operators.similarity import (
     DEFAULT_PLANES,
     ann_topk_indexed,
@@ -47,6 +40,12 @@ from hbacker_spark.operators.similarity import (
 )
 from hbacker_spark.plans import explain as X
 from hbacker_spark.sources.tables import load_table
+
+def _ddir(spark, index_path: str) -> str:
+    """Current data dir of a stored index (r11 versioned layout): the
+    geometry's data_version IS the pointer, so tests resolve through it
+    exactly like serving does."""
+    return index_data_dir(index_path, read_geometry(spark, index_path))
 
 
 @pytest.fixture(scope="module")
@@ -884,3 +883,46 @@ def test_rebuild_mid_stream_preserves_watermark(spark, embeddings, qvec, tmp_pat
     got = sorted(map(tuple, spark.read.parquet(_ddir(spark, path)).collect()))
     want = sorted(map(tuple, spark.read.parquet(_ddir(spark, full_path)).collect()))
     assert got == want
+
+
+def test_versioned_index_lifecycle_on_viewfs(spark, embeddings, qvec, tmp_path):
+    """r11 on the scheme class the versioned layout exists for: the
+    full mutation lifecycle — build, append, maintain (compact),
+    rebuild, scrub — against a viewfs:// mount, where os.* path
+    assumptions and the old delete-then-rename swap semantics would
+    both break. Pins that begin/commit/retire, the geometry pointer,
+    and the grace copy all run through the Hadoop FileSystem API."""
+    from hbacker_spark.operators import ann_index as AI
+
+    backing = tmp_path / "vfs_idx"
+    backing.mkdir()
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.annidx.link./root", f"file://{backing}"
+    )
+    path = "viewfs://annidx/root/lsh"
+    sub = embeddings.filter(F.col("vec_id") < 300)
+    build_lsh_index(sub, path, n_planes=4, n_shards=2)
+    AI.append_lsh_index(embeddings.filter(F.col("vec_id") >= 300), path)
+    assert read_geometry(spark, path)["n_rows"] == 500
+
+    handle = AI.StoredLshIndex(spark, path)
+    before = _rows(handle.topk(embeddings, qvec, k=5))
+
+    out = AI.maintain_index(spark, path, embeddings)
+    assert out["actions"] in ([], ["compact"], ["rebuild"])
+    # grace copy serves the stale handle through one swap (if one ran)
+    if out["actions"]:
+        assert not handle.is_current()
+        assert _rows(handle.topk(embeddings, qvec, k=5)) == before
+
+    AI.rebuild_index(spark, path, embeddings)
+    fresh = AI.StoredLshIndex(spark, path)
+    assert _rows(fresh.topk(embeddings, qvec, k=5)) == before
+
+    res = AI.scrub_index(spark, path, embeddings.select("vec_id").limit(7))
+    assert res["ids_removed"] == 7
+    assert read_geometry(spark, path)["n_rows"] == 493
+    # nothing leaked onto a driver-local interpretation of the URI
+    import os as _os
+
+    assert not _os.path.exists("viewfs:")
