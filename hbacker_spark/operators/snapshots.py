@@ -243,17 +243,31 @@ class SnapshotStore:
         exception carries ``succeeded`` ({table: result} completed
         before the raise) and ``skipped`` (cancelled tables) so
         callers can resume the remainder instead of redoing the run.
+        The attach is best-effort (ADVICE r11): an exception class
+        defining ``__slots__`` rejects attribute assignment, and
+        masking the original per-table error with an AttributeError
+        inside the except handler would be strictly worse than losing
+        the resume map.
         """
+
+        def _attach_resume(ex: BaseException, succeeded: dict, skipped: list) -> None:
+            try:
+                ex.succeeded = succeeded
+                ex.skipped = skipped
+            except AttributeError:  # __slots__ exception: keep the original error
+                pass
+
         results: dict = {}
         if max_concurrent <= 1:
             for t in table_names:
                 try:
                     results[t] = job(t)
                 except Exception as ex:
-                    ex.succeeded = dict(results)  # resume map (ADVICE r10)
-                    ex.skipped = [
-                        n for n in table_names if n != t and n not in results
-                    ]
+                    _attach_resume(
+                        ex,
+                        dict(results),  # resume map (ADVICE r10)
+                        [n for n in table_names if n != t and n not in results],
+                    )
                     raise
             return results
         import concurrent.futures as cf
@@ -285,8 +299,7 @@ class SnapshotStore:
                 continue
             ex = futures[t].exception()
             if ex is not None:
-                ex.succeeded = dict(results)  # resume map (ADVICE r10)
-                ex.skipped = skipped
+                _attach_resume(ex, dict(results), skipped)  # resume map (ADVICE r10)
                 raise ex
         return results
 

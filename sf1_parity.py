@@ -49,7 +49,10 @@ from hbacker_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 X10 = os.path.join(REPO, ".scale_smoke", "x10")
-SRC_SF = "/root/testdata/sf0.1"  # x1 oracle-timeout fallback (full table set)
+# x1 oracle-timeout fallback (full table set) — derived from the same env
+# var the bench/replica tooling already honors (ADVICE r11: a hard-coded
+# /root/testdata path silently broke the harness on any other machine).
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Queries whose DUCKDB ORACLE is the binding constraint at x10 — swept
 # at x3 instead (see module docstring). Two classes:

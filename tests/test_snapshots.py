@@ -620,3 +620,29 @@ def test_fail_fast_cancels_pending_and_attaches_resume_map(spark, store, dest, m
         F.col("session_name") == "20110501_000000"
     ).collect()[0]
     assert sess["error"] is True
+
+
+def test_resume_map_attach_survives_slots_exceptions(store):
+    """ADVICE r11: the resume-map attach is attribute assignment on an
+    arbitrary exception; a ``__slots__`` exception class rejects it, and
+    the AttributeError raised INSIDE the except handler used to mask the
+    original per-table error. Pin: the original exception propagates
+    (no resume map, but no masking) on both the serial and pooled path."""
+    import pytest as _pytest
+
+    class SlotsError(Exception):
+        # A pure-Python ``__slots__ = ()`` subclass still inherits
+        # BaseException's ``__dict__``, so to pin the failure mode the
+        # class must actively reject assignment — the same AttributeError
+        # a C-implemented slotted exception raises.
+        def __setattr__(self, name, value):
+            raise AttributeError(f"SlotsError rejects attribute {name!r}")
+
+    def job(t):
+        if t == "bad":
+            raise SlotsError("original per-table failure")
+        return t
+
+    for kwargs in ({"max_concurrent": 1}, {"max_concurrent": 2, "fail_fast": True}):
+        with _pytest.raises(SlotsError, match="original per-table failure"):
+            store._run_table_jobs(["ok", "bad"], job, **kwargs)
