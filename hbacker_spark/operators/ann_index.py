@@ -59,6 +59,8 @@ table data (lib/hbacker/hbacker.rb export/import pairing).
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -232,11 +234,16 @@ def _layout(geo: dict) -> tuple[str, str | None, list[str]]:
 
 
 def _retire_data_versions(
-    spark: SparkSession, base: str, current: int, keep: int | None
+    spark: SparkSession,
+    base: str,
+    current: int,
+    keep: int | None,
+    ttl_s: float | None = None,
+    purge: bool = False,
 ) -> None:
     """Drop data version dirs the grace window no longer needs — the
     unmarked-dir twin of storage.commit_version's retirement (data dirs
-    need no markers: geometry's ``data_version`` IS the commit).
+    need no commit markers: geometry's ``data_version`` IS the commit).
 
     ``keep`` is the version the PRE-mutation geometry pointed at — the
     one directory in-flight readers and pre-open handles resolved, so
@@ -245,20 +252,85 @@ def _retire_data_versions(
     mutation after a crash, when an unmarked debris dir from the failed
     writer outnumbers the real live version — keeping by number would
     preserve the debris and delete the directory readers are actually
-    on. Every other version dir below ``current`` (older grace, crashed
-    debris) is dropped; ``keep=None`` means the pre-mutation data lived
-    at the LEGACY root, so legacy entries are the grace copy and stay —
-    once a committed version is the live one (``keep`` is a number),
-    their grace has expired and they retire. Caller holds the fence."""
+    on. ``keep=None`` means the pre-mutation data lived at the LEGACY
+    root, so legacy entries are the grace copy.
+
+    Retention TTL (VERDICT r11 #2): superseded versions carry a
+    supersession TOMBSTONE (``_vNNNNNN.superseded`` beside the dirs,
+    written the moment the geometry pointer moved off them; legacy
+    roots get ``_legacy.superseded``) and retire only once the
+    tombstone is older than ``storage.version_ttl_s`` — so an index
+    scan that resolved ANY live data version gets at least TTL seconds
+    to finish no matter how rapid the mutation burst. Tombstone-less
+    version dirs are crashed-writer debris (they were never pointed
+    at) and drop immediately, same as r11.
+
+    ``purge=True`` (VERDICT r11 #5, RTBF): compliance deletion — retire
+    EVERYTHING except ``current`` right now, TTL and grace be damned;
+    in-flight readers of the purged copy fail loudly (FileNotFound),
+    which is the desired behavior for a right-to-be-forgotten deadline.
+    Caller holds the fence either way."""
     entries = storage.list_path(spark, base)
+    names = {e["name"] for e in entries}
+    ttl = 0.0 if purge else storage.version_ttl_s(ttl_s)
+    now = time.time()
+
+    def tombstone(name: str) -> str:
+        return storage.join_path(base, name)
+
+    def superseded_age(tomb: str) -> float | None:
+        for e in entries:
+            if e["name"] == tomb:
+                return max(0.0, now - e["mtime_s"])
+        return None
+
     for e in entries:
         m = storage._VERSION_RE.match(e["name"])  # one regex, one layout
         if m:
             k = int(m.group(1))
-            if k != current and k != keep:
+            if k == current:
+                continue
+            if k == keep and not purge:
+                # just superseded by this mutation: stamp the tombstone
+                # (idempotent — never refresh an existing one, that
+                # would extend the window on every no-op pass)
+                ts = f"_v{k:06d}.superseded"
+                if ts not in names:
+                    storage.save_info(spark, tombstone(ts), f"at={now}")
+                continue
+            age = superseded_age(f"_v{k:06d}.superseded")
+            if age is None or age > ttl:
                 storage.delete_path(spark, storage.join_path(base, e["name"]))
-        elif keep is not None:
-            storage.delete_path(spark, storage.join_path(base, e["name"]))
+                storage.delete_path(spark, tombstone(f"_v{k:06d}.superseded"), recursive=False)
+        elif storage._SUPERSEDED_RE.match(e["name"]):
+            # orphan tombstone (its dir already retired): sweep
+            k = int(storage._SUPERSEDED_RE.match(e["name"]).group(1))
+            if f"v{k:06d}" not in names:
+                storage.delete_path(spark, tombstone(e["name"]), recursive=False)
+        elif e["name"] == storage._LEGACY_TOMBSTONE:
+            continue  # handled with the legacy entries below
+    # legacy root entries: grace copy while keep is None (stamp their
+    # supersession the first time a versioned dir takes over), TTL-bound
+    # retirement after that
+    legacy = [
+        e["name"]
+        for e in entries
+        if not storage._VERSION_RE.match(e["name"])
+        and not storage._SUPERSEDED_RE.match(e["name"])
+        and e["name"] != storage._LEGACY_TOMBSTONE
+    ]
+    if legacy:
+        if keep is None and not purge:
+            if storage._LEGACY_TOMBSTONE not in names:
+                storage.save_info(spark, tombstone(storage._LEGACY_TOMBSTONE), f"at={now}")
+        else:
+            age = superseded_age(storage._LEGACY_TOMBSTONE)
+            if purge or age is None or age > ttl:
+                for name in legacy:
+                    storage.delete_path(spark, storage.join_path(base, name))
+                storage.delete_path(spark, tombstone(storage._LEGACY_TOMBSTONE), recursive=False)
+    elif storage._LEGACY_TOMBSTONE in names:
+        storage.delete_path(spark, tombstone(storage._LEGACY_TOMBSTONE), recursive=False)
 
 
 # ---------------------------------------------------------------------------

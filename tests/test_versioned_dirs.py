@@ -174,16 +174,19 @@ def test_catalog_reader_never_errors_across_end_info_swaps(spark, tmp_path):
     assert ended == 6
 
 
-def test_stale_lock_ttl_takeover_including_stampless(spark, tmp_path):
+def test_stale_lock_ttl_takeover_including_stampless(spark, tmp_path, monkeypatch):
     """ADVICE r10 + r11 review: an opted-in TTL takes over a crashed
     holder's lock — INCLUDING one that died between the atomic claim
     and writing its pid/timestamp stamp (age then falls back to the
     lockfile's mtime); a fresh lock under the TTL still raises loudly,
-    with the lock age in the message."""
+    with the lock age in the message. The takeover threshold is floored
+    at 3x the heartbeat (r12) so the test shrinks the heartbeat to keep
+    a 1s TTL meaningful."""
     import time as _time
 
     import pytest as _pytest
 
+    monkeypatch.setenv("SPARK_GRAFT_FENCE_HEARTBEAT_S", "0.2")
     lock = str(tmp_path / "res.lock")
     assert storage.create_new_file(spark, lock)  # stamp-less "crash"
     _time.sleep(1.2)
@@ -197,3 +200,222 @@ def test_stale_lock_ttl_takeover_including_stampless(spark, tmp_path):
         with storage.path_fence(spark, lock, stale_ttl_s=3600.0, what="res"):
             pass
     storage.delete_path(spark, lock, recursive=False)
+
+
+def test_live_holder_heartbeat_defeats_ttl_takeover(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): a LIVE holder legitimately exceeding the
+    stale TTL (a long rebuild under a TTL sized for catalog swaps) must
+    NOT lose its lock — the holder's heartbeat keeps the stamp fresh,
+    so a waiter with a tiny TTL times out loudly instead of taking
+    over mid-mutation."""
+    import threading as _threading
+    import time as _time
+
+    import pytest as _pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_FENCE_HEARTBEAT_S", "0.2")
+    lock = str(tmp_path / "long.lock")
+    entered = _threading.Event()
+    release = _threading.Event()
+
+    def long_holder():
+        with storage.path_fence(spark, lock, what="long-op"):
+            entered.set()
+            release.wait(timeout=30)
+
+    t = _threading.Thread(target=long_holder, daemon=True)
+    t.start()
+    assert entered.wait(timeout=10)
+    _time.sleep(1.5)  # hold far past the waiter's TTL; heartbeats ticking
+    # waiter: TTL 0.7s < hold time, but the stamp is at most ~0.2s old —
+    # takeover must NOT fire; the bounded wait expires loudly instead
+    with _pytest.raises(RuntimeError, match="single-writer"):
+        with storage.path_fence(
+            spark, lock, stale_ttl_s=0.7, wait_s=1.0, what="long-op"
+        ):
+            pass
+    assert storage.exists(spark, lock), "live holder must keep its lock"
+    release.set()
+    t.join(timeout=10)
+    assert not storage.exists(spark, lock)
+
+
+def test_takeover_reclaim_verifies_claim_token(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): two waiters crossing the TTL together could
+    both 'win' the delete+create on an advisory scheme. The post-claim
+    token verify makes the loser back off loudly WITHOUT deleting the
+    winner's lock: simulate the lost race by having the loser's stamp
+    overwritten by a competing claimant between stamp and verify."""
+    import pytest as _pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_FENCE_HEARTBEAT_S", "0.2")
+    lock = str(tmp_path / "race.lock")
+    assert storage.create_new_file(spark, lock)  # crashed holder, stamp-less
+
+    real_save = storage.save_info
+    clobbered = {"done": False}
+
+    def competing_save(spark_, path, data):
+        real_save(spark_, path, data)
+        if path == lock and not clobbered["done"]:
+            clobbered["done"] = True
+            # the OTHER taker's stamp lands right after ours
+            real_save(spark_, path, "pid=99999 token=intruder at=2026-01-01T00:00:00")
+
+    monkeypatch.setattr(storage, "save_info", competing_save)
+    import time as _time
+
+    _time.sleep(1.0)
+    with _pytest.warns(RuntimeWarning, match="takeover"):
+        with _pytest.raises(RuntimeError, match="post-claim verify"):
+            with storage.path_fence(spark, lock, stale_ttl_s=0.7, what="race"):
+                pass
+    # the loser must NOT have deleted the winner's lock
+    assert storage.exists(spark, lock)
+    holder = storage.read_info(spark, lock)
+    assert "intruder" in holder
+    storage.delete_path(spark, lock, recursive=False)
+
+
+def test_ttl_retention_outlives_rapid_mutations(spark, tmp_path):
+    """VERDICT r11 #2 (marker layout): with a retention TTL, a reader
+    holding ANY version survives a burst of rapid mutations — versions
+    superseded less than TTL ago stay readable beyond the count grace —
+    and retirement proceeds once the TTL expires."""
+    import time as _time
+
+    path = str(tmp_path / "ttl")
+    # v0..v3: three rapid mutations after v0 commits, all inside a 60s TTL
+    dirs = []
+    for i in range(4):
+        n, vdir = storage.begin_version(spark, path)
+        storage.save_info(spark, f"{vdir}/data.txt", f"gen-{n}")
+        storage.commit_version(spark, path, n, ttl_s=60.0)
+        dirs.append(vdir)
+    # count-grace alone would have kept only v2+v3; TTL keeps them ALL
+    assert storage.committed_versions(spark, path) == [0, 1, 2, 3]
+    for i, vdir in enumerate(dirs):  # the reader's resolved files still exist
+        assert storage.read_info(spark, f"{vdir}/data.txt") == f"gen-{i}"
+
+    # TTL expiry: re-commit with a tiny TTL after the supersessions aged
+    _time.sleep(1.1)
+    n, vdir = storage.begin_version(spark, path)
+    storage.save_info(spark, f"{vdir}/data.txt", f"gen-{n}")
+    storage.commit_version(spark, path, n, ttl_s=1.0)
+    assert storage.committed_versions(spark, path) == [3, 4]  # grace + current
+
+
+def test_ttl_retention_index_data_versions(spark, tmp_path):
+    """VERDICT r11 #2 (tombstone layout): index data versions carry
+    supersession tombstones; inside the TTL a superseded data dir
+    survives extra swaps (a reader's resolved files finish), after the
+    TTL it retires; crashed-writer debris (no tombstone) still drops
+    immediately."""
+    import time as _time
+
+    from hbacker_spark.operators.ann_index import _retire_data_versions
+
+    base = str(tmp_path / "sigs")
+    storage.save_info(spark, f"{storage.version_dir(base, 0)}/f.parquet", "0")
+    # debris dir: version 9 was never pointed at (no tombstone ever)
+    storage.mkdirs(spark, storage.version_dir(base, 9))
+
+    # mutation 1: pointer 0 -> 1 (0 becomes grace, tombstoned)
+    storage.save_info(spark, f"{storage.version_dir(base, 1)}/f.parquet", "1")
+    _retire_data_versions(spark, base, current=1, keep=0, ttl_s=60.0)
+    names = {e["name"] for e in storage.list_path(spark, base)}
+    assert "v000009" not in names, "debris drops immediately"
+    assert "_v000000.superseded" in names and "v000000" in names
+    # mutations 2,3: rapid swaps inside the TTL — v0 (superseded <TTL ago)
+    # must survive BOTH, well beyond the one-swap count grace
+    storage.save_info(spark, f"{storage.version_dir(base, 2)}/f.parquet", "2")
+    _retire_data_versions(spark, base, current=2, keep=1, ttl_s=60.0)
+    storage.save_info(spark, f"{storage.version_dir(base, 3)}/f.parquet", "3")
+    _retire_data_versions(spark, base, current=3, keep=2, ttl_s=60.0)
+    names = {e["name"] for e in storage.list_path(spark, base)}
+    assert {"v000000", "v000001", "v000002", "v000003"} <= names
+    assert storage.read_info(spark, f"{base}/v000000/f.parquet") == "0"
+
+    # TTL expiry: the aged tombstones let everything but grace+current go
+    _time.sleep(1.1)
+    _retire_data_versions(spark, base, current=3, keep=2, ttl_s=1.0)
+    names = {e["name"] for e in storage.list_path(spark, base)}
+    assert {"v000002", "v000003"} <= names
+    assert "v000000" not in names and "v000001" not in names
+    assert "_v000000.superseded" not in names, "tombstone retired with its dir"
+
+
+@pytest.fixture
+def object_store_routing(monkeypatch):
+    """Route every claim through the OBJECT-STORE branch of
+    create_new_file_ex while actually running against the local tmp
+    filesystem — so the conditional-create probe, the builder claim, and
+    the advisory fallback all execute for real."""
+    monkeypatch.setattr(storage, "_classify_scheme", lambda scheme: "object")
+    # isolate per-test probe/warning memoization
+    monkeypatch.setattr(storage, "_COND_CREATE_PROBED", {})
+    monkeypatch.setattr(storage, "_WARNED_SCHEMES", set())
+    yield
+
+
+def test_conditional_create_probe_off_warns_advisory(
+    spark, tmp_path, object_store_routing, monkeypatch
+):
+    """VERDICT r11 #1, probe OFF: a store without the conditional-create
+    capability (the local FS answers hasPathCapability=false) falls back
+    to the warned advisory claim — RuntimeWarning exactly once per
+    scheme, claim kind 'advisory'."""
+    import warnings as _warnings
+
+    monkeypatch.delenv("SPARK_GRAFT_CONDITIONAL_CREATE", raising=False)
+    lock = str(tmp_path / "adv.lock")
+    with pytest.warns(RuntimeWarning, match="ADVISORY"):
+        got, kind = storage.create_new_file_ex(spark, lock)
+    assert got is True and kind == "advisory"
+    # second claim: already exists, and the warning never repeats
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        got2, kind2 = storage.create_new_file_ex(spark, str(tmp_path / "adv2.lock"))
+    assert got2 is True and kind2 == "advisory"
+    assert not storage.create_new_file_ex(spark, lock)[0]
+
+
+def test_conditional_create_probe_on_atomic_no_warning(
+    spark, tmp_path, object_store_routing, monkeypatch
+):
+    """VERDICT r11 #1, probe forced ON: the claim goes through the real
+    createFile() builder (overwrite=false), wins exactly once, reports
+    the loser via the existing-file signal, and the advisory
+    RuntimeWarning does NOT fire — the fence is atomic, nothing to warn
+    about."""
+    import warnings as _warnings
+
+    monkeypatch.setenv("SPARK_GRAFT_CONDITIONAL_CREATE", "on")
+    lock = str(tmp_path / "cond.lock")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any warning fails the test
+        got, kind = storage.create_new_file_ex(spark, lock)
+        assert got is True and kind == "atomic"
+        got2, kind2 = storage.create_new_file_ex(spark, lock)
+    assert got2 is False and kind2 == "atomic"
+
+
+def test_fence_green_under_object_store_routing_both_probe_modes(
+    spark, tmp_path, object_store_routing, monkeypatch
+):
+    """The full path_fence contract (claim → stamp → heartbeat → release,
+    contention raises) stays green when claims route through the
+    object-store branch, with the probe forced on AND off."""
+    for mode, name in (("on", "c"), ("off", "a")):
+        monkeypatch.setenv("SPARK_GRAFT_CONDITIONAL_CREATE", mode)
+        lock = str(tmp_path / f"{name}.lock")
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")  # advisory warning, probe off
+            with storage.path_fence(spark, lock, what=f"res-{name}"):
+                assert storage.exists(spark, lock)
+                with pytest.raises(RuntimeError, match="single-writer"):
+                    with storage.path_fence(spark, lock, what=f"res-{name}"):
+                        pass
+            assert not storage.exists(spark, lock)
