@@ -282,9 +282,22 @@ def main() -> None:
         ),
     }
     if not only:  # targeted runs never overwrite the round artifact
-        (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
-            json.dumps(full, indent=1) + "\n"
+        # Per-runner artifacts (VERDICT r11 #6 — ending the overwrite
+        # saga): each pass writes its OWN file keyed by the
+        # self-identifying runner stamp, so a driver pass and a builder
+        # pass coexist instead of clobbering; BENCH_FULL.json stays the
+        # merged pointer the driver/judge read — it carries the full
+        # payload of THIS pass plus the index of every runner artifact
+        # present, so any pass is recoverable from its own file.
+        repo = Path(__file__).resolve().parent
+        safe_runner = re.sub(r"[^A-Za-z0-9_.@-]", "_", prov["runner"])
+        runner_artifact = f"BENCH_FULL.{safe_runner}.json"
+        (repo / runner_artifact).write_text(json.dumps(full, indent=1) + "\n")
+        full["artifact"] = runner_artifact
+        full["runner_artifacts"] = sorted(
+            p.name for p in repo.glob("BENCH_FULL.*.json")
         )
+        (repo / "BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
 
     line = {
         "metric": "total_query_wall_sec",

@@ -56,10 +56,11 @@ through it.
 from __future__ import annotations
 
 import uuid
+import warnings
 from contextlib import contextmanager
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -171,6 +172,21 @@ _TABLES = {
     "column_descriptors": DESCRIPTORS_SCHEMA,
 }
 
+# Commit-reconciliation merge keys (VERDICT r11 #3). ``tables`` and
+# ``column_descriptors`` are append-only — a conflicting version's
+# net-new rows fold back as a plain multiset union. ``sessions`` takes
+# point-UPDATES (C2), so the fold must merge per logical row: the
+# natural key plus started_at (microsecond-minted, so allow_duplicate
+# sessions sharing a second-granularity name stay distinct rows), with
+# the freshest updated_at winning — two writers racing updates to
+# DIFFERENT sessions both survive; same-session races resolve
+# last-writer-wins, loud in version history.
+_MERGE_KEYS: dict[str, list[str] | None] = {
+    "sessions": ["mode", "cluster_name", "session_name", "dest_root", "started_at"],
+    "tables": None,
+    "column_descriptors": None,
+}
+
 
 def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
@@ -227,14 +243,53 @@ class Catalog:
         """Wait-free read (VERDICT r10 #1): resolve the current committed
         version dir (one listing, no fence, no exceptions) and scan it.
         The resolved files survive one full subsequent swap (commit_version
-        keep_previous=1), so a reader racing an end_info/compact swap
-        completes on the previous version instead of FileNotFound-ing;
-        legacy pre-r11 catalogs resolve to the table dir itself."""
+        keep_previous=1, plus the r12 retention TTL), so a reader racing
+        an end_info/compact swap completes on the previous version instead
+        of FileNotFound-ing; legacy pre-r11 catalogs resolve to the table
+        dir itself."""
+        return self._read_with_parent(table)[0]
+
+    def _read_with_parent(self, table: str) -> tuple[DataFrame, int | None]:
+        df, parent, _ = self._read_snapshot(table)
+        return df, parent
+
+    def _read_snapshot(
+        self, table: str
+    ) -> tuple[DataFrame, int | None, set[str]]:
+        """(current rows, the committed version they came from, the data
+        files the read was pinned to) — the snapshot a read-modify-swap
+        must pass to :meth:`_overwrite` so BOTH conflict classes on an
+        advisory-fence scheme are detected and folded instead of
+        silently lost (VERDICT r11 #3): a concurrent COMMIT landing
+        between the read and the swap (parent mismatch), and a
+        concurrent APPEND landing a file into the parent dir after the
+        read (file-set mismatch — the read is pinned to the listed
+        files, so a later-landing file is provably not in the rewrite).
+        ``parent=None`` = legacy/empty layout (no committed version).
+        The fence makes both impossible wherever it is atomic."""
         schema = _TABLES[table]
-        path = storage.resolve_data_dir(self.spark, self._path(table))
-        if not storage.exists(self.spark, path):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        path = self._path(table)
+        vs = storage.committed_versions(self.spark, path)
+        parent = vs[-1] if vs else None
+        data = storage.version_dir(path, parent) if parent is not None else path
+        files = self._data_files(data)
+        if not files:
+            return self.spark.createDataFrame([], schema), parent, files
+        df = self.spark.read.schema(schema).parquet(
+            *[storage.join_path(data, f) for f in sorted(files)]
+        )
+        return df, parent, files
+
+    def _data_files(self, data_dir: str) -> set[str]:
+        """Visible parquet data files in one version dir (hidden
+        ``.inflight-*`` staging files and ``_``-markers excluded — the
+        same visibility rule Spark's input listing applies)."""
+        return {
+            e["name"]
+            for e in storage.list_path(self.spark, data_dir)
+            if e["name"].endswith(".parquet")
+            and not e["name"].startswith((".", "_"))
+        }
 
     def _data_dir(self, table: str) -> str:
         """Current version dir for WRITERS (caller holds the fence). A
@@ -279,7 +334,6 @@ class Catalog:
         would encode — so that configuration routes to the Spark path,
         which is self-consistent under any zone."""
         schema = _TABLES[table]
-        base = self._data_dir(table)  # append INTO the current version
         utc_session = self.spark.conf.get("spark.sql.session.timeZone", "UTC") in ("UTC", "Etc/UTC")
         data = None
         if utc_session:
@@ -287,16 +341,52 @@ class Catalog:
                 data = _rows_to_parquet_bytes(rows, schema)
             except ImportError:  # no pyarrow: the slow-but-universal path
                 data = None
-        if data is None:
-            df = self.spark.createDataFrame(
+
+        def land(base: str) -> None:
+            if data is None:
+                df = self.spark.createDataFrame(
+                    [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
+                )
+                df.coalesce(1).write.mode("append").parquet(base)
+                return
+            final = f"{base}/part-{uuid.uuid4().hex}.parquet"
+            tmp = f"{base}/.inflight-{uuid.uuid4().hex}.parquet"
+            storage.save_bytes(self.spark, tmp, data)
+            storage.rename(self.spark, tmp, final)
+
+        base = self._data_dir(table)  # append INTO the current version
+        land(base)
+        # Post-append reconcile (VERDICT r11 #3): on an advisory-fence
+        # scheme a concurrent read-modify-swap can publish a NEW version
+        # between our resolve and our file landing — a rewrite based on a
+        # read that predates our file silently drops it when the old
+        # version retires. Detect the swap (one listing — the fast path
+        # costs nothing more) and, if our rows did not make it into the
+        # new current version, land them again there. Bounded; each
+        # round's presence check is exact multiset containment.
+        for _ in range(5):
+            cur = storage.resolve_data_dir(self.spark, self._path(table))
+            if cur == base:
+                return
+            ours = self.spark.createDataFrame(
                 [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
             )
-            df.coalesce(1).write.mode("append").parquet(base)
-            return
-        final = f"{base}/part-{uuid.uuid4().hex}.parquet"
-        tmp = f"{base}/.inflight-{uuid.uuid4().hex}.parquet"
-        storage.save_bytes(self.spark, tmp, data)
-        storage.rename(self.spark, tmp, final)
+            if ours.exceptAll(self.read(table)).isEmpty():
+                return  # the swap's read already included our file
+            warnings.warn(
+                f"catalog append to {table!r} raced a concurrent version swap "
+                f"(advisory-fence scheme): re-landing {len(rows)} row(s) into "
+                f"the new current version.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            base = cur
+            land(base)
+        raise CatalogContentionError(
+            f"catalog append to {table!r} could not converge after 5 attempts "
+            f"— a writer is swapping versions faster than appends can land; "
+            f"serialize catalog writers (the single-writer contract)."
+        )
 
     def _append(self, table: str, rows: list[dict], wait_s: float | None = None) -> None:
         """Fenced append (ADVICE r8): an append landing between a fenced
@@ -341,22 +431,172 @@ class Catalog:
         ):
             yield
 
-    def _overwrite(self, table: str, df: DataFrame) -> None:
+    def _overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        parent: int | None,
+        keep_previous: int = 1,
+        ttl_s: float | None = None,
+        seen_files: set[str] | None = None,
+    ) -> None:
         """Versioned rewrite (VERDICT r10 #1 — C2's UPDATE without Delta):
         write the new state into the NEXT version dir, then publish it
         with one commit-marker create. Readers mid-scan keep the
         previous version's files (retired only by the swap after this
-        one), so the old delete-then-rename FileNotFound window is gone
-        on every scheme. Callers doing read-modify-write must hold
-        :meth:`_swap_fence` across the READ as well — the commit being
-        atomic does not stop two writers from both basing their rewrite
-        on the same old state."""
-        path = self._path(table)
-        n, vdir = storage.begin_version(self.spark, path)
-        df.coalesce(1).write.mode("overwrite").parquet(vdir)
-        storage.commit_version(self.spark, path, n)
+        one, TTL-extended since r12), so the old delete-then-rename
+        FileNotFound window is gone on every scheme. Callers doing
+        read-modify-write must hold :meth:`_swap_fence` across the READ
+        as well — the commit being atomic does not stop two writers from
+        both basing their rewrite on the same old state.
 
-    def compact(self, table: str | None = None) -> dict[str, tuple[int, int]]:
+        Two-writer commit reconciliation (VERDICT r11 #3): on
+        advisory-fence schemes both writers CAN get past the fence and
+        both commit — previously last-version-wins, the loser's rows
+        retired with its version. ``parent``/``seen_files`` (from
+        :meth:`_read_snapshot`) pin what this rewrite was based on; two
+        conflict classes are detected and FOLDED instead of lost:
+
+        - a concurrent COMMIT (version committed since the parent):
+          its net-new rows union back in (per-key freshest-update merge
+          for ``sessions``, see _MERGE_KEYS);
+        - a concurrent APPEND (file landed in the source dir after the
+          pinned read): the late file's rows union back in. The append
+          side independently re-lands rows when it OBSERVES the swap
+          (see ``_append_rows``); the two sides close the window
+          between them — the append's post-land resolve always follows
+          its land, and this writer's post-commit listing always
+          follows its commit, so whichever acted last sees the other.
+
+        Both folds stamp ``merged=...`` into the commit marker so the
+        race is loud in version history, and both re-check AFTER the
+        marker lands (a conflict slipping between scan and commit folds
+        into a follow-up version). Bounded retries; on atomic-fence
+        schemes none of this ever fires."""
+        path = self._path(table)
+        folded: set[int] = set()
+        ours: set[int] = set()
+        folded_files: list[str] = []
+        src_dir = (
+            storage.version_dir(path, parent) if parent is not None else path
+        )
+        src_files = set(seen_files) if seen_files is not None else None
+        for _ in range(5):
+            n, vdir = storage.begin_version(self.spark, path)
+            for v in self._conflict_versions(path, parent, n, folded, ours):
+                df = self._fold_version(table, df, path, v)
+                folded.add(v)
+            df.coalesce(1).write.mode("overwrite").parquet(vdir)
+            note = None
+            if folded or folded_files:
+                note = f"merged={sorted(folded)}+{len(folded_files)}f"
+            storage.commit_version(
+                self.spark, path, n, keep_previous=keep_previous, ttl_s=ttl_s,
+                note=note,
+            )
+            ours.add(n)
+            late_v = self._conflict_versions(path, parent, n, folded, ours)
+            late_f: list[str] = []
+            if src_files is not None:
+                late_f = sorted(self._data_files(src_dir) - src_files)
+            if not late_v and not late_f:
+                return
+            warnings.warn(
+                f"catalog commit conflict on {table!r}: "
+                f"version(s) {late_v} / {len(late_f)} appended file(s) "
+                f"landed concurrently with v{n} (advisory-fence scheme) — "
+                f"folding into a follow-up commit.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            # next round's base: the now-current state + the late rows
+            df, p2, f2 = self._read_snapshot(table)
+            for v in late_v:
+                df = self._fold_version(table, df, path, v)
+                folded.add(v)
+            if late_f:
+                extra = self.spark.read.schema(_TABLES[table]).parquet(
+                    *[storage.join_path(src_dir, f) for f in late_f]
+                )
+                df = self._merge_rows(table, df, extra)
+                folded_files.extend(late_f)
+            # appends now land in the CURRENT dir — guard that one next
+            src_dir = (
+                storage.version_dir(path, p2) if p2 is not None else path
+            )
+            src_files = f2
+        raise CatalogContentionError(
+            f"catalog rewrite of {table!r} could not converge after 5 "
+            f"reconciliation rounds — writers are committing faster than "
+            f"conflicts can fold; serialize catalog writers (the "
+            f"single-writer contract)."
+        )
+
+    def _conflict_versions(
+        self,
+        path: str,
+        parent: int | None,
+        n: int,
+        folded: set[int],
+        ours: set[int],
+    ) -> list[int]:
+        """Committed versions that are neither our base (``parent``) nor
+        our own commits nor already folded — i.e. concurrent writers'
+        commits this rewrite would otherwise orphan."""
+        return [
+            v
+            for v in storage.committed_versions(self.spark, path)
+            if v != n
+            and v not in folded
+            and v not in ours
+            and (parent is None or v > parent)
+        ]
+
+    def _fold_version(
+        self, table: str, df: DataFrame, path: str, v: int
+    ) -> DataFrame:
+        """Union a conflicting version's net-new rows into ``df``:
+        exact-duplicate rows drop (multiset exceptAll — we already carry
+        them), then ``sessions`` merges per logical row with the
+        freshest updated_at winning (two updates to different sessions
+        both survive). If the conflicting version's data was already
+        retired before reconciliation could read it (two+ interlopers in
+        one grace window), the loss is unrecoverable — warn loudly
+        rather than fail the commit."""
+        vdir = storage.version_dir(path, v)
+        if not storage.exists(self.spark, vdir):
+            warnings.warn(
+                f"catalog version v{v:06d} of {table!r} was retired before "
+                f"its conflicting rows could be reconciled — any rows unique "
+                f"to it are lost (advisory-fence double-write window).",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            return df
+        other = self.spark.read.schema(_TABLES[table]).parquet(vdir)
+        return self._merge_rows(table, df, other)
+
+    def _merge_rows(self, table: str, df: DataFrame, extra: DataFrame) -> DataFrame:
+        """Union ``extra``'s net-new rows into ``df``: exact duplicates
+        drop (multiset exceptAll), then ``sessions`` merges per logical
+        row with the freshest updated_at winning (_MERGE_KEYS)."""
+        merged = df.unionByName(extra.exceptAll(df))
+        keys = _MERGE_KEYS[table]
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(
+                F.col("updated_at").desc_nulls_last(),
+                F.col("ended_at").desc_nulls_last(),
+            )
+            merged = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return merged
+
+    def compact(
+        self, table: str | None = None, purge: bool = False
+    ) -> dict[str, tuple[int, int]]:
         """Collapse append fragmentation in the catalog dirs.
 
         Every fenced append lands one metadata-sized parquet file (the
@@ -365,10 +605,20 @@ class Catalog:
         ``sessions`` self-compacts on every end_info swap, but
         ``tables``/``column_descriptors`` never get swapped. This
         rewrites each dir to one file under the same fence +
-        tmp-and-rename swap as C2 (readers never see a half state).
+        versioned-commit swap as C2 (readers never see a half state).
         Returns {table: (files_before, files_after)}. Cadence: after a
         large fleet run, or whenever reads slow — catalog rows are
-        metadata-sized, so this is always a tiny job."""
+        metadata-sized, so this is always a tiny job.
+
+        ``purge=True`` (VERDICT r11 #5 — the RTBF twin of
+        ``scrub_index(purge=True)``): retire every superseded version
+        IMMEDIATELY after the rewrite commits, overriding both the
+        count grace and the retention TTL — after a compliance edit
+        (e.g. rows rewritten to drop a cluster's identifiers), the
+        pre-edit bytes must not survive in a grace copy until the next
+        organic swap. In-flight readers of the purged copy fail loudly
+        (FileNotFound) — the desired behavior for a compliance
+        deletion."""
         if table is not None and table not in _TABLES:
             raise ValueError(
                 f"unknown catalog table {table!r}; expected one of {sorted(_TABLES)}"
@@ -384,7 +634,13 @@ class Catalog:
                 _, before = storage.dir_bytes_and_files(
                     self.spark, storage.resolve_data_dir(self.spark, self._path(t))
                 )
-                self._overwrite(t, self.read(t))
+                df, parent, files = self._read_snapshot(t)
+                if purge:
+                    self._overwrite(
+                        t, df, parent, keep_previous=0, ttl_s=0.0, seen_files=files
+                    )
+                else:
+                    self._overwrite(t, df, parent, seen_files=files)
                 _, after = storage.dir_bytes_and_files(
                     self.spark, storage.resolve_data_dir(self.spark, self._path(t))
                 )
@@ -496,9 +752,11 @@ class Catalog:
         )
         ended = ended_at or _now()
         # fence spans the read AND the swap: the lost-update race is two
-        # writers reading the same old state, not the renames themselves
+        # writers reading the same old state, not the renames themselves.
+        # The parent version rides along so an advisory-scheme double-
+        # write is detected and reconciled at commit (VERDICT r11 #3).
         with self._swap_fence("sessions", wait_s=wait_s):
-            df = self.read("sessions")
+            df, parent, files = self._read_snapshot("sessions")
             updated = df.withColumns(
                 {
                     "ended_at": F.when(key, F.lit(ended)).otherwise(F.col("ended_at")),
@@ -507,7 +765,7 @@ class Catalog:
                     "updated_at": F.when(key, F.lit(_now())).otherwise(F.col("updated_at")),
                 }
             )
-            self._overwrite("sessions", updated)
+            self._overwrite("sessions", updated, parent, seen_files=files)
 
     # ---- C3/C4: per-table results ------------------------------------------
     def exported_table_info(

@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="scrub only: parquet of ids to forget (first column is the id)",
     )
     idx.add_argument(
+        "--purge", action="store_true",
+        help="scrub only: physically retire the grace copy immediately "
+        "(compliance deadline — forgotten bytes gone when the call "
+        "returns; in-flight readers of the old version fail loudly)",
+    )
+    idx.add_argument(
         "--corpus", default=None,
         help="rebuild/maintain: parquet of the corpus vectors (required when "
         "a rebuild fires on an LSH index; optional for store_vectors=True "
@@ -216,7 +222,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"error": "scrub requires --forget-ids"}))
                 return 2
             forget = spark.read.parquet(args.forget_ids)
-            print(json.dumps(AI.scrub_index(spark, args.index_path, forget)))
+            print(json.dumps(
+                AI.scrub_index(spark, args.index_path, forget, purge=args.purge)
+            ))
         elif args.action in ("rebuild", "maintain"):
             corpus = spark.read.parquet(args.corpus) if args.corpus else None
             fn = AI.rebuild_index if args.action == "rebuild" else AI.maintain_index

@@ -133,7 +133,9 @@ def _mutation_fence(spark: SparkSession, index_path: str, wait_s: float | None =
     )
 
 
-def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
+def _write_geometry(
+    spark: SparkSession, index_path: str, row: dict, purge: bool = False
+) -> None:
     """Publish the geometry row as a new committed VERSION of the
     ``geometry/`` dir (VERDICT r10 #1; storage.commit_version): the
     write lands in ``geometry/v000NNN/`` and becomes visible with one
@@ -163,7 +165,14 @@ def _write_geometry(spark: SparkSession, index_path: str, row: dict) -> None:
     spark.createDataFrame([tuple(base.values())], _GEOMETRY_SCHEMA).coalesce(
         1
     ).write.mode("overwrite").parquet(vdir)
-    storage.commit_version(spark, path, n)
+    if purge:
+        # RTBF forced purge (VERDICT r11 #5): no grace geometry either —
+        # a reader resolving the old geometry would chase a data_version
+        # pointer whose bytes are being purged right now; retiring it
+        # makes the stale handle fail at the pointer, not mid-scan
+        storage.commit_version(spark, path, n, keep_previous=0, ttl_s=0.0)
+    else:
+        storage.commit_version(spark, path, n)
 
 
 _GEOMETRY_DEFAULTS = {
@@ -899,6 +908,19 @@ def index_ingest_stream(batches: DataFrame, index_path: str, checkpoint: str,
             )
         with _mutation_fence(spark, index_path, wait_s=INDEX_APPEND_WAIT_S):
             geo = read_geometry(spark, index_path)  # re-read under the fence
+            if geo.get("last_stream_id") != prior_stream:
+                # ADVICE r11: the unfenced pre-check and this fenced
+                # re-read disagree — ANOTHER new stream rebased the index
+                # in the window, and silently overwriting its identity/
+                # watermark would let two fresh streams double-feed. The
+                # second rebaser loses, loudly.
+                raise IndexContentionError(
+                    f"index at {index_path} was rebased by a concurrent "
+                    f"stream ({geo.get('last_stream_id')!r}) while this "
+                    f"rebase (checkpoint {checkpoint!r}) awaited the fence "
+                    f"— re-examine which stream should own the index and "
+                    f"retry deliberately."
+                )
             geo["ingest_epoch"] = int(geo.get("ingest_epoch") or 0) + 1
             geo["last_stream_id"] = checkpoint
             geo["last_batch_id"] = None  # new identity, fresh watermark
@@ -980,7 +1002,12 @@ def _carry_centroids(spark: SparkSession, index_path: str, geo: dict, dv: int) -
     )
 
 
-def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> dict:
+def scrub_index(
+    spark: SparkSession,
+    index_path: str,
+    forget_ids: DataFrame,
+    purge: bool = False,
+) -> dict:
     """Right-to-be-forgotten for a stored ANN index — the companion to
     maintenance.scrub_snapshot: a compliance deletion that scrubs the
     corpus MUST also scrub the indexes built over it, or the forgotten
@@ -991,11 +1018,21 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     index at any scale), rewritten as a new data version published by
     the geometry commit, same as :func:`compact_index` — one scan, no
     shuffle of the kept data beyond the partition repartition, atomic
-    cutover, bucket sort restored for LSH. RTBF note: the previous
-    data version (still holding the forgotten rows) survives ONE
-    further swap as the readers' grace copy — run a follow-up
-    :func:`compact_index` (or a second scrub) when the deletion must
-    be physically complete immediately.
+    cutover, bucket sort restored for LSH.
+
+    RTBF physical deletion (VERDICT r11 #5 / ADVICE r11): by default
+    the previous data version (still holding the forgotten rows)
+    survives as the readers' grace copy until a later mutation retires
+    it — fine for an internal cleanup, NOT for a compliance deadline.
+    ``purge=True`` retires every superseded data version (and the
+    superseded geometry version) IMMEDIATELY after the scrub commits,
+    overriding both the grace count and the retention TTL: the
+    forgotten ids' bytes are gone from disk when the call returns.
+    In-flight readers of the purged copy fail loudly (FileNotFound) —
+    invalidating them is the desired behavior for a forced deletion;
+    the scrub holds the single-writer fence throughout, so no fence
+    waiter can be mid-mutation on the purged version.
+
     ``n_rows`` decrements by the DISTINCT ids actually removed —
     counted directly (semi-join + countDistinct), never derived from
     raw row deltas (ADVICE r9): the replay crash window can leave
@@ -1004,7 +1041,7 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
     and skewing index_health's reindex recommendation. Swap + fence +
     version-bump contract identical to :func:`compact_index` (stale
     handles fail loudly; racing appends wait out the fence). Returns
-    {kind, rows_before, rows_after, ids_removed}.
+    {kind, rows_before, rows_after, ids_removed, purged}.
     """
     with _mutation_fence(spark, index_path):
         geo = read_geometry(spark, index_path)
@@ -1030,15 +1067,20 @@ def scrub_index(spark: SparkSession, index_path: str, forget_ids: DataFrame) -> 
         geo["n_rows"] = max(0, int(geo["n_rows"] or 0) - removed_ids)
         geo["version"] = int(geo.get("version") or 0) + 1
         geo["data_version"] = dv
-        _write_geometry(spark, index_path, geo)
-        _retire_data_versions(spark, f"{index_path}/{sub}", dv, old_dv)
+        _write_geometry(spark, index_path, geo, purge=purge)
+        _retire_data_versions(
+            spark, f"{index_path}/{sub}", dv, old_dv, purge=purge
+        )
         if geo["kind"] == "ivf":
-            _retire_data_versions(spark, f"{index_path}/centroids", dv, old_dv)
+            _retire_data_versions(
+                spark, f"{index_path}/centroids", dv, old_dv, purge=purge
+            )
     return {
         "kind": geo["kind"],
         "rows_before": before,
         "rows_after": after,
         "ids_removed": removed_ids,
+        "purged": bool(purge),
     }
 
 
@@ -1067,7 +1109,20 @@ def index_health(spark: SparkSession, index_path: str) -> dict:
     auto sizing, atomic swap)."""
     geo = read_geometry(spark, index_path)
     n = int(geo["n_rows"] or 0)
-    out = {"kind": geo["kind"], "n_rows": n, "version": int(geo.get("version") or 0)}
+    out = {
+        "kind": geo["kind"],
+        "n_rows": n,
+        "version": int(geo.get("version") or 0),
+        # streaming-ingest audit (VERDICT r11 #7): which checkpoint fed
+        # this index, its replay watermark, and how many deliberate
+        # source-epoch rebases it has absorbed (index_ingest_stream's
+        # allow_rebase bumps ingest_epoch) — health is where an operator
+        # looks first, so the rebase trail must be visible here, not
+        # only in the raw geometry row
+        "ingest_epoch": int(geo.get("ingest_epoch") or 0),
+        "last_stream_id": geo.get("last_stream_id"),
+        "last_batch_id": geo.get("last_batch_id"),
+    }
     n_dirs, n_files = storage.leaf_dir_stats(spark, index_data_dir(index_path, geo))
     out |= {
         "partition_dirs": n_dirs,

