@@ -36,17 +36,22 @@ Design choices vs the reference:
   mysql.rb:107-139), so ours must accept an ``hdfs://``/``s3a://``/
   ``viewfs://`` root, not just the driver host's POSIX disk. The
   fence is ``FileSystem.createNewFile`` — atomic on local and HDFS.
-  S3A CAVEAT, narrowed in r11: READS are now safe on object stores —
-  the commit marker is a single new-key PUT (atomic in visibility
-  under S3's strong read-after-write consistency), so readers always
-  see a whole committed version, never a torn or missing one. Only
-  the WRITER fence stays advisory there (no atomic create-if-absent;
-  storage.create_new_file warns once at runtime): two concurrent
-  writers can both commit, last version number wins, the loser's
-  update is lost loudly in version history — so multi-writer
-  deployments on pure object storage must still serialize catalog
-  writers externally (the same contract the reference's single
-  master process provided).
+  S3A CAVEAT, narrowed in r11 and again in r12: READS are safe on
+  object stores — the commit marker is a single new-key PUT (atomic
+  in visibility under S3's strong read-after-write consistency), so
+  readers always see a whole committed version, never a torn or
+  missing one. The WRITER fence is atomic too wherever the store
+  advertises Hadoop 3.4.1+ conditional create (If-None-Match PUT;
+  storage.create_new_file_ex probes the capability) — on such stores
+  there is no advisory seam left at all. On stores WITHOUT the
+  capability the fence stays advisory (one-time RuntimeWarning), but
+  a double-write is no longer last-version-wins: every rewrite pins
+  its (parent version, file set) snapshot and reconciles at commit —
+  concurrent commits and concurrently-appended files fold back in,
+  the merge is stamped into the commit marker, and appends re-land
+  when they observe a swap (zero lost rows in the fence-disabled
+  race tests; residual risk is bounded staleness during the fold,
+  not loss).
 
 At scale the catalog is millions of rows at most (one per table per
 session) — broadcastable by construction; payload data never flows

@@ -18,12 +18,12 @@ data-invalidating mutation publishes a NEW data version dir
 ``data_version`` and cut over by the geometry commit marker — reads
 are wait-free on every scheme and the previous version survives one
 further swap as the in-flight readers' grace copy (storage module,
-"Versioned directories"). The mutation fence is
-``FileSystem.createNewFile`` — atomic on local/HDFS; S3A has no atomic
-create-if-absent, so there the WRITER fence is advisory (runtime
-warning, ADVICE r10) and deployments must serialize index writers
-externally, the same caveat as the catalog; reads are safe there
-regardless):
+"Versioned directories"). The mutation fence claims via
+``storage.create_new_file_ex`` — atomic on local/HDFS AND on object
+stores advertising Hadoop 3.4.1+ conditional create (If-None-Match
+PUT, r12); only capability-less stores degrade to an advisory claim
+(runtime warning, ADVICE r10) where deployments must serialize index
+writers externally; reads are safe everywhere regardless):
 
 - LSH:  ``signatures/`` partitioned by ``(table_idx, shard)`` where
   ``shard = bucket % n_shards`` — a probe touches at most
