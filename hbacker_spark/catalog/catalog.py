@@ -486,6 +486,7 @@ class Catalog:
             storage.version_dir(path, parent) if parent is not None else path
         )
         src_files = set(seen_files) if seen_files is not None else None
+        last_n: int | None = None
         for _ in range(5):
             n, vdir = storage.begin_version(self.spark, path)
             for v in self._conflict_versions(path, parent, n, folded, ours):
@@ -495,16 +496,27 @@ class Catalog:
             note = None
             if folded or folded_files:
                 note = f"merged={sorted(folded)}+{len(folded_files)}f"
+            # NON-DESTRUCTIVE publish (r12 soak finding): a reconciling
+            # round must not retire anything — retirement here would
+            # destroy the very versions a post-commit check still needs
+            # to fold (and files concurrent readers resolved moments
+            # ago). Real retirement runs ONCE, below, after convergence.
             storage.commit_version(
-                self.spark, path, n, keep_previous=keep_previous, ttl_s=ttl_s,
-                note=note,
+                self.spark, path, n, keep_previous=10**6, ttl_s=ttl_s, note=note
             )
             ours.add(n)
+            last_n = n
             late_v = self._conflict_versions(path, parent, n, folded, ours)
             late_f: list[str] = []
             if src_files is not None:
                 late_f = sorted(self._data_files(src_dir) - src_files)
             if not late_v and not late_f:
+                # converged: one retirement pass with the real policy
+                # (idempotent marker rewrite + grace/TTL retirement)
+                storage.commit_version(
+                    self.spark, path, n, keep_previous=keep_previous,
+                    ttl_s=ttl_s, note=note,
+                )
                 return
             warnings.warn(
                 f"catalog commit conflict on {table!r}: "
@@ -532,9 +544,14 @@ class Catalog:
             src_files = f2
         raise CatalogContentionError(
             f"catalog rewrite of {table!r} could not converge after 5 "
-            f"reconciliation rounds — writers are committing faster than "
-            f"conflicts can fold; serialize catalog writers (the "
-            f"single-writer contract)."
+            f"reconciliation rounds (last committed v{last_n}) — MULTIPLE "
+            f"read-modify-swap writers are racing on an advisory-fence "
+            f"scheme, which is best-effort by contract: appends reconcile "
+            f"losslessly against ONE swapper, but concurrent swappers must "
+            f"be serialized externally. No version was retired during "
+            f"reconciliation, so every writer's rows remain in the live "
+            f"version dirs — re-run compact() under a real fence to fold "
+            f"the remainder."
         )
 
     def _conflict_versions(

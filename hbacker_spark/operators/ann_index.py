@@ -283,6 +283,12 @@ def _retire_data_versions(
     names = {e["name"] for e in entries}
     ttl = 0.0 if purge else storage.version_ttl_s(ttl_s)
     now = time.time()
+    grace_s = storage._inflight_grace_s()
+    reserves = {
+        int(m.group(1)): e["mtime_s"]
+        for e in entries
+        if (m := storage._RESERVE_RE.match(e["name"]))
+    }
 
     def tombstone(name: str) -> str:
         return storage.join_path(base, name)
@@ -293,6 +299,7 @@ def _retire_data_versions(
                 return max(0.0, now - e["mtime_s"])
         return None
 
+    kept_or_current: set[int] = {current}
     for e in entries:
         m = storage._VERSION_RE.match(e["name"])  # one regex, one layout
         if m:
@@ -300,6 +307,7 @@ def _retire_data_versions(
             if k == current:
                 continue
             if k == keep and not purge:
+                kept_or_current.add(k)
                 # just superseded by this mutation: stamp the tombstone
                 # (idempotent — never refresh an existing one, that
                 # would extend the window on every no-op pass)
@@ -308,16 +316,29 @@ def _retire_data_versions(
                     storage.save_info(spark, tombstone(ts), f"at={now}")
                 continue
             age = superseded_age(f"_v{k:06d}.superseded")
+            if age is None and not purge:
+                # tombstone-less = crash debris — unless an in-flight
+                # reservation protects it (r12): on advisory schemes a
+                # concurrent writer may still be writing this dir
+                r = reserves.get(k)
+                if r is not None and now - r <= grace_s:
+                    continue
             if age is None or age > ttl:
                 storage.delete_path(spark, storage.join_path(base, e["name"]))
                 storage.delete_path(spark, tombstone(f"_v{k:06d}.superseded"), recursive=False)
+                storage.delete_path(spark, tombstone(f".v{k:06d}.reserve"), recursive=False)
         elif storage._SUPERSEDED_RE.match(e["name"]):
             # orphan tombstone (its dir already retired): sweep
             k = int(storage._SUPERSEDED_RE.match(e["name"]).group(1))
             if f"v{k:06d}" not in names:
                 storage.delete_path(spark, tombstone(e["name"]), recursive=False)
-        elif e["name"] == storage._LEGACY_TOMBSTONE:
-            continue  # handled with the legacy entries below
+        elif storage._is_layout_marker(e["name"]):
+            continue  # reserves handled below; legacy tombstone further down
+    # reservation cleanup: a data version the geometry points at (or
+    # keeps as grace) is fully written — its reserve's job is done
+    for k in reserves:
+        if k in kept_or_current:
+            storage.delete_path(spark, tombstone(f".v{k:06d}.reserve"), recursive=False)
     # legacy root entries: grace copy while keep is None (stamp their
     # supersession the first time a versioned dir takes over), TTL-bound
     # retirement after that
@@ -325,8 +346,7 @@ def _retire_data_versions(
         e["name"]
         for e in entries
         if not storage._VERSION_RE.match(e["name"])
-        and not storage._SUPERSEDED_RE.match(e["name"])
-        and e["name"] != storage._LEGACY_TOMBSTONE
+        and not storage._is_layout_marker(e["name"])
     ]
     if legacy:
         if keep is None and not purge:

@@ -525,7 +525,36 @@ def swap_dir(
 _VERSION_RE = re.compile(r"^v(\d{6})$")
 _COMMIT_RE = re.compile(r"^_v(\d{6})\.commit$")
 _SUPERSEDED_RE = re.compile(r"^_v(\d{6})\.superseded$")
+_RESERVE_RE = re.compile(r"^\.v(\d{6})\.reserve$")
 _LEGACY_TOMBSTONE = "_legacy.superseded"
+
+
+def _is_layout_marker(name: str) -> bool:
+    """Names that belong to the versioned-dir machinery itself (commit
+    markers, supersession tombstones, reservation claims) — never data,
+    never legacy content."""
+    return bool(
+        _COMMIT_RE.match(name)
+        or _SUPERSEDED_RE.match(name)
+        or _RESERVE_RE.match(name)
+        or name == _LEGACY_TOMBSTONE
+    )
+
+
+# In-flight writer grace for debris sweeping (r12, found by the
+# advisory-mode soak test): "uncommitted version dir below the new
+# commit" is crash debris ONLY under the fence. On an advisory scheme a
+# concurrent writer's in-progress dir looks identical — sweeping it
+# mid-write destroys a live Spark job's output (and a marker landing
+# after the sweep would commit a deleted dir: silent loss). Writers
+# therefore claim their version number with a dot-prefixed RESERVE file
+# (atomic create wherever the fence is atomic, incl. conditional-create
+# stores); a dir whose reserve is younger than this grace is treated as
+# in-flight, not debris. Crash debris (reserve gone stale, or no
+# reserve at all — pre-r12 layouts) sweeps as before.
+def _inflight_grace_s() -> float:
+    env = os.environ.get("SPARK_GRAFT_INFLIGHT_GRACE_S")
+    return max(0.0, float(env)) if env not in (None, "") else 3600.0
 
 # Time-based version retirement (VERDICT r11 #2 — the Iceberg-style
 # guarantee): a superseded version is retired only when BOTH beyond the
@@ -580,17 +609,34 @@ def resolve_data_dir(spark: SparkSession, path: str) -> str:
 
 
 def begin_version(spark: SparkSession, path: str) -> tuple[int, str]:
-    """Reserve the next version number: max over every version dir or
-    marker present (committed or not) + 1. Caller must hold the
-    single-writer fence for ``path``; the dir is not created here —
-    the caller's write job creates it."""
+    """Reserve the next version number: max over every version dir,
+    marker, or reservation present + 1, CLAIMED via an atomic
+    create-if-absent of ``.vNNNNNN.reserve`` (r12) — so two writers
+    racing past an advisory fence get DIFFERENT numbers instead of
+    writing into the same dir and destroying each other's output
+    (atomic wherever create is: local/HDFS/conditional-create stores;
+    best-effort on the rest, same as the fence). The reserve also tells
+    debris sweeping the dir is in-flight (see _inflight_grace_s); it is
+    cleaned up once the version commits or retires. The dir itself is
+    not created here — the caller's write job creates it."""
     nums = [-1]
     for e in list_path(spark, path):
-        m = _VERSION_RE.match(e["name"]) or _COMMIT_RE.match(e["name"])
+        m = (
+            _VERSION_RE.match(e["name"])
+            or _COMMIT_RE.match(e["name"])
+            or _RESERVE_RE.match(e["name"])
+        )
         if m:
             nums.append(int(m.group(1)))
     n = max(nums) + 1
-    return n, version_dir(path, n)
+    for _ in range(64):
+        if create_new_file(spark, join_path(path, f".v{n:06d}.reserve")):
+            return n, version_dir(path, n)
+        n += 1
+    raise RuntimeError(
+        f"could not reserve a version number under {path} after 64 attempts "
+        f"— writers are racing far beyond the advisory-fence design point"
+    )
 
 
 def commit_version(
@@ -648,19 +694,43 @@ def commit_version(
         m = _COMMIT_RE.match(e["name"])
         if m and int(m.group(1)) < n and int(m.group(1)) not in keep:
             delete_path(spark, join_path(path, e["name"]), recursive=False)
-    # pass 2: stale/debris version dirs, then legacy root entries
+    # pass 2: stale/debris version dirs, then legacy root entries.
+    # An UNCOMMITTED dir below n is crash debris only if no in-flight
+    # reservation protects it (r12; see _inflight_grace_s) — on advisory
+    # schemes a concurrent writer may still be writing it.
     legacy_retirable = len(committed_below) >= keep_previous
     if legacy_retirable and ttl > 0 and committed:
         # the legacy files were superseded when the FIRST version
         # committed; the oldest surviving marker bounds that from above
         legacy_retirable = time.time() - min(committed.values()) > ttl
+    now = time.time()
+    grace_s = _inflight_grace_s()
+    reserves = {
+        int(m.group(1)): e["mtime_s"]
+        for e in entries
+        if (m := _RESERVE_RE.match(e["name"]))
+    }
+    retired: set[int] = set()
     for e in entries:
         m = _VERSION_RE.match(e["name"])
         if m:
-            if int(m.group(1)) < n and int(m.group(1)) not in keep:
+            k = int(m.group(1))
+            if k < n and k not in keep:
+                if (
+                    k not in committed
+                    and k in reserves
+                    and now - reserves[k] <= grace_s
+                ):
+                    continue  # in-flight writer, not crash debris (r12)
                 delete_path(spark, join_path(path, e["name"]))
-        elif not _COMMIT_RE.match(e["name"]) and legacy_retirable:
+                retired.add(k)
+        elif not _is_layout_marker(e["name"]) and legacy_retirable:
             delete_path(spark, join_path(path, e["name"]))
+    # reservation cleanup: a reserve's job ends once its version has a
+    # marker (the number can never be reused) or its dir was retired
+    for k in reserves:
+        if k in committed or k in retired:
+            delete_path(spark, join_path(path, f".v{k:06d}.reserve"), recursive=False)
 
 
 def leaf_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
