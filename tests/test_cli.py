@@ -204,8 +204,28 @@ def test_cli_index_ops(spark, tmp_path):
         .stdout.splitlines()[-1]
     )
     assert s["ids_removed"] == 20 and s["rows_after"] < s["rows_before"]
+    assert s["purged"] is False
     bad = run_cli("index", "scrub", "--index-path", path, check=False)
     assert bad.returncode == 2
+
+    # --purge (VERDICT r11 #5): forced physical deletion, flagged in the
+    # receipt; exactly one data version remains on disk afterwards
+    e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30)).select(
+        "vec_id"
+    ).write.parquet(forget2 := str(tmp_path / "forget_ids2"))
+    sp = json.loads(
+        run_cli("index", "scrub", "--index-path", path, "--forget-ids",
+                forget2, "--purge").stdout.splitlines()[-1]
+    )
+    assert sp["purged"] is True and sp["ids_removed"] == 10
+    from hbacker_spark.sources import storage as _storage
+
+    sig_versions = [
+        x["name"]
+        for x in _storage.list_path(spark, f"{path}/signatures")
+        if x["name"].startswith("v")
+    ]
+    assert len(sig_versions) == 1, sig_versions
 
     # rebuild (VERDICT r9 #3): auto-resized geometry, version advanced
     corpus = str(tmp_path / "corpus")
