@@ -419,3 +419,60 @@ def test_fence_green_under_object_store_routing_both_probe_modes(
                     with storage.path_fence(spark, lock, what=f"res-{name}"):
                         pass
             assert not storage.exists(spark, lock)
+
+
+def test_reservation_crash_recovery_and_number_nonreuse(spark, tmp_path):
+    """r12 reservation layer, crash paths: a writer that died after
+    reserving (stale reserve, maybe with a partial dir) must neither
+    block future writers nor have its number REUSED (reuse would let a
+    later writer collide with debris); once the stale grace expires the
+    debris sweeps, reserve included."""
+    import os as _os
+    import time as _time
+
+    path = str(tmp_path / "resv")
+    # healthy first version
+    n0, v0 = storage.begin_version(spark, path)
+    storage.save_info(spark, f"{v0}/data.txt", "gen-0")
+    storage.commit_version(spark, path, n0)
+    assert not storage.exists(spark, f"{path}/.v{n0:06d}.reserve"), (
+        "reserve must be cleaned once its version commits"
+    )
+
+    # crashed writer: reserved n1, wrote a partial dir, died
+    n1, v1 = storage.begin_version(spark, path)
+    storage.save_info(spark, f"{v1}/partial.txt", "half")
+
+    # a new writer must skip PAST the crashed number, even in-flight
+    n2, v2 = storage.begin_version(spark, path)
+    assert n2 == n1 + 1, (n1, n2)
+    storage.save_info(spark, f"{v2}/data.txt", f"gen-{n2}")
+    storage.commit_version(spark, path, n2)
+    # the young reservation protects the crashed writer's dir (it could
+    # still be in-flight on an advisory scheme)
+    names = _names(spark, path)
+    assert f"v{n1:06d}" in names, "in-flight-reserved dir must not be swept"
+
+    # age the reservation past the in-flight grace → it IS crash debris
+    reserve = str(tmp_path / "resv" / f".v{n1:06d}.reserve")
+    old = _time.time() - 7200
+    _os.utime(reserve, (old, old))
+    n3, v3 = storage.begin_version(spark, path)
+    storage.save_info(spark, f"{v3}/data.txt", f"gen-{n3}")
+    storage.commit_version(spark, path, n3)
+    names = _names(spark, path)
+    assert f"v{n1:06d}" not in names, "stale-reserved debris must sweep"
+    assert f".v{n1:06d}.reserve" not in names, "its reserve sweeps with it"
+    # resolve is on the latest committed version throughout
+    assert storage.resolve_data_dir(spark, path).endswith(f"v{n3:06d}")
+
+
+def test_reservation_prevents_same_number_double_claim(spark, tmp_path):
+    """Two writers beginning concurrently (advisory fence: both got
+    past it) must receive DIFFERENT version numbers — the reserve file
+    is the atomic claim."""
+    path = str(tmp_path / "claim")
+    n_a, v_a = storage.begin_version(spark, path)
+    # second beginner while the first has neither written nor committed
+    n_b, v_b = storage.begin_version(spark, path)
+    assert n_a != n_b and v_a != v_b
