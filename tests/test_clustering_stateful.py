@@ -27,6 +27,29 @@ def test_connected_components_long_chain_converges(spark):
     assert len(comps) == n + 1
 
 
+def test_connected_components_local_vs_distributed(spark):
+    """r13: the size-gated driver-local fast path must produce the
+    bit-identical (node, component) relation as the distributed loop —
+    same min-reachable-id fixpoint, integer arithmetic on both paths."""
+    from hbacker_spark.operators.clustering import connected_components
+
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges += [(i, i + 1) for i in range(300, 340)]  # a long chain
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_iter=50).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_iter=50, local_sym_rows=0).collect()
+    }
+    assert local == dist and len(local) > 0
+
+
 def test_dedup_clusters_end_to_end(spark, sf_dir):
     """LSH candidates → components → every doc resolved to one keeper."""
     from hbacker_spark.functions.dedup import lsh_candidate_pairs
