@@ -82,7 +82,14 @@ def pair_dot_pandas():
             acc = acc + ma[:, i] * mb[:, i]  # left fold per row, exact
         return pd.Series(acc)
 
-    return pair_dot
+    # r13 (optimization, guide §4.4): a filter on a column computed by
+    # this UDF gets pushed below the projection AND kept above it —
+    # TWO ArrowEvalPython nodes, every pair's 2x64-double payload
+    # crossing the Python boundary twice (observed in the
+    # ann_near_dup_pairs plan). The function is pure, but marking it
+    # non-deterministic forbids the optimizer from duplicating the
+    # evaluation — one ArrowEvalPython, identical values.
+    return pair_dot.asNondeterministic()
 
 
 def brute_force_pair_cosines(

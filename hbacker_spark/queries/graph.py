@@ -33,6 +33,26 @@ from hbacker_spark.sources.tables import load_table
 
 SUPPORT = 2
 
+# r13 (optimization): edge-row ceiling for the driver-local iterative
+# fast paths below — the same size-gated pattern as
+# operators.clustering.connected_components. The co-purchase graph is a
+# SUPPORT-thresholded part-pair graph: its edge count tracks the part
+# catalog's co-occurrence density, not the fact-table row count
+# (measured 3445 edges at sf0.01 vs 3573 at sf0.1), so at every test
+# scale the iterative loops' cost is pure scheduler overhead
+# (~15-25 jobs/query) over a relation that fits in one task. Below the
+# gate the fixed-iteration loops run driver-side with EXACT integer /
+# scaled-decimal arithmetic (bit-identical fixpoints, pinned by
+# tests/test_graph_iterative.py local-vs-distributed equivalence);
+# above it the distributed checkpointed loops run unchanged.
+_GRAPH_LOCAL_EDGES = 200_000
+
+
+def _graph_local_gate() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_LOCAL_EDGES", _GRAPH_LOCAL_EDGES))
+
 _SQL_PAIRS = f"""
       SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS support
       FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
@@ -276,6 +296,40 @@ def copurchase_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_e.u", "_e.v")
         .localCheckpoint(eager=True)
     )
+    # r13 driver-local fast path (see _GRAPH_LOCAL_EDGES): the same
+    # frontier walk over numpy index arrays — set semantics, integer
+    # hops, identical (node, min-hops) relation.
+    if edges.count() <= _graph_local_gate():
+        import numpy as np
+
+        pdf = edges.toPandas()
+        if not len(pdf):
+            return spark.createDataFrame([], "node long, hops int")
+        nodes, inv = np.unique(
+            np.concatenate([pdf["u"].to_numpy(), pdf["v"].to_numpy()]),
+            return_inverse=True,
+        )
+        ui, vi = inv[: len(pdf)], inv[len(pdf) :]
+        degc = np.bincount(ui, minlength=len(nodes))
+        hub = np.lexsort((np.arange(len(nodes)), -degc))[0]
+        hops = np.full(len(nodes), -1, dtype="int64")
+        hops[hub] = 0
+        frontier = np.array([hub])
+        for depth in range(1, BFS_DEPTH + 1):
+            on_frontier = np.zeros(len(nodes), dtype=bool)
+            on_frontier[frontier] = True
+            nxt = np.unique(vi[on_frontier[ui]])
+            nxt = nxt[hops[nxt] < 0]
+            if not len(nxt):
+                break
+            hops[nxt] = depth
+            frontier = nxt
+        seen = hops >= 0
+        rows = [
+            (int(n), int(h)) for n, h in zip(nodes[seen], hops[seen])
+        ]
+        return spark.createDataFrame(rows, "node long, hops int")
+
     seed = _hub_seed(edges).select(
         "node", F.lit(0).cast("int").alias("hops")
     )
@@ -380,6 +434,40 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("_e.src", "_e.dst")
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges = sym.join(deg, "src").localCheckpoint(eager=True)
+    # r13 driver-local fast path (see _GRAPH_LOCAL_EDGES): the SAME
+    # scaled-integer arithmetic the decimal plan and the HUGEINT oracle
+    # perform — s10 is score*10^10 as an exact int; each step is the
+    # documented HALF_UP pair (/deg at scale 28, cast to 10, then
+    # 0.15 + 0.85*sum with one HALF_UP cast) in Python bigints, so the
+    # fixpoint is bit-identical to the distributed decimal loop.
+    if edges.count() <= _graph_local_gate():
+        pdf = edges.toPandas()
+        if len(pdf):
+            e18 = 10**18
+            srcs = pdf["src"].tolist()
+            dsts = pdf["dst"].tolist()
+            degs = dict(zip(srcs, pdf["deg"].tolist()))
+            s10 = {n: 10**10 for n in degs}
+            for _ in range(PR_ITER):
+                c10 = {}
+                for n, s in s10.items():
+                    d = degs[n]
+                    v28 = (2 * (s * e18) + d) // (2 * d)
+                    c10[n] = (2 * v28 + e18) // (2 * e18)
+                acc = dict.fromkeys(degs, 0)
+                for u_, v_ in zip(srcs, dsts):
+                    acc[v_] += c10[u_]
+                s10 = {
+                    n: 15 * 10**8 + (2 * (a * 85) + 100) // 200
+                    for n, a in acc.items()
+                }
+            rows = sorted(
+                ((n, s / 10**10) for n, s in s10.items()),
+                key=lambda r: (-r[1], r[0]),
+            )[:50]
+        else:
+            rows = []
+        return spark.createDataFrame(rows, "node long, pagerank double")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     state = nodes.withColumn("score", F.lit(1).cast(PR_SCALE)).localCheckpoint(eager=True)
 
@@ -481,6 +569,36 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_e.u", "_e.v")
         .localCheckpoint(eager=True)
     )
+    # r13 driver-local fast path (see _GRAPH_LOCAL_EDGES): integer
+    # peeling in numpy — degrees via bincount, drop edges with either
+    # endpoint under K, stop at the edge-count fixpoint (or the same
+    # KCORE_MAX_ROUNDS bound). Monotone integer arithmetic: identical
+    # surviving edge set to the distributed loop by construction.
+    if edges.count() <= _graph_local_gate():
+        import numpy as np
+
+        pdf = edges.toPandas()
+        if not len(pdf):
+            return spark.createDataFrame([], "node long, core_degree long")
+        nodes, inv = np.unique(
+            np.concatenate([pdf["u"].to_numpy(), pdf["v"].to_numpy()]),
+            return_inverse=True,
+        )
+        ui, vi = inv[: len(pdf)], inv[len(pdf) :]
+        for _ in range(KCORE_MAX_ROUNDS):
+            degc = np.bincount(ui, minlength=len(nodes))
+            keep = degc >= KCORE_K
+            mask = keep[ui] & keep[vi]
+            if mask.all():
+                break
+            ui, vi = ui[mask], vi[mask]
+        degc = np.bincount(ui, minlength=len(nodes))
+        surv = degc > 0
+        rows = list(
+            zip(nodes[surv].tolist(), degc[surv].astype("int64").tolist())
+        )
+        return spark.createDataFrame(rows, "node long, core_degree long")
+
     # ONE job per peel round (r6): keep is left lazy (recomputed inside
     # both semi-joins of the same job — two aggregations over the
     # already-materialized edge set, cheaper than a second eager
@@ -570,6 +688,38 @@ def copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_e.u", "_e.v", "_e.w")
         .localCheckpoint(eager=True)
     )
+    # r13 driver-local fast path (see _GRAPH_LOCAL_EDGES): the same
+    # SSSP_HOPS Bellman-Ford relaxations in numpy — integer weights, so
+    # every path cost and min() is exact on either path. Each round
+    # gathers from the PREVIOUS round's distances (minimum.at gathers
+    # before scattering), matching the loop's round-synchronous relax.
+    if edges.count() <= _graph_local_gate():
+        import numpy as np
+
+        pdf = edges.toPandas()
+        if not len(pdf):
+            return spark.createDataFrame([], "node long, dist long")
+        nodes, inv = np.unique(
+            np.concatenate([pdf["u"].to_numpy(), pdf["v"].to_numpy()]),
+            return_inverse=True,
+        )
+        ui, vi = inv[: len(pdf)], inv[len(pdf) :]
+        wv = pdf["w"].to_numpy().astype("int64")
+        degc = np.bincount(ui, minlength=len(nodes))
+        hub = np.lexsort((np.arange(len(nodes)), -degc))[0]
+        inf = np.int64(2**62)
+        dist = np.full(len(nodes), inf, dtype="int64")
+        dist[hub] = 0
+        for _ in range(SSSP_HOPS):
+            nd = dist.copy()
+            np.minimum.at(nd, vi, dist[ui] + wv)
+            dist = nd
+        reached = dist < inf
+        rows = list(
+            zip(nodes[reached].tolist(), dist[reached].tolist())
+        )
+        return spark.createDataFrame(rows, "node long, dist long")
+
     state = _hub_seed(edges).select(
         "node", F.lit(0).cast("long").alias("dist")
     )

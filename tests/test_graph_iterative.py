@@ -79,3 +79,27 @@ def test_kcore_matches_reference_peeler(spark, sf_dir):
     got = {r["node"]: r["core_degree"] for r in copurchase_kcore(spark, sf_dir).collect()}
     assert got == want
     assert len(got) > 0  # the sf0.001 graph does have a 2-core
+
+
+def test_graph_local_vs_distributed_paths(spark, sf_dir, monkeypatch):
+    """r13: the driver-local fast paths (gated on edge count) must
+    produce bit-identical results to the distributed iterative loops
+    for pagerank / kcore / sssp / bfs."""
+    from hbacker_spark.registry import load_all_queries
+
+    specs = load_all_queries()
+    names = (
+        "copurchase_pagerank",
+        "copurchase_kcore",
+        "copurchase_sssp",
+        "copurchase_bfs_reachable",
+    )
+    results = {}
+    for gate in ("0", "200000"):
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", gate)
+        for name in names:
+            rows = {tuple(r) for r in specs[name].fn(spark, sf_dir).collect()}
+            results.setdefault(name, []).append(rows)
+    for name, (dist, local) in results.items():
+        assert dist == local, name
+        assert len(dist) > 0, name
