@@ -159,6 +159,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH candidate pair generation.
 
@@ -166,9 +167,13 @@ def lsh_candidate_pairs(
     comma-joined signature slice — portable, see module doc) →
     equi-join on (band_idx, band_hash) so candidate generation stays
     sub-quadratic. Returns (doc_a, doc_b, n_shared_bands) with
-    doc_a < doc_b.
+    doc_a < doc_b. ``sigs`` (r13) lets a caller that ALSO consumes the
+    signature matrix pass a materialized copy so the md5-heavy
+    signature pass runs once instead of per consumer — it must be
+    exactly :func:`minhash_signatures` over the same docs.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+    if sigs is None:
+        sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
     n_bands = num_hashes // band_size
     band_rows = sigs.select(
         F.col(id_col),

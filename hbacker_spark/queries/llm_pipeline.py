@@ -498,9 +498,20 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the whole relation is value-oracled.",
 )
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.rank import tracked_checkpoint
+
     d = widen(load_table(spark, sf_dir, "documents"))
-    cand = D.lsh_candidate_pairs(d).select("doc_a", "doc_b")
-    sigs = D.minhash_signatures(d)
+    # r13 (optimization, guide §2.4/§5): the md5-heavy signature matrix
+    # feeds BOTH the candidate build and the agreement join, and the
+    # exploded shingle relation feeds the size aggregate AND both sides
+    # of the intersection join — checkpoint each once instead of
+    # trusting ReuseExchange across differently-projected subtrees
+    # (profiled 40s executor CPU ≈ 2x the signature pass + repeated
+    # shingle explodes). Managed tracked checkpoints: freed at the
+    # query boundary by the bench/oracle release hook.
+    sigs = tracked_checkpoint(D.minhash_signatures(d))
+    sh = tracked_checkpoint(D.exploded_shingles(d))
+    cand = D.lsh_candidate_pairs(d, sigs=sigs).select("doc_a", "doc_b")
     agree_expr = sum(
         (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
         for i in range(D.NUM_HASHES)
@@ -510,7 +521,6 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
         .select("doc_a", "doc_b", agree_expr.alias("n_agree"))
     )
-    sh = D.exploded_shingles(d)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(
@@ -1695,7 +1705,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nothing spuriously.",
 )
 def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # r13: widen — the regex tokenization / stopword / shingle columns
+    # are computed on the SCAN side (plan: Project below the dup-window
+    # exchange), so a single-split source runs the whole per-row text
+    # pass in one task (profiled: one 8.5s-CPU task); no-op on
+    # multi-split production inputs.
+    d = widen(load_table(spark, sf_dir, "documents"))
     corpus = d.filter(F.col("source") != "src0")
     w = Window.partitionBy("text").orderBy("doc_id")
     stats = corpus.select(
@@ -3432,7 +3447,11 @@ from hbacker_spark.operators.incremental import SPAN_W  # noqa: E402
     f"self-repetition is part of the memorization-risk signal.",
 )
 def duplicated_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # r13: widen — the span explode multiplies work per input row, and a
+    # single-split source otherwise runs the whole explode+hash pass in
+    # ONE task (profiled 2.4s single-task stage); no-op on multi-split
+    # production inputs.
+    d = widen(load_table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     # sequence(1, n) with n < 1 would generate a DESCENDING range in
     # Spark — guard short docs to an empty span list instead.
@@ -3741,7 +3760,9 @@ def span_removal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_dedup_state,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # r13: widen — both halves run the stride-1 gram explode; a
+    # single-split source serializes each half into one task otherwise.
+    d = widen(load_table(spark, sf_dir, "documents"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 2
     )

@@ -599,9 +599,23 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    per_order = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("_n_ret"),
+    # r13 (optimization, guide §2.3): the twin countDistincts planned an
+    # Expand (2 projections — every lineitem row shuffled twice, with a
+    # gid column) feeding the distinct-merge machinery. The same two
+    # quantities come from one (orderkey, suppkey) pre-aggregation —
+    # n_supp = group count, n_ret = groups with any 'R' line — shuffling
+    # each lineitem row once and replacing distinct-merge with plain
+    # partial-aggregating counts; the second aggregate runs over the
+    # already-small per-supplier relation. Identical values (verified
+    # against the unchanged oracle).
+    per_supp = l.groupBy(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    ).agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("_ret")
+    )
+    per_order = per_supp.groupBy("_ok").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_ret").alias("_n_ret"),
     )
     l1 = l.filter(F.col("l_returnflag") == "R")
     return (

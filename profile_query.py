@@ -58,6 +58,13 @@ def main() -> None:
     spark.range(1000).toDF("id").mapInPandas(ident, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # JIT warmup parity with bench.py's calibrate(): without this,
+    # CPU-heavy codegen stages run interpreted/C1 and read 5-100x hotter
+    # than they are in the bench session.
+    for _ in range(3):
+        spark.range(200_000_000).selectExpr(
+            "sum(id * (id % 7)) as s", "count(if(id % 13 = 0, 1, null)) as c"
+        ).write.format("noop").mode("overwrite").save()
 
     app = rest("http://localhost:4047/api/v1/applications")[0]["id"]
     base = f"http://localhost:4047/api/v1/applications/{app}"
