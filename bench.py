@@ -333,7 +333,17 @@ def normalized_ratio(now: dict, then: dict) -> float | None:
             c_then.append(b)
     if not c_now or not now.get("value") or not then.get("value"):
         return None
-    drift = (sum(c_now) / len(c_now)) / (sum(c_then) / len(c_then))
+    # r13 (VERDICT r12 "what's wrong" #1): a start calibration taken at
+    # elevated load (r12: 0.404 start vs 0.09 mid — a 4.5x intra-session
+    # swing) used to fold straight into the mean and overcorrect the
+    # ratio. Drop a start sample that reads >2x its session's mid sample
+    # (both sessions must drop it to keep the comparison like-for-like),
+    # then use the minimum of the surviving samples per session — the
+    # least-contended observation of the same fixed kernel is the best
+    # estimate of the machine's clean speed.
+    if len(c_now) == 2 and (c_now[0] > 2 * c_now[1] or c_then[0] > 2 * c_then[1]):
+        c_now, c_then = c_now[1:], c_then[1:]
+    drift = min(c_now) / min(c_then)
     return round((now["value"] / then["value"]) / drift, 3)
 
 

@@ -387,6 +387,18 @@ class Catalog:
             )
             base = cur
             land(base)
+        # r13 (ADVICE r12, low): verify the FINAL land before raising —
+        # the loop above only checks convergence at the top of the next
+        # round, so the 5th re-land could have succeeded and raising
+        # here would make a retrying caller duplicate the rows.
+        cur = storage.resolve_data_dir(self.spark, self._path(table))
+        if cur == base:
+            return
+        ours = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
+        )
+        if ours.exceptAll(self.read(table)).isEmpty():
+            return
         raise CatalogContentionError(
             f"catalog append to {table!r} could not converge after 5 attempts "
             f"— a writer is swapping versions faster than appends can land; "

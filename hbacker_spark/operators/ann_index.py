@@ -323,7 +323,13 @@ def _retire_data_versions(
                 r = reserves.get(k)
                 if r is not None and now - r <= grace_s:
                     continue
-            if age is None or age > ttl:
+            # r13 (ADVICE r12, low): in purge mode delete EVERY
+            # superseded version unconditionally — routing through the
+            # TTL comparison let a version whose tombstone mtime sits
+            # at/ahead of the driver clock (server-side mtime skew,
+            # coarse granularity) clamp to age 0.0, and `0.0 > 0.0` is
+            # False — an RTBF purge silently leaving forgotten bytes.
+            if purge or age is None or age > ttl:
                 storage.delete_path(spark, storage.join_path(base, e["name"]))
                 storage.delete_path(spark, tombstone(f"_v{k:06d}.superseded"), recursive=False)
                 storage.delete_path(spark, tombstone(f".v{k:06d}.reserve"), recursive=False)

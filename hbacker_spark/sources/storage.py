@@ -422,8 +422,24 @@ def path_fence(
     if hb_s > 0 and stamped:
 
         def beat() -> None:
+            # r13 (ADVICE r12, medium): re-stamp ONLY while the lock
+            # still carries our token. A resumed holder that was taken
+            # over after a long GC/VM pause must not overwrite the
+            # taker's stamp (that would silently admit a third writer
+            # at the next TTL) — it flags lost ownership and stops.
             while not hb_stop.wait(hb_s):
                 try:
+                    holder = read_info(spark, lock_path).strip()
+                    if f"token={token}" not in holder:
+                        warnings.warn(
+                            f"fence heartbeat on {what}: lock {lock_path} "
+                            f"is now stamped by {holder}, not this holder "
+                            f"— ownership was taken over (paused holder?). "
+                            f"Stopping the heartbeat; this writer's commit "
+                            f"should be treated as fenced off.",
+                            RuntimeWarning,
+                        )
+                        return
                     stamp()
                 except Exception:  # noqa: BLE001 — missed beat, not fatal
                     pass
@@ -438,10 +454,32 @@ def path_fence(
         if hb_thread is not None:
             hb_stop.set()
             hb_thread.join(timeout=5.0)
-        try:
-            delete_path(spark, lock_path, recursive=False)
-        except Exception:  # noqa: BLE001
-            pass
+
+        def _delete_if_ours() -> None:
+            # r13 (ADVICE r12): token-guarded release — after a TTL
+            # takeover the lock belongs to the taker; deleting it here
+            # would admit a third writer. A lock we never stamped
+            # (atomic claim, stamp failed) is still ours to delete.
+            if stamped:
+                try:
+                    holder = read_info(spark, lock_path).strip()
+                except Exception:  # noqa: BLE001 — absent/unreadable
+                    holder = None
+                if holder is not None and f"token={token}" not in holder:
+                    return
+            try:
+                delete_path(spark, lock_path, recursive=False)
+            except Exception:  # noqa: BLE001
+                pass
+
+        _delete_if_ours()
+        if hb_thread is not None and hb_thread.is_alive():
+            # a beat was in flight past the 5s join window: it may have
+            # re-created the lockfile AFTER the delete above, leaving a
+            # phantom lock that blocks all future writers when no TTL
+            # is set (ADVICE r12). Wait the beat out and sweep again.
+            hb_thread.join(timeout=hb_s + 5.0)
+            _delete_if_ours()
 
 
 def _recursive_file_stats(spark: SparkSession, path: str) -> tuple[int, int, set[str]]:

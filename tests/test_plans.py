@@ -234,18 +234,23 @@ def test_copurchase_pairs_subplan_is_reused(spark):
     assert "ReusedExchange" in plan, plan
 
 
-def test_bfs_frontier_joins_are_hash_not_cartesian(spark, sf_dir):
+def test_bfs_frontier_joins_are_hash_not_cartesian(spark, sf_dir, monkeypatch):
+    # r13: pin the DISTRIBUTED loop's shape — the driver-local fast
+    # path (gated on edge count) would otherwise satisfy this trivially
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "0")
     plan = X.explain_str(SPECS["copurchase_bfs_reachable"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
 
 
-def test_bfs_lineage_is_checkpointed_not_replayed(spark, sf_dir):
+def test_bfs_lineage_is_checkpointed_not_replayed(spark, sf_dir, monkeypatch):
     """VERDICT r3 #2: the unrolled BFS must NOT re-reference the
     lineitem self-join per frontier round. With edges + each round's
     frontier localCheckpoint'ed, the final plan reads only materialized
     RDDs — zero parquet scans and zero joins of the pair build remain
     in the visited-union plan (they ran exactly once, eagerly, inside
-    the builder)."""
+    the builder). r13: force the distributed loop — the driver-local
+    fast path would satisfy this trivially."""
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "0")
     df = SPECS["copurchase_bfs_reachable"].fn(spark, sf_dir)
     plan = X.explain_str(df)
     assert "Scan parquet" not in plan, plan
