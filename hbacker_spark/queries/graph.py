@@ -93,8 +93,41 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its edges here, the whole family inherits the cut. Per-order
     explode is |basket|²/2, bounded by basket size (~7 items TPC-H) —
     at 100 TB the basket-size bound, not the corpus size, caps the
-    fan-out per key."""
+    fan-out per key.
+
+    r13 (optimization, guide §2.2/§2.6): the basket-build + pair-explode
+    stage is CPU-heavy per shuffled byte (the |basket|²/2 fan-out), and
+    AQE's byte-floor coalescing (minPartitionSize 1 MB) squeezed the
+    ~5 MB orderkey shuffle to 4 tasks — 3.4 s of measured stage CPU
+    serialized over 4 cores while 28 idle, a tax every graph query in
+    this family pays. The explicit keyed repartition below pins that
+    exchange's width from the INPUT size (one partition per ~32 MB of
+    lineitem bytes, floored at the session's parallelism, capped at the
+    configured shuffle width) — AQE never coalesces a user-specified
+    repartition, and because it hash-partitions on the same key the
+    aggregate's distribution requirement is already satisfied: the plan
+    carries the SAME single exchange, just at a pinned width.
+    Scale-adaptive, not a local[32] constant: on a production table the
+    bytes-derived count saturates the configured shuffle width and the
+    plan is what AQE would have produced anyway; on a non-file scheme
+    (no cheap size probe) the repartition is skipped entirely. Measured
+    same-session A/B at sf0.1 (degree_distribution, min-of-3, two
+    interleaved rounds): 1.95/2.25 s -> 1.60/1.16 s, pair set verified
+    identical row-for-row."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    try:
+        import os as _os
+
+        from hbacker_spark.sources.tables import table_path
+
+        _bytes = _os.path.getsize(table_path(sf_dir, "lineitem"))
+        _dp = spark.sparkContext.defaultParallelism
+        _cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        li = li.repartition(
+            max(_dp, min(max(_cur, _dp), _bytes // (32 << 20) + 1)), "l_orderkey"
+        )
+    except OSError:
+        pass  # non-local scheme: leave the exchange to the planner
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
