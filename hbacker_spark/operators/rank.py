@@ -20,6 +20,17 @@ total order (callers must pass a tie-broken ordering, as they already
 must for oracle parity), and independent of where the range boundaries
 land.
 
+Two local-pass forms (optimization r13): with running ``sums`` the
+local pass is the per-bucket Window above — which costs a second
+full-width exchange, because the checkpointed range partitioning scans
+back as UnknownPartitioning and ``Window.partitionBy(_bkt)`` must
+re-shuffle. Rank-only callers (most of them) skip the window entirely:
+``sortWithinPartitions`` runs the same per-bucket sort on the reduce
+side of the one range exchange, and the local position is read from
+``monotonically_increasing_id()`` normalized by the per-bucket
+``min(id)`` carried on the offsets broadcast — one full-width exchange
+total instead of two.
+
 Bucket-identity subtlety: `_bkt` is ``spark_partition_id()`` over the
 range exchange. The relation is **lazily localCheckpoint-ed** right
 after the id is attached, so every downstream branch (local window,
@@ -175,6 +186,47 @@ def with_global_order(
             p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except ValueError:
             p = spark.sparkContext.defaultParallelism
+
+    if not sums:
+        # Rank-only fast path (optimization r13): the checkpointed
+        # range-partitioned RDD scans back with UnknownPartitioning, so
+        # the per-bucket Window below would re-shuffle the WHOLE relation
+        # by _bkt (a second full-width exchange, visible as
+        # `Exchange hashpartitioning(_bkt)` in every pre-r13 rank plan).
+        # A plain row_number needs no window at all: sort WITHIN the
+        # range partitions (same sort the window would do, but on the
+        # reduce side of the one range exchange — no new shuffle) and
+        # read off the position from monotonically_increasing_id(),
+        # normalized per bucket by min(id) through the SAME P-row
+        # offsets broadcast the slow path already builds. The only
+        # contract relied on is that ids are consecutive and increasing
+        # in row order within a partition (the per-partition counter);
+        # the _m0 normalization makes the upper partition-id bits
+        # irrelevant. The checkpoint pins ids and bucket identity for
+        # both consumer branches exactly as in the window path.
+        part = _tracked_checkpoint(
+            df.repartitionByRange(p, *order)
+            .sortWithinPartitions(*order)
+            .withColumn("_bkt", F.spark_partition_id())
+            .withColumn("_mid", F.monotonically_increasing_id())
+        )
+        btot = part.groupBy("_bkt").agg(
+            F.count(F.lit(1)).alias("_bn"), F.min("_mid").alias("_m0")
+        )
+        wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+        off_cols = [
+            F.col("_bkt"),
+            F.col("_m0"),
+            F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_off_n"),
+        ]
+        if n_col is not None:
+            off_cols.append(F.sum("_bn").over(Window.partitionBy()).alias(n_col))
+        offsets = btot.select(*off_cols)
+        out = part.join(F.broadcast(offsets), "_bkt").withColumn(
+            rank_col,
+            (F.col("_mid") - F.col("_m0") + F.col("_off_n") + 1).cast("bigint"),
+        )
+        return out.drop("_bkt", "_mid", "_m0", "_off_n")
 
     part = _tracked_checkpoint(
         df.repartitionByRange(p, *order).withColumn("_bkt", F.spark_partition_id())

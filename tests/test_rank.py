@@ -7,6 +7,8 @@ partitions) and buckets = 1 (degenerate single bucket)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -47,6 +49,37 @@ def test_global_rank_and_running_sum_match_window(spark, buckets):
         assert q["rnk"] == r["rnk"], (r["id"], q["rnk"], r["rnk"])
         assert q["cum_amt"] == r["cum_amt"]
         assert q["n"] == r["n"] and q["_total_cum_amt"] == r["_total_cum_amt"]
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 200])
+def test_rank_only_fast_path_matches_window(spark, buckets):
+    """The no-sums path (r13: no per-bucket window — sortWithinPartitions
+    + monotonically_increasing_id normalized through the offsets
+    broadcast) must stay bit-identical to row_number() OVER (ORDER BY
+    ...), including empty range partitions (buckets > rows) and the
+    degenerate single bucket; and must really skip the per-bucket
+    window (the second full-width exchange it would plan)."""
+    df = _sample(spark)
+    order = [F.col("v").desc(), F.col("id")]
+    got = with_global_order(df, order, rank_col="rnk", n_col="n", buckets=buckets)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # attributes print with expr ids: the offsets window spells
+    # `windowspecdefinition(_bkt#N ASC ...` (sort expr only); a
+    # data-sized per-bucket window would PARTITION by it and spell
+    # `windowspecdefinition(_bkt#N, <order cols>...` — that exact shape
+    # is present in every sums-path plan and must be absent here.
+    assert not re.search(
+        r"windowspecdefinition\(_bkt#\d+,", plan
+    ), "fast path not taken: per-bucket data window still planned"
+    w = Window.orderBy(F.col("v").desc(), "id")
+    exp = df.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    g = {r["id"]: (r["rnk"], r["n"]) for r in got.collect()}
+    e = {r["id"]: (r["rnk"], r["n"]) for r in exp.collect()}
+    assert g == e
 
 
 @pytest.mark.parametrize("n,k", [(97, 4), (8, 4), (3, 4), (100, 7), (1, 3)])
@@ -120,6 +153,41 @@ def test_rank_operator_properties(spark, vals, buckets, k):
     g = {r["id"]: (r["rnk"], r["cum"], r["n"], r["t"]) for r in got.collect()}
     e = {r["id"]: (r["rnk"], r["cum"], r["n"], r["t"]) for r in exp.collect()}
     assert g == e
+
+
+def test_rfm_quartiles_match_window_ntile(spark, sf_dir):
+    """orders_rfm_segments chains three rank-only with_global_order
+    calls (all on the r13 fast path: no per-bucket window) + the
+    closed-form ntile arithmetic — pin the whole query bit-identical to
+    the literal ntile(4) windows the oracle states, on real data. This
+    is the fast path's chained real-data exercise: calls 2 and 3 rank a
+    relation that already carries fast-path outputs."""
+    from hbacker_spark.registry import load_all_queries
+
+    got = load_all_queries()["orders_rfm_segments"].fn(spark, sf_dir)
+    from hbacker_spark.queries._util import MONEY
+    from hbacker_spark.sources.tables import load_table, ts_epoch_us
+
+    base = load_table(spark, sf_dir, "orders")
+
+    rfm = base.groupBy("o_custkey").agg(
+        F.max(ts_epoch_us(base, "o_orderdate")).alias("recency_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round("o_totalprice", 2).cast(MONEY)).cast("double").alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("recency_us"), "o_custkey"))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+    exp = rfm.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        r.alias("r_quartile"),
+        f.alias("f_quartile"),
+        m.alias("m_quartile"),
+        (r * 100 + f * 10 + m).cast("int").alias("rfm_segment"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
 
 
 RANK_ROUTED = [
