@@ -3827,12 +3827,22 @@ def span_removal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-row totals (broadcast).",
 )
 def source_divergence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.rank import tracked_checkpoint
+
     d = widen(load_table(spark, sf_dir, "documents"))
     tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # r13: st feeds FOUR consumers (s, t, n, terms) whose pruned copies
+    # canonicalize differently, so without materialization the corpus
+    # tokenize+aggregate ran 2-4x per query. st is (source, token)-
+    # bounded — vocab-sized per source, far below occurrence volume —
+    # so checkpointing it once is the 100 TB trade (guide §2.4/§5);
+    # n = Σ tft over t == Σ tf over st, so it folds to one st pass too.
+    st = tracked_checkpoint(
+        tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
     s = st.groupBy("source").agg(F.sum("tf").cast("bigint").alias("ns"))
     t = st.groupBy("token").agg(F.sum("tf").cast("bigint").alias("tft"))
-    n = t.agg(F.sum("tft").cast("bigint").alias("n"))
+    n = st.agg(F.sum("tf").cast("bigint").alias("n"))
     terms = (
         st.join(F.broadcast(s), "source")
         .join(t, "token")

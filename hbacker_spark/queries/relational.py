@@ -1877,9 +1877,16 @@ def winsorize_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per user, never raw events.",
 )
 def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.rank import tracked_checkpoint
+
     e = load_table(spark, sf_dir, "events")
-    ue = e.select("user_id", "event_type").distinct()
-    n = e.agg(F.countDistinct("user_id").alias("n_users"))
+    # r13: the distinct (user, type) relation feeds three consumers
+    # (singles, both self-join sides) and the user count is derivable
+    # from it, so checkpoint it once — the events corpus is scanned and
+    # dedup-shuffled ONCE instead of three times (guide §2.4); ue is
+    # users x types-bounded, far below event volume at scale.
+    ue = tracked_checkpoint(e.select("user_id", "event_type").distinct())
+    n = ue.agg(F.countDistinct("user_id").alias("n_users"))
     singles = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     a = ue.alias("a")
     b = ue.alias("b")
@@ -2833,9 +2840,15 @@ def hll_portable_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hll_portable_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbacker_spark.functions import hll as H
+    from hbacker_spark.operators.rank import tracked_checkpoint
 
     e = load_table(spark, sf_dir, "events")
-    regs = H.registers(e, ["event_type"], "user_id")
+    # r13: regs feeds three consumers (types, the pair-union agg, est)
+    # whose pruned subtrees canonicalize differently — unmaterialized,
+    # the md5 register-build corpus scan ran 3x per query. regs is
+    # <= types x 256 rows (sketch state), so the checkpoint makes the
+    # docstring's "ONE register-build scan" literally true (guide §2.4).
+    regs = tracked_checkpoint(H.registers(e, ["event_type"], "user_id"))
     types = regs.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("type_a"))

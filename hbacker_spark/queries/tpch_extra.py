@@ -439,7 +439,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
-    per_part = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+    # r13: the per-part aggregate only ever feeds Brand#5 partkeys, so
+    # pre-filter the fact with the broadcast semi-join BEFORE the agg
+    # shuffle (guide §3.2) — per-part groups are intact (every lineitem
+    # row of a surviving partkey survives), values unchanged; the agg
+    # shuffle shrinks by the brand's selectivity (~1/25).
+    lf = l.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("_fk"))),
+        l.l_partkey == F.col("_fk"),
+        "left_semi",
+    )
+    per_part = lf.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.count(F.lit(1)).alias("n_cnt"),
         F.sum(F.col("l_quantity").cast(MONEY)).alias("qty_sum"),
     )
@@ -473,10 +483,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("subquery", "topk", "tpch"),
-    doc="TPC-H Q18: large-volume customers — IN over a grouped-HAVING "
-    "subquery becomes a left_semi join against the qualifying-order "
-    "aggregate; top-100 by totalprice with orderkey tie-break compiles "
-    "to TakeOrderedAndProject.",
+    doc="TPC-H Q18: large-volume customers — the grouped-HAVING subquery "
+    "already computes the exact per-order quantity sum the SELECT "
+    "re-aggregates, so the engine folds them: ONE lineitem aggregate "
+    "produces both the >150 filter and total_qty (o_orderkey is the "
+    "grouping key, so the outer GROUP BY is per-order by construction), "
+    "then the few surviving orders join orders/customer. One fact scan "
+    "and one fact shuffle instead of two of each; top-100 by totalprice "
+    "with orderkey tie-break compiles to TakeOrderedAndProject.",
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -486,14 +500,18 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("_q"))
         .filter(F.col("_q") > F.lit(150).cast(MONEY))
-        .select(F.col("l_orderkey").alias("_bigkey"))
     )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(big, o.o_orderkey == F.col("_bigkey"), "left_semi")
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
@@ -709,7 +727,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    costs = l.groupBy("l_partkey", "l_suppkey").agg(F.min(money("l_extendedprice")).alias("cost"))
+    # r13: only p_size=15 partkeys ever survive the part join, so
+    # pre-filter the fact with the broadcast semi-join BEFORE the
+    # (part,supp) min aggregate (guide §3.2) — groups are intact for
+    # every surviving partkey, values unchanged; the agg shuffle
+    # shrinks by the size predicate's selectivity (~1/50).
+    lf = l.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("_fk"))),
+        l.l_partkey == F.col("_fk"),
+        "left_semi",
+    )
+    costs = lf.groupBy("l_partkey", "l_suppkey").agg(F.min(money("l_extendedprice")).alias("cost"))
     best = costs.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
     return (
         p.join(costs, p.p_partkey == costs.l_partkey)
