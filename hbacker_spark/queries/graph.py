@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbacker_spark.registry import register
-from hbacker_spark.sources.tables import load_table
+from hbacker_spark.sources.tables import driver_local_df, load_table
 
 SUPPORT = 2
 
@@ -361,7 +361,7 @@ def copurchase_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [
             (int(n), int(h)) for n, h in zip(nodes[seen], hops[seen])
         ]
-        return spark.createDataFrame(rows, "node long, hops int")
+        return driver_local_df(spark, rows, "node long, hops int")
 
     seed = _hub_seed(edges).select(
         "node", F.lit(0).cast("int").alias("hops")
@@ -500,7 +500,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )[:50]
         else:
             rows = []
-        return spark.createDataFrame(rows, "node long, pagerank double")
+        return driver_local_df(spark, rows, "node long, pagerank double")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     state = nodes.withColumn("score", F.lit(1).cast(PR_SCALE)).localCheckpoint(eager=True)
 
@@ -630,7 +630,7 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = list(
             zip(nodes[surv].tolist(), degc[surv].astype("int64").tolist())
         )
-        return spark.createDataFrame(rows, "node long, core_degree long")
+        return driver_local_df(spark, rows, "node long, core_degree long")
 
     # ONE job per peel round (r6): keep is left lazy (recomputed inside
     # both semi-joins of the same job — two aggregations over the
@@ -751,7 +751,7 @@ def copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = list(
             zip(nodes[reached].tolist(), dist[reached].tolist())
         )
-        return spark.createDataFrame(rows, "node long, dist long")
+        return driver_local_df(spark, rows, "node long, dist long")
 
     state = _hub_seed(edges).select(
         "node", F.lit(0).cast("long").alias("dist")
