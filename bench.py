@@ -150,6 +150,34 @@ def load_avg() -> float | None:
         return None
 
 
+def steal_jiffies() -> int | None:
+    """Cumulative host CPU-steal jiffies from /proc/stat (field 8).
+
+    r13 instrument note: this VM shows bursty steal under load (~2.2
+    cores averaged over a loaded session, 0 when idle), which is the
+    mechanism behind most phantom per-query deltas. Sampling the
+    counter at start/mid/end lets a reader attribute an inflated pass
+    to the host instead of re-auditing plans. Annotation only — no
+    timing methodology depends on it."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts[0] == "cpu" and len(parts) > 8 else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def prior_committed_queries() -> dict[str, float]:
+    """Per-query seconds from the committed round artifact, used ONLY
+    to decide whether a query needs extra warmup reps (VERDICT r12
+    task 3a) — never to alter a measured value."""
+    try:
+        with open(Path(__file__).resolve().parent / "BENCH_FULL.json") as fh:
+            return dict(json.load(fh).get("queries") or {})
+    except (OSError, ValueError):
+        return {}
+
+
 def provenance() -> dict:
     """Who/where/under-what-load this pass ran (VERDICT r9 #4): two
     rounds of judge time went to one BENCH_FULL.json holding both the
@@ -183,6 +211,7 @@ def main() -> None:
     warm_python_workers(spark)
     prov = provenance()
     prov["calibration_sec"] = calibrate(spark)
+    steal_start = steal_jiffies()
 
     # min of REPS runs per query: single-JVM GC/JIT noise swings a
     # query 2-4x between otherwise identical passes (measured 70s vs
@@ -208,9 +237,19 @@ def main() -> None:
     )
     from hbacker_spark.operators.rank import release_rank_blocks
 
+    # r13 (VERDICT r12 task 3a): the first-pass>1s escalation rule had a
+    # blind spot for sub-second queries — window_running_total's 2.75x
+    # plan-identical "regression" got only 2 passes. Any query whose
+    # min-of-reps drifts >1.3x from the prior COMMITTED artifact now
+    # also escalates to min-of-heavy_reps, resolving warmup/burst
+    # outliers in-run. Reference values never replace measurements.
+    prior = prior_committed_queries()
+    drift_factor = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_FACTOR", "1.3"))
+
     timings: dict[str, float] = {}
     all_times: dict[str, list[float]] = {}
     calib_mid = None
+    steal_mid = None
     for i, name in enumerate(names):
         if calib_mid is None and i >= len(names) // 2:
             # mid-pass machine-state sample (VERDICT r10 #3b): a burst
@@ -218,6 +257,7 @@ def main() -> None:
             # DURING a 2-3 minute pass — the r10 driver run calibrated
             # FASTER than the builder's yet ran 1.13x slower overall
             calib_mid = calibrate(spark)
+            steal_mid = steal_jiffies()
         times: list[float] = []
         while True:
             t0 = time.perf_counter()
@@ -229,7 +269,14 @@ def main() -> None:
             release_rank_blocks(spark)
             target = heavy_reps if times[0] > heavy_threshold else reps
             if len(times) >= target:
-                break
+                ref = prior.get(name)
+                drifted = ref and ref > 0 and (
+                    min(times) > drift_factor * ref or min(times) * drift_factor < ref
+                )
+                if drifted and len(times) < heavy_reps:
+                    target = heavy_reps
+                else:
+                    break
         all_times[name] = times
         timings[name] = round(min(times), 3)
 
@@ -254,6 +301,17 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     prov["calibration_mid_sec"] = calib_mid
     prov["load_avg_end"] = load_avg()
+    steal_end = steal_jiffies()
+    # steal annotation (r13 "not yet optimized" item): cumulative host
+    # steal jiffies over each half of the pass — nonzero deltas mark a
+    # window whose per-query deltas are environment, not code.
+    if steal_start is not None and steal_end is not None:
+        prov["steal_jiffies_first_half"] = (
+            None if steal_mid is None else steal_mid - steal_start
+        )
+        prov["steal_jiffies_second_half"] = (
+            None if steal_mid is None else steal_end - steal_mid
+        )
     full = {
         "metric": "total_query_wall_sec",
         "value": total,

@@ -66,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbacker_spark.sources import storage
+from hbacker_spark.sources.tables import driver_local_df
 from hbacker_spark.operators.similarity import (
     DEFAULT_TABLES,
     QUANT,
@@ -654,7 +655,7 @@ class StoredLshIndex:
         candidates = df.join(
             candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi"
         )
-        q_df = self.spark.createDataFrame([(query_vec,)], "q_emb array<float>")
+        q_df = driver_local_df(self.spark, [(query_vec,)], "q_emb array<float>")
         scored = candidates.crossJoin(F.broadcast(q_df)).select(
             F.col(id_col), F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim")
         )
@@ -1387,7 +1388,7 @@ class StoredIvfIndex:
 
         probe = rank_probe_lists(self.cents, query_vec, nprobe)
         cand = self.assigned.filter(F.col("centroid_id").isin(probe))
-        q_df = self.spark.createDataFrame([(query_vec,)], "q_emb array<float>")
+        q_df = driver_local_df(self.spark, [(query_vec,)], "q_emb array<float>")
         scored = cand.crossJoin(F.broadcast(q_df)).select(
             F.col("vec_id"),
             F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),

@@ -32,6 +32,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hbacker_spark.sources.tables import driver_local_df
+
 DEFAULT_PLANES = 6  # bits per table
 DEFAULT_TABLES = 8
 SEED = 42
@@ -309,7 +311,7 @@ def ann_topk(
     )
 
     candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
-    q_df = spark.createDataFrame([(query_vec,)], f"q_emb array<float>")
+    q_df = driver_local_df(spark, [(query_vec,)], "q_emb array<float>")
     scored = candidates.crossJoin(F.broadcast(q_df)).select(
         F.col(id_col),
         F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim"),
@@ -593,7 +595,7 @@ def ivf_topk_indexed(
 
     candidate_ids = assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")
     candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
-    q_df = spark.createDataFrame([(query_vec,)], "q_emb array<float>")
+    q_df = driver_local_df(spark, [(query_vec,)], "q_emb array<float>")
     scored = candidates.crossJoin(F.broadcast(q_df)).select(
         F.col(id_col), F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim")
     )
@@ -637,14 +639,14 @@ def ann_topk_indexed(
 
     probes = query_probe_buckets(query_vec, n_planes, n_tables, seed, multiprobe, multiprobe_bits)
     probe_rows = [(t, int(b)) for t, bs in probes.items() for b in bs]
-    probe_df = spark.createDataFrame(probe_rows, "table_idx int, bucket long")
+    probe_df = driver_local_df(spark, probe_rows, "table_idx int, bucket long")
     candidate_ids = (
         sigs.join(F.broadcast(probe_df), ["table_idx", "bucket"], "left_semi")
         .select("vec_id")
         .distinct()  # a vector can match in several tables
     )
     candidates = df.join(candidate_ids, df[id_col] == candidate_ids.vec_id, "left_semi")
-    q_df = spark.createDataFrame([(query_vec,)], "q_emb array<float>")
+    q_df = driver_local_df(spark, [(query_vec,)], "q_emb array<float>")
     scored = candidates.crossJoin(F.broadcast(q_df)).select(
         F.col(id_col), F.round(cosine(vec_col, "q_emb"), 6).alias("cos_sim")
     )

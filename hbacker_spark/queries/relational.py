@@ -2722,7 +2722,9 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     wspec = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.withColumn("cum", F.sum("cnt").over(wspec))
     total = hist.agg(F.sum("cnt").alias("n"))
-    qs = spark.createDataFrame([(0.25,), (0.5,), (0.75,), (0.9,), (0.99,)], "q double")
+    from hbacker_spark.sources.tables import driver_local_df
+
+    qs = driver_local_df(spark, [(0.25,), (0.5,), (0.75,), (0.9,), (0.99,)], "q double")
     tq = qs.crossJoin(total).withColumn(
         "t", F.ceil(F.col("q") * F.col("n")).cast("long")
     )
