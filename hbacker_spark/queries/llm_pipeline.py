@@ -2312,14 +2312,12 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen(load_table(spark, sf_dir, "documents"))
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    rep = tf.groupBy("doc_id").agg(
-        (F.max("tf").cast("bigint") * 10 < F.sum("tf").cast("bigint")).alias("keep_rep")
-    )
+    # r13: gate B is a pure codegen expression over the pre-explode row,
+    # so compute it ONCE per document alongside the tokenization and
+    # carry it through the token shuffle (one boolean per (doc,token)
+    # row) — the corpus is scanned once instead of twice and the
+    # doc-sized rep-vs-soft join disappears (guide §2.3/§2.4). first()
+    # is deterministic here: every carried value within a doc is equal.
     w = TX.n_words("text").cast("double")
     sw = TX.stopword_count("text").cast("double")
     z = F.round(
@@ -2329,11 +2327,18 @@ def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(1.0),
         6,
     )
-    soft = d.select(
-        "doc_id", (z / (F.lit(1.0) + F.abs(z)) > -0.45).alias("keep_soft")
+    keep_soft = (z / (F.lit(1.0) + F.abs(z)) > -0.45).alias("keep_soft")
+    tf = (
+        d.select("doc_id", keep_soft, F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("keep_soft").alias("keep_soft"))
+    )
+    both = tf.groupBy("doc_id").agg(
+        (F.max("tf").cast("bigint") * 10 < F.sum("tf").cast("bigint")).alias("keep_rep"),
+        F.first("keep_soft").alias("keep_soft"),
     )
     cm = (
-        rep.join(soft, "doc_id")
+        both
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.when(F.col("keep_rep") & F.col("keep_soft"), 1).otherwise(0))
@@ -2678,8 +2683,14 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Python boundary.",
 )
 def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.rank import tracked_checkpoint
+
     d = widen(load_table(spark, sf_dir, "documents"))
-    cm = (
+    # r13: cm feeds three consumers (row totals, column totals, the
+    # final join) whose pruned copies canonicalize differently — the
+    # lang_guess regex corpus scan ran 2x. cm is langs²-sized, so
+    # checkpoint it once (guide §2.4).
+    cm = tracked_checkpoint(
         d.select(F.col("lang").alias("true_lang"), TX.lang_guess().alias("pred_lang"))
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -829,7 +829,16 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
-    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    # r13: only qualifying partkeys survive the part join, so pre-filter
+    # the fact with the broadcast semi-join BEFORE the distinct shuffle
+    # (guide §3.2) — the pair relation shrinks by the brand/size
+    # selectivity (~7x) with identical surviving pairs.
+    lf = l.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("_fk"))),
+        l.l_partkey == F.col("_fk"),
+        "left_semi",
+    )
+    pairs = lf.select("l_partkey", "l_suppkey").distinct()
     return (
         pairs.join(bad_supp, pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
