@@ -2312,12 +2312,21 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen(load_table(spark, sf_dir, "documents"))
-    # r13: gate B is a pure codegen expression over the pre-explode row,
-    # so compute it ONCE per document alongside the tokenization and
-    # carry it through the token shuffle (one boolean per (doc,token)
-    # row) — the corpus is scanned once instead of twice and the
-    # doc-sized rep-vs-soft join disappears (guide §2.3/§2.4). first()
-    # is deterministic here: every carried value within a doc is equal.
+    # r13 examined-and-kept: a single-pass form (gate B computed
+    # pre-explode and carried through the token shuffle as a boolean
+    # per (doc,token) row) verified identical and read as a wash at
+    # sf0.1, but LOST 2.3x at the x10 documents replica — the carried
+    # column and its first() aggregation ride the EXPLODED relation,
+    # which grows with token volume, while the second corpus scan it
+    # saves is a cheap columnar read. The two-scan form stays.
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rep = tf.groupBy("doc_id").agg(
+        (F.max("tf").cast("bigint") * 10 < F.sum("tf").cast("bigint")).alias("keep_rep")
+    )
     w = TX.n_words("text").cast("double")
     sw = TX.stopword_count("text").cast("double")
     z = F.round(
@@ -2327,18 +2336,11 @@ def quality_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(1.0),
         6,
     )
-    keep_soft = (z / (F.lit(1.0) + F.abs(z)) > -0.45).alias("keep_soft")
-    tf = (
-        d.select("doc_id", keep_soft, F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("keep_soft").alias("keep_soft"))
-    )
-    both = tf.groupBy("doc_id").agg(
-        (F.max("tf").cast("bigint") * 10 < F.sum("tf").cast("bigint")).alias("keep_rep"),
-        F.first("keep_soft").alias("keep_soft"),
+    soft = d.select(
+        "doc_id", (z / (F.lit(1.0) + F.abs(z)) > -0.45).alias("keep_soft")
     )
     cm = (
-        both
+        rep.join(soft, "doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.when(F.col("keep_rep") & F.col("keep_soft"), 1).otherwise(0))
