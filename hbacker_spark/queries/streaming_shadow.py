@@ -290,11 +290,13 @@ def streaming_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB events table saturates the clamp and behaves exactly as
     # before), not a local[32] constant. Restored in finally; the
     # checkpoint pins its own partition count for the readers.
-    import os as _os
+    from hbacker_spark.sources.tables import table_bytes
 
     cur_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        src_bytes = _os.path.getsize(table_path(sf_dir, "events"))
+        # r14 (VERDICT r13 #2): directory-safe byte probe — see
+        # sources/tables.py table_bytes.
+        src_bytes = table_bytes(sf_dir, "events")
     except OSError:  # non-local scheme: keep the session width
         src_bytes = None
     try:

@@ -29,6 +29,42 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """Real data bytes behind a table, directory-safe (r14, VERDICT r13 #2).
+
+    The r13 byte probes used ``os.path.getsize(table_path(...))``, which
+    is correct on the driver's single-file testdata layout but silently
+    returns the dirent size (~4 KB) for a DIRECTORY-backed table — the
+    scale-adaptive widths would then collapse to their floor on exactly
+    the layouts (real multi-file tables) they exist for. Sum the actual
+    data files instead: a plain file is its size; a directory is the sum
+    of its non-hidden files (recursing into partition subdirs, skipping
+    ``.``/``_`` metadata names the way Spark's file index does); a
+    directory with NO data files raises OSError so callers fall back to
+    the planner. Non-local scheme URIs and missing paths raise OSError
+    from ``os.stat`` exactly as the old probe did.
+    """
+    path = table_path(sf_dir, name)
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        total = 0
+        seen = False
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                total += os.path.getsize(os.path.join(root, f))
+                seen = True
+        if not seen:
+            raise OSError(f"no data files under table dir {path!r}")
+        return total
+    # neither a local file nor a local dir (scheme URI, missing path):
+    # behave exactly like the old getsize probe — raise for the caller.
+    return os.path.getsize(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -117,12 +153,27 @@ def driver_local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     (the callers are the size-gated driver-local fast paths); empty
     row lists keep the plain path — the constant is the same and it
     avoids empty-DataFrame Arrow corner cases.
+
+    Rows are consumed POSITIONALLY against the schema's field order
+    (r14, ADVICE r13): unlike createDataFrame-with-Rows there is no
+    name-based alignment, so tuple order must match the schema string.
+    Field names come from Spark's own DDL parser (a naive
+    ``schema.split(',')`` miscounts any type with an embedded comma,
+    e.g. ``decimal(12,2)`` or ``map<string,int>``), and a row-arity
+    guard turns a drifted caller into a loud error instead of silently
+    transposed columns.
     """
     if not rows:
         return spark.createDataFrame([], schema)
     import pandas as pd
+    from pyspark.sql import types as _T
 
-    names = [f.split()[0] for f in schema.split(",")]
+    names = _T._parse_datatype_string(schema).fieldNames()
+    if len(rows[0]) != len(names):
+        raise ValueError(
+            f"driver_local_df: row arity {len(rows[0])} != schema arity "
+            f"{len(names)} ({names}); rows bind positionally"
+        )
     pdf = pd.DataFrame(rows, columns=names)
     return spark.createDataFrame(pdf, schema=schema)
 

@@ -150,6 +150,15 @@ def test_fence_disabled_thread_race_loses_no_rows(catalog, spark, monkeypatch):
     writers always 'win', the S3A-without-conditional-create worst
     case), an appender thread races an end_info swapper thread — every
     appended session row survives and every end_info lands."""
+    # r14 (VERDICT r13 #1): widen the reconciliation budget for this
+    # deliberately fence-disabled race. The default 5 rounds assumes a
+    # real fence; here every one of the 6 appends can trickle into a
+    # different reconciliation round when the host is loaded (each round
+    # is a full Spark write), so the swapper needs headroom proportional
+    # to the append count, not the fenced-deployment constant. The
+    # workload is finite (6 appends, 3 swaps), so 25 rounds makes
+    # convergence deterministic without masking real non-convergence.
+    monkeypatch.setenv("SPARK_GRAFT_RECONCILE_ROUNDS", "25")
 
     @contextmanager
     def no_fence(table, wait_s=0.0):
@@ -188,6 +197,19 @@ def test_fence_disabled_thread_race_loses_no_rows(catalog, spark, monkeypatch):
     assert set(rows) == expect, f"lost rows: {expect - set(rows)}"
     for i in range(3):
         assert rows[f"base{i}"]["ended_at"] is not None, f"base{i} end lost"
+
+
+def test_reconcile_rounds_knob(monkeypatch):
+    """The reconciliation budget is env-tunable at CALL time (r14): the
+    default is the module constant, and SPARK_GRAFT_RECONCILE_ROUNDS
+    overrides it without a re-import (what the fence-disabled race test
+    above relies on)."""
+    from hbacker_spark.catalog import catalog as cat_mod
+
+    monkeypatch.delenv("SPARK_GRAFT_RECONCILE_ROUNDS", raising=False)
+    assert cat_mod._reconcile_rounds() == cat_mod.RECONCILE_ROUNDS_DEFAULT
+    monkeypatch.setenv("SPARK_GRAFT_RECONCILE_ROUNDS", "25")
+    assert cat_mod._reconcile_rounds() == 25
 
 
 def test_compact_purge_retires_grace_immediately(catalog, spark):
