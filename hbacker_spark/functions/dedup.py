@@ -66,14 +66,26 @@ def minhash_value(shingle_col: str, seed: int) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = NUM_HASHES) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc MinHash signature columns mh_0..mh_{n-1}.
 
     One shuffle on id; md5-derived hash values and min() are codegen'd
     expressions evaluated per exploded row (portable: DuckDB rebuilds
-    the identical signature matrix — see module doc).
+    the identical signature matrix — see module doc). ``sh`` (r14,
+    guide §2.4) lets a caller that ALSO consumes the exploded shingle
+    relation pass its (typically checkpointed) copy so the split +
+    shingle explode — the most expensive per-byte pass in the pipeline —
+    runs once instead of once per consumer; it must be exactly
+    :func:`exploded_shingles` over the same docs.
     """
-    sh = exploded_shingles(docs, id_col, text_col)
+    if sh is None:
+        sh = exploded_shingles(docs, id_col, text_col)
     aggs = [F.min(minhash_value("shingle", i)).alias(f"mh_{i}") for i in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 

@@ -509,8 +509,13 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (profiled 40s executor CPU ≈ 2x the signature pass + repeated
     # shingle explodes). Managed tracked checkpoints: freed at the
     # query boundary by the bench/oracle release hook.
-    sigs = tracked_checkpoint(D.minhash_signatures(d))
+    # r14 (guide §2.4): the signature matrix is an aggregate OVER the
+    # exploded shingle relation — derive it from the checkpointed sh
+    # instead of re-running the split + shingle explode (profiled: the
+    # two hot stages here were both ~6s executor CPU, each one a full
+    # re-shingling of the corpus; deriving sigs from sh removes one).
     sh = tracked_checkpoint(D.exploded_shingles(d))
+    sigs = tracked_checkpoint(D.minhash_signatures(d, sh=sh))
     cand = D.lsh_candidate_pairs(d, sigs=sigs).select("doc_a", "doc_b")
     agree_expr = sum(
         (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
