@@ -3690,16 +3690,27 @@ def chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"(span_removal_incremental proves fold == recompute).",
 )
 def span_removal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbacker_spark.operators.rank import tracked_checkpoint
+
     d = widen(load_table(spark, sf_dir, "documents"))
-    grams = d.select(
+    # r14 (guide §2.4/§5): the gram explode, the word posexplode, and
+    # the n_words projection each re-ran split(text) over the whole
+    # corpus (profiled: the two heavy stages both re-read the widened
+    # docs and re-split — 14.4s + 10.2s task time at sf0.1). Checkpoint
+    # the split ONCE and derive all three consumers from the word
+    # array; x10 documents bed: 3.13-3.57s -> ~3.01s, rows identical.
+    base = tracked_checkpoint(
+        d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    )
+    grams = base.select(
         "doc_id",
         F.explode(
             F.when(
-                F.size(F.split(F.col("text"), " ")) >= SPAN_W,
+                F.size("ws") >= SPAN_W,
                 F.expr(
-                    f"transform(sequence(0, size(split(text, ' ')) - {SPAN_W}), "
+                    f"transform(sequence(0, size(ws) - {SPAN_W}), "
                     f"p -> struct(CAST(p AS INT) AS p, "
-                    f"concat_ws(' ', slice(split(text, ' '), p + 1, {SPAN_W})) AS gram))"
+                    f"concat_ws(' ', slice(ws, p + 1, {SPAN_W})) AS gram))"
                 ),
             ).otherwise(F.expr("CAST(array() AS array<struct<p:int,gram:string>>)"))
         ).alias("g"),
@@ -3709,9 +3720,7 @@ def span_removal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem = dup.select(
         "doc_id", F.explode(F.expr(f"sequence(p, p + {SPAN_W - 1})")).alias("pos")
     )
-    words = d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
-    )
+    words = base.select("doc_id", F.posexplode("ws").alias("pos", "word"))
     kept = words.join(rem, ["doc_id", "pos"], "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.expr(
@@ -3721,9 +3730,7 @@ def span_removal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_words"),
     )
     return (
-        d.select(
-            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words")
-        )
+        base.select("doc_id", F.size("ws").cast("long").alias("n_words"))
         .join(agg, "doc_id", "left")
         .select(
             "doc_id",

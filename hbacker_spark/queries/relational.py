@@ -959,6 +959,12 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the SQL API over registered views.",
 )
 def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: widen() under the x3 Expand (the rollup_lineitem_flags r13
+    # win) was A/B-tested here and REJECTED — interleaved min-of-3 at
+    # sf0.1 read plain 0.99/1.01s vs widened 1.07/1.01s (a wash; this
+    # aggregate carries half the decimal math of the rollup, so the
+    # exchange doesn't pay for itself), and on multi-split production
+    # inputs widen is a no-op anyway.
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
