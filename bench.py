@@ -361,7 +361,14 @@ def main() -> None:
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        # r14: targeted runs (SPARK_GRAFT_BENCH_ONLY) print EVERY timed
+        # query — they exist for A/B and scaling receipts, where the
+        # HEADLINE filter hides the numbers the run was for. The
+        # driver's full-run line is byte-identical to before (no only
+        # => HEADLINE filter exactly as always).
+        "queries": {
+            n: timings[n] for n in (timings if only else HEADLINE) if n in timings
+        },
         "sf": sf,
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
